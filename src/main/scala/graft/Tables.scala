@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Fixture-table access (see /root/repo/TESTDATA.md, FIXTURES.md).
   *
@@ -8,14 +10,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver-generated parquet directly. Reads are plain `spark.read.parquet`
   * so Catalyst's parquet source handles column pruning / predicate pushdown;
   * at cluster scale the same code reads a partitioned table root.
+  *
+  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
+  * as a raw nano count (`spark.sql.legacy.parquet.nanosAsLong`) and surface
+  * a proper TIMESTAMP column truncated to microseconds — Spark's native
+  * precision.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = read(spark, s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+
+  /** ts arrives as nanos-since-epoch LONG under the legacy conf; convert to
+    * TIMESTAMP (micros). Integer `div` keeps full precision.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  /** Raw (pre-conversion) schema of a fixture table — what the streaming
+    * file source must be given.
+    */
+  def rawSchema(spark: SparkSession, sfDir: String, name: String): StructType =
+    read(spark, s"$sfDir/$name.parquet").schema
+
+  /** Streaming twin of `load` for the events table. The file source wants a
+    * directory, so stream the sf dir with a glob pinned to the events file.
+    */
+  def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = rawSchema(spark, sfDir, "events")
+    normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
 
   /** Register all fixture tables as temp views so SQL-form queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

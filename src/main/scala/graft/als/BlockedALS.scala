@@ -1,0 +1,414 @@
+package graft.als
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable.ArrayBuilder
+
+/** Blocked ALS training kernel (matrix factorization by alternating least
+  * squares, explicit ALS-WR / implicit Hu-Koren-Volinsky).
+  *
+  * Re-expresses the dataflow of the reference (`/root/reference/ALS.py:24-578`)
+  * Spark-first. The kernel is deliberately RDD-based with primitive-array
+  * columnar blocks — ALS is an iterative fixpoint below the relational layer,
+  * the exact case where Catalyst buys nothing; everything user-facing
+  * (fit/transform inputs and outputs) is DataFrame-in/DataFrame-out in
+  * [[GraftALS]].
+  *
+  * Scale design (the parts that matter at 100 TB):
+  *   - ratings are tiled into (srcBlock × dstBlock) columnar blocks so all
+  *     per-rating communication becomes per-block (`ALS.py:193-266`);
+  *   - blockify is a map-side-combining `aggregateByKey` (the reference's
+  *     `groupByKey`+merge, `ALS.py:260-263`, shuffles every partial block
+  *     unmerged — we pre-combine);
+  *   - in-blocks are CSR-compressed with (blockId, localIndex) bit-packed
+  *     into one Int (`InBlock.py:59-103`, `util/encoder.py`);
+  *   - out-block routing tables ship each factor vector at most once per
+  *     destination block, not once per rating (`ALS.py:331-361,436-464`);
+  *   - all per-iteration joins are over RDDs sharing one HashPartitioner, so
+  *     only the factor messages themselves cross the wire each half-step;
+  *   - factors are persisted per generation and checkpointed every
+  *     `checkpointInterval` iterations (the reference accepts the param but
+  *     never checkpoints — `ALS.py:36` — so its lineage grows unboundedly).
+  */
+object BlockedALS {
+
+  /** Training configuration; defaults mirror the reference's `train()`
+    * signature (`ALS.py:24-37`) except that `seed` is honored (the reference
+    * clobbers it with wall-clock time at `ALS.py:93`).
+    */
+  case class Config(
+      rank: Int = 10,
+      numUserBlocks: Int = 10,
+      numItemBlocks: Int = 10,
+      maxIter: Int = 10,
+      regParam: Double = 0.01,
+      implicitPrefs: Boolean = false,
+      alpha: Double = 1.0,
+      nonnegative: Boolean = false,
+      intermediateStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      finalStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      checkpointInterval: Int = 10,
+      seed: Long = 0L)
+
+  /** Spill threshold for partial rating blocks during blockify — bounds
+    * mapper memory and pre-shuffles partial tiles (`ALS.py:226-229`).
+    */
+  private val BlockifySpillThreshold = 2048
+
+  type FactorBlocks = RDD[(Int, Array[Array[Float]])]
+  type OutBlocks = RDD[(Int, Array[Array[Int]])]
+
+  /** Trains the model; returns (userId→factor, itemId→factor) RDDs, both
+    * persisted at `finalStorageLevel`. Reference flow: `ALS.py:39-191`.
+    */
+  def train(ratings: RDD[Rating], cfg: Config): (RDD[(Long, Array[Float])], RDD[(Long, Array[Float])]) = {
+    require(cfg.rank > 0 && cfg.maxIter >= 0 && cfg.regParam >= 0)
+    val sc = ratings.sparkContext
+    val userPart = new HashPartitioner(cfg.numUserBlocks)
+    val itemPart = new HashPartitioner(cfg.numItemBlocks)
+
+    val blockRatings = partitionRatings(ratings, userPart, itemPart)
+      .persist(cfg.intermediateStorageLevel)
+
+    val (userInBlocks, userOutBlocks) =
+      makeBlocks(blockRatings, userPart, itemPart, cfg.intermediateStorageLevel)
+    userOutBlocks.count() // materialize (ALS.py:73)
+
+    // reuse user-keyed tiles as item-keyed tiles by swapping the key halves
+    // and the src/dst columns (ALS.py:75-80) — a narrow map, no reshuffle
+    val swappedBlockRatings = blockRatings.map {
+      case ((userBlockId, itemBlockId), block) =>
+        ((itemBlockId, userBlockId), RatingBlock(block.dstIds, block.srcIds, block.ratings))
+    }
+
+    val (itemInBlocks, itemOutBlocks) =
+      makeBlocks(swappedBlockRatings, itemPart, userPart, cfg.intermediateStorageLevel)
+    itemOutBlocks.count()
+
+    val userEncoder = new LocalIndexEncoder(userPart.numPartitions)
+    val itemEncoder = new LocalIndexEncoder(itemPart.numPartitions)
+
+    var userFactors = initialize(userInBlocks, cfg.rank, cfg.seed)
+    var itemFactors = initialize(itemInBlocks, cfg.rank, cfg.seed * 2 + 1)
+
+    val solver: LeastSquaresNESolver =
+      if (cfg.nonnegative) new NNLSSolver else new CholeskySolver
+
+    val shouldCheckpoint: Int => Boolean = iter =>
+      sc.getCheckpointDir.isDefined && cfg.checkpointInterval > 0 &&
+        (iter + 1) % cfg.checkpointInterval == 0
+
+    if (cfg.implicitPrefs) {
+      // implicit path persists+materializes every generation (the YᵀY
+      // aggregate is an action per half-step) — ALS.py:105-135
+      for (iter <- 0 until cfg.maxIter) {
+        userFactors.persist(cfg.intermediateStorageLevel)
+        val previousItemFactors = itemFactors
+        itemFactors = computeFactors(userFactors, userOutBlocks, itemInBlocks,
+          cfg.rank, cfg.regParam, userEncoder, implicitPrefs = true, cfg.alpha, solver)
+        previousItemFactors.unpersist()
+        itemFactors.persist(cfg.intermediateStorageLevel)
+        if (shouldCheckpoint(iter)) { itemFactors.checkpoint() }
+        val previousUserFactors = userFactors
+        userFactors = computeFactors(itemFactors, itemOutBlocks, userInBlocks,
+          cfg.rank, cfg.regParam, itemEncoder, implicitPrefs = true, cfg.alpha, solver)
+        previousUserFactors.unpersist()
+      }
+    } else {
+      // explicit path: the reference leaks lineage here (no persist,
+      // ALS.py:137-156); we cut recompute depth + lineage every
+      // checkpointInterval iterations
+      var previousCachedItemFactors: Option[FactorBlocks] = None
+      for (iter <- 0 until cfg.maxIter) {
+        itemFactors = computeFactors(userFactors, userOutBlocks, itemInBlocks,
+          cfg.rank, cfg.regParam, userEncoder, implicitPrefs = false, cfg.alpha, solver)
+        if (shouldCheckpoint(iter)) {
+          itemFactors.persist(cfg.intermediateStorageLevel)
+          itemFactors.checkpoint()
+          itemFactors.count()
+          previousCachedItemFactors.foreach(_.unpersist())
+          previousCachedItemFactors = Some(itemFactors)
+        }
+        userFactors = computeFactors(itemFactors, itemOutBlocks, userInBlocks,
+          cfg.rank, cfg.regParam, itemEncoder, implicitPrefs = false, cfg.alpha, solver)
+      }
+    }
+
+    // id ⋈ factor zip (ALS.py:158-179): attach raw ids (from the in-block
+    // CSR headers) to the final factor arrays; the join is narrow because
+    // both sides carry the src partitioner
+    val userIdAndFactors = userInBlocks.mapValues(_.srcIds)
+      .join(userFactors)
+      .mapPartitions({ iter =>
+        iter.flatMap { case (_, (ids, factors)) => ids.iterator.zip(factors.iterator) }
+      }, preservesPartitioning = true)
+      .persist(cfg.finalStorageLevel)
+
+    val itemIdAndFactors = itemInBlocks.mapValues(_.srcIds)
+      .join(itemFactors)
+      .mapPartitions({ iter =>
+        iter.flatMap { case (_, (ids, factors)) => ids.iterator.zip(factors.iterator) }
+      }, preservesPartitioning = true)
+      .persist(cfg.finalStorageLevel)
+
+    // materialize the model, then free every intermediate (ALS.py:181-189)
+    userIdAndFactors.count()
+    itemIdAndFactors.count()
+    userFactors.unpersist()
+    itemFactors.unpersist()
+    userInBlocks.unpersist()
+    userOutBlocks.unpersist()
+    itemInBlocks.unpersist()
+    itemOutBlocks.unpersist()
+    blockRatings.unpersist()
+
+    (userIdAndFactors, itemIdAndFactors)
+  }
+
+  /** Tiles the ratings into (srcBlock, dstBlock) columnar blocks.
+    *
+    * Two-phase: mappers keep one builder per tile and spill a partial block
+    * whenever it reaches [[BlockifySpillThreshold]] rows (`ALS.py:211-238`),
+    * then a map-side-combining `aggregateByKey` merges partial blocks per
+    * tile (the optimized form of the reference's `groupByKey`+fold,
+    * `ALS.py:260-263`).
+    */
+  def partitionRatings(
+      ratings: RDD[Rating],
+      srcPart: HashPartitioner,
+      dstPart: HashPartitioner): RDD[((Int, Int), RatingBlock)] = {
+    val numSrc = srcPart.numPartitions
+    val numDst = dstPart.numPartitions
+    val gridSize = numSrc * numDst
+    ratings.mapPartitions { iter =>
+      val builders = Array.fill(gridSize)(new RatingBlockBuilder)
+      val spilled = iter.flatMap { r =>
+        val srcBlockId = srcPart.getPartition(r.user)
+        val dstBlockId = dstPart.getPartition(r.item)
+        val idx = srcBlockId + numSrc * dstBlockId
+        val builder = builders(idx)
+        builder.add(r.user, r.item, r.rating)
+        if (builder.size >= BlockifySpillThreshold) {
+          builders(idx) = new RatingBlockBuilder
+          Iterator.single(((srcBlockId, dstBlockId), builder.build()))
+        } else Iterator.empty
+      }
+      val tail = Iterator.range(0, gridSize).flatMap { idx =>
+        val builder = builders(idx)
+        if (builder.size > 0) {
+          val srcBlockId = idx % numSrc
+          val dstBlockId = idx / numSrc
+          Iterator.single(((srcBlockId, dstBlockId), builder.build()))
+        } else Iterator.empty
+      }
+      spilled ++ tail
+    }.aggregateByKey(new RatingBlockBuilder, numPartitions = gridSize)(
+      seqOp = (builder, block) => builder.merge(block),
+      combOp = (b1, b2) => b1.merge(b2.build())
+    ).mapValues(_.build())
+  }
+
+  /** Builds the CSR in-blocks and out-block routing tables for one side.
+    * Reference: `ALS.py:268-383`.
+    */
+  def makeBlocks(
+      ratingBlocks: RDD[((Int, Int), RatingBlock)],
+      srcPart: HashPartitioner,
+      dstPart: HashPartitioner,
+      storageLevel: StorageLevel): (RDD[(Int, InBlock)], OutBlocks) = {
+
+    val numDstBlocks = dstPart.numPartitions
+
+    // per tile: dedup+sort dst ids, rewrite dst ids as local indices so the
+    // shuffle ships small ints, not raw ids (ALS.py:276-304)
+    val keyed = ratingBlocks.map { case ((srcBlockId, dstBlockId), block) =>
+      val sz = block.size
+      val uniq = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < sz) { uniq.add(block.dstIds(i)); i += 1 }
+      val sortedDstIds = new Array[Long](uniq.size)
+      val toLocal = new java.util.HashMap[java.lang.Long, Integer](uniq.size * 2)
+      val it = uniq.iterator()
+      i = 0
+      while (it.hasNext) {
+        val id = it.next()
+        sortedDstIds(i) = id
+        toLocal.put(id, i)
+        i += 1
+      }
+      val dstLocalIndices = new Array[Int](sz)
+      i = 0
+      while (i < sz) { dstLocalIndices(i) = toLocal.get(block.dstIds(i)); i += 1 }
+      (srcBlockId, (dstBlockId, block.srcIds, dstLocalIndices, block.ratings))
+    }
+
+    val inBlocks = keyed
+      .groupByKey(new HashPartitioner(srcPart.numPartitions))
+      .mapValues { tiles =>
+        val encoder = new LocalIndexEncoder(numDstBlocks)
+        val builder = new UncompressedInBlockBuilder(encoder)
+        tiles.foreach { case (dstBlockId, srcIds, dstLocalIndices, ratings) =>
+          builder.add(dstBlockId, srcIds, dstLocalIndices, ratings)
+        }
+        builder.build().compress()
+      }
+      .persist(storageLevel)
+
+    // routing table: for each dst block, which local rows of this block are
+    // referenced there (ALS.py:331-361)
+    val outBlocks = inBlocks.mapValues { inBlock =>
+      val encoder = new LocalIndexEncoder(numDstBlocks)
+      val activeIds = Array.fill(numDstBlocks)(ArrayBuilder.make[Int])
+      val seen = new Array[Boolean](numDstBlocks)
+      val n = inBlock.srcIds.length
+      var i = 0
+      while (i < n) {
+        java.util.Arrays.fill(seen, false)
+        var j = inBlock.dstPtrs(i)
+        val end = inBlock.dstPtrs(i + 1)
+        while (j < end) {
+          val blockId = encoder.blockId(inBlock.dstEncodedIndices(j))
+          if (!seen(blockId)) {
+            activeIds(blockId) += i
+            seen(blockId) = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      activeIds.map(_.result())
+    }.persist(storageLevel)
+
+    (inBlocks, outBlocks)
+  }
+
+  /** Seeded per-block factor initialization: uniform(0,1) entries normalized
+    * to unit L2 norm. The reference normalizes by the squared norm
+    * (`ALS.py:402-404`) — a documented deviation from MLlib that shrinks
+    * initial factors; we follow the L2 convention (SURVEY.md §2.4 M1).
+    * Per-block seeding (`seed + blockId`, `ALS.py:399`) keeps the result
+    * deterministic and independent of partition placement.
+    */
+  def initialize(inBlocks: RDD[(Int, InBlock)], rank: Int, seed: Long): FactorBlocks = {
+    inBlocks.mapPartitions({ iter =>
+      iter.map { case (blockId, inBlock) =>
+        val rng = new java.util.Random(seed + blockId)
+        val factors = Array.tabulate(inBlock.srcIds.length) { _ =>
+          val v = new Array[Float](rank)
+          var i = 0
+          var sumSq = 0.0
+          while (i < rank) {
+            val x = rng.nextFloat()
+            v(i) = x
+            sumSq += x.toDouble * x
+            i += 1
+          }
+          val nrm = math.sqrt(sumSq).toFloat
+          i = 0
+          while (i < rank) { v(i) /= nrm; i += 1 }
+          v
+        }
+        (blockId, factors)
+      }
+    }, preservesPartitioning = true)
+  }
+
+  /** One ALS half-step: ships the src-side factors to the dst blocks that
+    * need them (via the out-block routing tables) and solves every dst row's
+    * regularized normal equations. Reference: `ALS.py:421-560`.
+    *
+    * Shuffle audit: the `join`s on both ends are narrow (all operands share
+    * the block HashPartitioner); the only wide edge is the factor-message
+    * `groupByKey`, whose payload is already minimized by the routing tables.
+    * No combiner is wanted there — the per-(dstBlock, srcBlock) messages are
+    * disjoint (`ALS.py:541-544`).
+    */
+  def computeFactors(
+      srcFactorBlocks: FactorBlocks,
+      srcOutBlocks: OutBlocks,
+      dstInBlocks: RDD[(Int, InBlock)],
+      rank: Int,
+      regParam: Double,
+      srcEncoder: LocalIndexEncoder,
+      implicitPrefs: Boolean,
+      alpha: Double,
+      solver: LeastSquaresNESolver): FactorBlocks = {
+
+    val numSrcBlocks = srcFactorBlocks.partitions.length
+    val ytyOpt: Option[NormalEquation] =
+      if (implicitPrefs) Some(computeYtY(srcFactorBlocks, rank)) else None
+
+    val srcOut = srcOutBlocks.join(srcFactorBlocks).flatMap {
+      case (srcBlockId, (outBlock, factors)) =>
+        outBlock.iterator.zipWithIndex.map { case (activeIndices, dstBlockId) =>
+          val shipped = new Array[Array[Float]](activeIndices.length)
+          var i = 0
+          while (i < activeIndices.length) {
+            shipped(i) = factors(activeIndices(i))
+            i += 1
+          }
+          (dstBlockId, (srcBlockId, shipped))
+        }
+    }
+
+    val merged = srcOut.groupByKey(new HashPartitioner(dstInBlocks.partitions.length))
+
+    dstInBlocks.join(merged).mapValues { case (inBlock, srcFactorMsgs) =>
+      val sortedSrcFactors = new Array[Array[Array[Float]]](numSrcBlocks)
+      srcFactorMsgs.foreach { case (srcBlockId, factors) =>
+        sortedSrcFactors(srcBlockId) = factors
+      }
+      val n = inBlock.srcIds.length
+      val dstFactors = new Array[Array[Float]](n)
+      val ls = new NormalEquation(rank)
+      var j = 0
+      while (j < n) {
+        ls.reset()
+        ytyOpt.foreach(ls.merge)
+        var numExplicits = 0
+        var i = inBlock.dstPtrs(j)
+        val end = inBlock.dstPtrs(j + 1)
+        while (i < end) {
+          val encoded = inBlock.dstEncodedIndices(i)
+          val blockId = srcEncoder.blockId(encoded)
+          val localIndex = srcEncoder.localIndex(encoded)
+          val srcFactor = sortedSrcFactors(blockId)(localIndex)
+          val rating = inBlock.ratings(i)
+          if (implicitPrefs) {
+            // Hu-Koren-Volinsky confidence weighting (ALS.py:511-515):
+            // c1 = α|r|; preference 1 with weight 1+c1 when r > 0
+            val c1 = alpha * math.abs(rating)
+            if (rating > 0.0f) numExplicits += 1
+            ls.add(srcFactor, if (rating > 0.0f) 1.0 + c1 else 0.0, c1)
+          } else {
+            ls.add(srcFactor, rating)
+            numExplicits += 1
+          }
+          i += 1
+        }
+        // ALS-WR weighted regularization: λ · (#observations for this row)
+        dstFactors(j) = solver.solve(ls, numExplicits * regParam)
+        j += 1
+      }
+      dstFactors
+    }
+  }
+
+  /** Global Gramian YᵀY of all factors for the implicit path. The
+    * reference's version is broken (Python tuple-unpack lambdas + a
+    * generator seqOp, `ALS.py:562-578`); this is the straightforward
+    * `treeAggregate` it intended.
+    */
+  def computeYtY(factorBlocks: FactorBlocks, rank: Int): NormalEquation = {
+    factorBlocks.values.treeAggregate(new NormalEquation(rank))(
+      seqOp = (ne, factors) => {
+        var i = 0
+        while (i < factors.length) { ne.add(factors(i), 0.0); i += 1 }
+        ne
+      },
+      combOp = (ne1, ne2) => ne1.merge(ne2)
+    )
+  }
+}

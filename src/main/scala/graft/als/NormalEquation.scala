@@ -1,0 +1,285 @@
+package graft.als
+
+/** Normal-equation accumulator for one least-squares subproblem.
+  *
+  * Accumulates `AᵀA` (as a packed upper-triangular array of k(k+1)/2
+  * doubles, row-major over the upper triangle: (i,j) with j >= i at
+  * position i*k - i*(i-1)/2 + (j - i)) and `Aᵀb` (dense length-k).
+  *
+  * Behavior matched against the reference's `Solver.py:18-63`
+  * (`NormalEquation.add` = rank-1 `dspr` update + `daxpy`, `merge` = two
+  * vector adds, `reset` = zero-fill). Implemented as plain Scala loops over
+  * primitive arrays — at the ranks ALS uses (8-128) the JIT vectorizes these
+  * and there is no BLAS-call overhead per rating.
+  */
+final class NormalEquation(val k: Int) extends Serializable {
+  require(k > 0, s"rank must be positive, got $k")
+  val triK: Int = k * (k + 1) / 2
+  /** packed upper-triangular Gramian, row-major upper layout */
+  val ata: Array[Double] = new Array[Double](triK)
+  /** Aᵀb */
+  val atb: Array[Double] = new Array[Double](k)
+
+  /** Adds an observation (a, b) with confidence weight c:
+    * `ata += c * a aᵀ`, `atb += b * a`. Reference: `Solver.py:31-48`.
+    */
+  def add(a: Array[Float], b: Double, c: Double = 1.0): this.type = {
+    require(c >= 0.0, s"confidence must be nonnegative, got $c")
+    require(a.length == k, s"dimension mismatch: ${a.length} != $k")
+    var i = 0
+    var pos = 0
+    while (i < k) {
+      val ci = c * a(i)
+      var j = i
+      while (j < k) {
+        ata(pos) += ci * a(j)
+        pos += 1
+        j += 1
+      }
+      i += 1
+    }
+    if (b != 0.0) {
+      var i2 = 0
+      while (i2 < k) { atb(i2) += b * a(i2); i2 += 1 }
+    }
+    this
+  }
+
+  /** Merges another accumulator of the same rank. Reference: `Solver.py:50-59`. */
+  def merge(other: NormalEquation): this.type = {
+    require(other.k == k, s"rank mismatch: ${other.k} != $k")
+    var i = 0
+    while (i < triK) { ata(i) += other.ata(i); i += 1 }
+    i = 0
+    while (i < k) { atb(i) += other.atb(i); i += 1 }
+    this
+  }
+
+  /** Zero-fills both accumulators. Reference: `Solver.py:61-63`. */
+  def reset(): Unit = {
+    java.util.Arrays.fill(ata, 0.0)
+    java.util.Arrays.fill(atb, 0.0)
+  }
+}
+
+/** Strategy interface for solving one accumulated normal equation.
+  * Reference: `Solver.py:69-75`. Implementations must reset `ne` on return.
+  */
+trait LeastSquaresNESolver extends Serializable {
+  /** Solves `(AᵀA + λI) x = Aᵀb` and resets `ne`. */
+  def solve(ne: NormalEquation, lambda: Double): Array[Float]
+}
+
+/** Cholesky solve of the regularized normal equations.
+  *
+  * Unlike the reference (`Solver.py:118-153`), which silently returns `Aᵀb`
+  * when the matrix is not positive definite, this fails fast — with λ > 0 the
+  * regularized Gramian is PD, so a failure indicates NaN/Inf input and must
+  * not be masked.
+  */
+final class CholeskySolver extends LeastSquaresNESolver {
+
+  override def solve(ne: NormalEquation, lambda: Double): Array[Float] = {
+    val k = ne.k
+    // dense symmetric matrix from packed upper + λ on the diagonal
+    // (reference: fill_ata, Solver.py:155-166)
+    val a = new Array[Double](k * k)
+    var pos = 0
+    var i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) {
+        val v = ne.ata(pos)
+        a(i * k + j) = v
+        a(j * k + i) = v
+        pos += 1
+        j += 1
+      }
+      a(i * k + i) += lambda
+      i += 1
+    }
+    val x = CholeskySolver.solveInPlace(a, ne.atb.clone(), k)
+    ne.reset()
+    val out = new Array[Float](k)
+    i = 0
+    while (i < k) { out(i) = x(i).toFloat; i += 1 }
+    out
+  }
+}
+
+object CholeskySolver {
+  /** In-place Cholesky factorization (lower) + forward/back substitution.
+    * O(k³/6); k is the ALS rank so this is microseconds.
+    */
+  private[als] def solveInPlace(a: Array[Double], b: Array[Double], k: Int): Array[Double] = {
+    // factor: a = L Lᵀ, storing L in the lower triangle of `a`
+    var j = 0
+    while (j < k) {
+      var s = a(j * k + j)
+      var p = 0
+      while (p < j) { val l = a(j * k + p); s -= l * l; p += 1 }
+      if (s <= 0.0 || s.isNaN)
+        throw new ArithmeticException(
+          s"Cholesky failed at pivot $j (value $s): Gramian not positive definite; " +
+            "input factors likely contain NaN/Inf")
+      val ljj = math.sqrt(s)
+      a(j * k + j) = ljj
+      var i = j + 1
+      while (i < k) {
+        var t = a(i * k + j)
+        var q = 0
+        while (q < j) { t -= a(i * k + q) * a(j * k + q); q += 1 }
+        a(i * k + j) = t / ljj
+        i += 1
+      }
+      j += 1
+    }
+    // forward solve L y = b
+    var i = 0
+    while (i < k) {
+      var t = b(i)
+      var q = 0
+      while (q < i) { t -= a(i * k + q) * b(q); q += 1 }
+      b(i) = t / a(i * k + i)
+      i += 1
+    }
+    // back solve Lᵀ x = y
+    i = k - 1
+    while (i >= 0) {
+      var t = b(i)
+      var q = i + 1
+      while (q < k) { t -= a(q * k + i) * b(q); q += 1 }
+      b(i) = t / a(i * k + i)
+      i -= 1
+    }
+    b
+  }
+}
+
+/** Nonnegative least squares via projected-gradient conjugate gradient
+  * (Polyak 1969), the same public algorithm family MLlib's NNLS uses.
+  * The reference delegates to `scipy.optimize.nnls` (`Solver.py:95-101`,
+  * with the bug that it returns scipy's `(x, rnorm)` tuple); on the JVM we
+  * solve `min ‖Ax − b‖² s.t. x ≥ 0` directly on the Gramian.
+  */
+final class NNLSSolver extends LeastSquaresNESolver {
+
+  override def solve(ne: NormalEquation, lambda: Double): Array[Float] = {
+    val k = ne.k
+    val ata = new Array[Double](k * k)
+    var pos = 0
+    var i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) {
+        val v = ne.ata(pos)
+        ata(i * k + j) = v
+        ata(j * k + i) = v
+        pos += 1
+        j += 1
+      }
+      ata(i * k + i) += lambda
+      i += 1
+    }
+    val x = NNLS.solve(ata, ne.atb.clone(), k)
+    ne.reset()
+    val out = new Array[Float](k)
+    i = 0
+    while (i < k) { out(i) = x(i).toFloat; i += 1 }
+    out
+  }
+}
+
+/** Projected-gradient CG solver for `min ½xᵀMx − qᵀx, x ≥ 0` with M PSD.
+  * Fresh implementation of the classical Polyak projected-CG scheme.
+  */
+object NNLS {
+
+  private def mulAdd(m: Array[Double], x: Array[Double], out: Array[Double], k: Int): Unit = {
+    var i = 0
+    while (i < k) {
+      var s = 0.0
+      var j = 0
+      val row = i * k
+      while (j < k) { s += m(row + j) * x(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+  }
+
+  private def dot(a: Array[Double], b: Array[Double], k: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < k) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Solves min ½ xᵀ ata x − atb·x subject to x ≥ 0. `ata` is k×k dense. */
+  def solve(ata: Array[Double], atb: Array[Double], k: Int): Array[Double] = {
+    val x = new Array[Double](k)      // iterate, starts at 0 (feasible)
+    val grad = new Array[Double](k)   // Mx − q
+    val dir = new Array[Double](k)    // search direction
+    val scratch = new Array[Double](k)
+    var lastNorm = 0.0
+    var iterno = 0
+    var lastWall = 0 // iterations since last CG restart
+    val maxIter = k * 3 + 20
+    while (iterno < maxIter) {
+      // grad = ata * x - atb
+      mulAdd(ata, x, grad, k)
+      var i = 0
+      while (i < k) { grad(i) -= atb(i); i += 1 }
+      // project gradient: zero where x_i == 0 and grad_i > 0 (moving further
+      // negative is blocked by the constraint)
+      var ngrad = 0.0
+      i = 0
+      while (i < k) {
+        val g = if (x(i) == 0.0 && grad(i) > 0.0) 0.0 else grad(i)
+        scratch(i) = g
+        ngrad += g * g
+        i += 1
+      }
+      if (ngrad < 1e-14) return x
+      // CG direction with restart when the active set changed materially
+      if (lastWall == 0 || lastNorm == 0.0) {
+        i = 0
+        while (i < k) { dir(i) = -scratch(i); i += 1 }
+      } else {
+        val beta = ngrad / lastNorm
+        i = 0
+        while (i < k) { dir(i) = -scratch(i) + beta * dir(i); i += 1 }
+      }
+      lastNorm = ngrad
+      // zero direction components pushing into the boundary
+      i = 0
+      while (i < k) {
+        if (x(i) == 0.0 && dir(i) < 0.0) dir(i) = 0.0
+        i += 1
+      }
+      // exact line step for the quadratic: α = −gᵀd / dᵀMd
+      mulAdd(ata, dir, scratch, k)
+      val dMd = dot(dir, scratch, k)
+      if (dMd <= 0.0) return x
+      var alpha = -dot(grad, dir, k) / dMd
+      if (alpha <= 0.0) return x
+      // clip α at the first boundary crossing; a clip deactivates CG memory
+      var clipped = false
+      i = 0
+      while (i < k) {
+        if (dir(i) < 0.0) {
+          val bound = -x(i) / dir(i)
+          if (bound < alpha) { alpha = bound; clipped = true }
+        }
+        i += 1
+      }
+      i = 0
+      while (i < k) {
+        x(i) = math.max(0.0, x(i) + alpha * dir(i))
+        i += 1
+      }
+      lastWall = if (clipped) 0 else lastWall + 1
+      if (lastWall > k) lastWall = 0 // periodic restart
+      iterno += 1
+    }
+    x
+  }
+}

@@ -1,0 +1,259 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a documents table, exact and near-duplicate.
+  *
+  * Scale posture (the 100 TB contract): every method is keyed — hash-group
+  * for exact, banded-LSH bucket joins for MinHash/SimHash/embeddings. There
+  * is NO all-pairs comparison anywhere: candidate generation always goes
+  * through a `groupBy` on a bucket key whose expected occupancy is O(dups),
+  * and verification runs only inside buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per duplicated text
+    * with the keeper (min id) and the duplicate count. A 256-bit hash makes
+    * collisions negligible at any corpus size; the groupBy is a map-side
+    * partial-agg shuffle on the hash only (text itself never shuffles).
+    */
+  def exactGroups(documents: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    documents
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keeper_id"))
+      .where(col("n_copies") > 1)
+
+  /** Exact-dedup keep-list: ids that survive (first id per distinct text). */
+  def exactKeepers(documents: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    documents
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"))
+      .select("keeper_id")
+
+  /** MinHash signatures as a (id, sig ARRAY<BIGINT>) DataFrame, computed in
+    * the scale-correct shape: explode shingles → `numHashes` parallel
+    * `min(xxhash64(shingle, seed))` aggregates → array.
+    *
+    * Why not `transform(sequence(...), seed -> array_min(...))` over a
+    * shingles array column: higher-order functions are interpreted (outside
+    * whole-stage codegen) and CollapseProject re-inlines the shingle
+    * expression into every one of the 64 lambdas — measured 39s vs ~2s on
+    * the 500-doc fixture. The explode+groupBy form is a codegen'd hash
+    * aggregate with map-side partial combine, exactly what scales to 100 TB.
+    */
+  def minhashSignatures(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val exploded = documents.select(
+      col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
+    val minCols = (1 to numHashes).map(seed => min(xxhash64(col("s"), lit(seed))).as(s"m$seed"))
+    exploded
+      .groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + banded LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → `numHashes`-wide minhash signature → split into
+    * `numBands` bands → explode one row per band → group on
+    * (band, band-signature-hash) buckets → intra-bucket id pairs →
+    * dedup pairs → verify with exact shingle-set Jaccard ≥ `threshold`.
+    *
+    * With b bands of r rows a pair of Jaccard s collides with probability
+    * 1−(1−s^r)^b — the standard S-curve; defaults (16 bands × 4 rows)
+    * target s ≈ 0.5+. Candidate volume is O(Σ bucket²) which stays tiny
+    * because true near-dups are rare; nothing is ever all-pairs.
+    */
+  def minhashNearDups(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+
+    val withSig = minhashSignatures(documents, textCol, idCol, numHashes, shingleSize)
+
+    // one row per (doc, band): bucket key = hash of that band's slice
+    val banded = withSig.select(
+      col("id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b => struct(
+            b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // the bucket self-join scans this twice; cache the (small) signature
+      // bands rather than recomputing the signature aggregation per side —
+      // the 100 TB version writes the signature table out once for the same
+      // reason
+      .persist()
+
+    // intra-bucket candidate pairs (id_a < id_b), deduped across bands
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // verify candidates with exact shingle-set Jaccard
+    val shingled = documents.select(
+      col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
+    candidates
+      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the document's tokens: per bit, sum +1/−1 votes of
+    * each token's xxhash64 bit, take the sign. Near-dups then differ in few
+    * bits (small Hamming distance).
+    */
+  def simhash(textCol: String) = {
+    val toks = TextOps.tokens(col(textCol))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(
+          sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (a, b) => a + b))
+    // fold sign bits back into one BIGINT
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) => struct(v.as("v"), i.as("i"))),
+      lit(0L),
+      (acc, s) => when(s.getField("v") > 0,
+        acc.bitwiseOR(call_function("shiftleft", lit(1L), s.getField("i")))).otherwise(acc))
+  }
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the simhash
+    * (a pair within Hamming distance 3 shares at least one intact quarter —
+    * pigeonhole), then verify `bit_count(xor) <= maxHammingDistance`.
+    */
+  def simhashNearDups(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHammingDistance: Int = 3): DataFrame = {
+    val sigs = documents.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(
+        transform(
+          sequence(lit(0), lit(3)),
+          q => struct(
+            q.as("q"),
+            call_function("shiftright", col("sig"), q * 16).bitwiseAND(0xFFFFL).as("piece"))))
+        .as("qp"))
+      .select(col("id"), col("sig"), col("qp.q").as("q"), col("qp.piece").as("piece"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.q") === col("y.q") &&
+          col("x.piece") === col("y.piece") &&
+          col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHammingDistance)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above a threshold, using
+    * shared-shingle candidate generation: explode (doc, shingle-hash),
+    * self-join on the shingle-hash (only docs sharing a shingle ever meet —
+    * the inverted-index trick), count shared shingles per pair, then
+    * Jaccard = shared / (|a| + |b| − shared). No LSH approximation; still
+    * never all-pairs.
+    */
+  def ngramJaccardPairs(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = documents.select(
+      col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_hash"))
+    val shared = inverted.as("x")
+      .join(inverted.as("y"),
+        col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH: bucket on
+    * the sign-bit signature of `numPlanes` deterministic pseudo-random
+    * hyperplanes, then verify exact cosine ≥ threshold inside buckets.
+    * Multi-probe across `numTables` independent sign prefixes keeps recall
+    * high without widening buckets.
+    */
+  def embeddingNearDups(
+      embeddings: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dim: Int = 64,
+      threshold: Double = 0.95,
+      numPlanes: Int = 12,
+      numTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val sigs = Similarity.withHyperplaneSignatures(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "v", dim, numPlanes, numTables, seed)
+    val banded = sigs.select(col("id"), col("v"), explode(col("sigs")).as("ts"))
+      .select(col("id"), col("v"), col("ts.table").as("t"), col("ts.sig").as("sig"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.t") === col("y.t") &&
+          col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("v_a"), col("y.v").as("v_b"))
+      .distinct()
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Keep-list under near-dedup: drops every doc that has a near-dup with a
+    * smaller id (connected via the pairs produced by `minhashNearDups`).
+    */
+  def nearDedupKeepers(documents: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    documents.join(
+      pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+}

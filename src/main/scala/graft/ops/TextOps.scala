@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data-pipeline use over the `documents`
+  * table: tokenization/counting, quality scoring, language identification,
+  * and document fingerprinting.
+  *
+  * All operators are pure Spark SQL builtin expressions (no UDFs) so they
+  * stay inside whole-stage codegen and scale linearly — each is a narrow map
+  * over the documents scan; only the explicitly-aggregating entry points
+  * shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. Also computable as pure char arithmetic (see
+    * `tokenCountArith`) for engines without array functions.
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Token count via character arithmetic only: #spaces + 1. Useful as the
+    * cross-engine-deterministic form (identical in any SQL dialect).
+    */
+  def tokenCountArith(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", ""))) + lit(1)
+
+  /** BPE-ish subword count estimate: words are split on transitions and long
+    * words cost extra tokens (≈ len/4 like common BPE vocabularies).
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + greatest(lit(1L), ceil(length(w).cast("double") / 4.0).cast("long")))
+
+  private val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Fraction of tokens that are stopwords, in DOUBLE. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, w => w.isInCollection(stopwords))
+    size(stops).cast("double") / size(toks).cast("double")
+  }
+
+  /** Mean token length in DOUBLE (single IEEE division). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long")).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Punctuation-character ratio (over total chars), in DOUBLE. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(translate(text, ".,;:!?'\"()-", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
+    * extreme punctuation and stopword-free (keyword-stuffed) text. A
+    * heuristic scorer of the kind used for pretraining-data filtering.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 50.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lengthScore * 0.5 + punctScore * 0.25 + stopScore * 0.25), 6)
+  }
+
+  /** Per-language marker-word profiles for the n-gram/keyword language-ID
+    * heuristic. Deterministic, dictionary-free, executor-local.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to", "a", "in", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Heuristic language ID: the language whose marker set overlaps the
+    * document's token set the most (ties broken by fixed language order,
+    * "und" when nothing matches).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(
+        size(array_intersect(toks, array(markers.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = aggregate(
+      array(scored: _*),
+      struct(lit(-1).as("score"), lit("und").as("lang")),
+      (acc, s) => when(s.getField("score") > acc.getField("score"), s).otherwise(acc))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the full text, mod 1e9+7:
+    * `h = (h*31 + code(char)) mod p`, left-to-right — deterministic and
+    * expressible identically in any engine with a fold.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
+
+  /** Word n-gram shingles (default 3) for MinHash/Jaccard dedup. Documents
+    * shorter than n words contribute their full text as one shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(text)).otherwise(
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Full per-document analysis projection over a documents DataFrame. */
+  def analyze(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    documents
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpe", bpeTokenEstimate(t))
+      .withColumn("avg_token_len", avgTokenLen(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,657 @@
+package graft.queries
+
+import graft.Tables
+import graft.als.{GraftALS, GraftALSModel}
+import graft.functions.VectorFunctions
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The verifiable query surface: every operator family from SURVEY.md §2
+  * plus the LLM-data-pipeline extensions, each as a (Spark plan, optional
+  * DuckDB oracle SQL) pair.
+  *
+  * Determinism conventions (the driver hash-compares a parquet dump of the
+  * Spark result against DuckDB's result for the same SQL):
+  *   - output columns aliased identically on both sides;
+  *   - every money/double SUM computed in DECIMAL (exact, order-independent)
+  *     and only then cast to DOUBLE; averages as one IEEE division of two
+  *     exact values;
+  *   - every result ORDER BY a unique key on both sides;
+  *   - integer-ish outputs cast to BIGINT on both sides (Spark `size()` is
+  *     INT, DuckDB `len()` is BIGINT — never compare those raw).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  // ------------------------------------------------------------------
+  // Relational surface (scans, filters, joins, aggs, windows, set ops)
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: scan + filter + hash aggregate.
+    * Exercises S1 (parquet scan with pushdown), A-family aggregation.
+    */
+  val q01PricingSummary: QueryDef = QueryDef.withOracle(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .cast("double").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Equi-join + aggregate: orders per market segment (J4-family join). */
+  val q02SegmentSales: QueryDef = QueryDef.withOracle(
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_totalprice"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Multi-way dimension join chain up the region snowflake; the small dims
+    * broadcast (customer/nation/region ≪ orders).
+    */
+  val q03RegionRevenue: QueryDef = QueryDef.withOracle(
+    """SELECT r_name,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("r_name")
+  }
+
+  /** Selective filter + projection — the predicate/column-pushdown probe. */
+  val q04ShipdateFilter: QueryDef = QueryDef.withOracle(
+    """SELECT l_orderkey, l_linenumber, l_partkey, CAST(l_quantity AS DOUBLE) AS quantity
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_quantity >= 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_quantity") >= 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity").cast("double").as("quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Global top-k: total-order sort + limit (the engine's TopK operator). */
+  val q05TopkOrders: QueryDef = QueryDef.withOracle(
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").cast("double"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Distinct aggregation over two keys in one pass. */
+  val q06DistinctCounts: QueryDef = QueryDef.withOracle(
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Ranking window function: top-3 orders per customer. */
+  val q07WindowTop3: QueryDef = QueryDef.withOracle(
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Semi join: customers having at least one big order. */
+  val q08SemiJoin: QueryDef = QueryDef.withOracle(
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").where(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Anti join: customers with no orders at all. */
+  val q09AntiJoin: QueryDef = QueryDef.withOracle(
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Set operation: referenced part keys absent from the large-size parts. */
+  val q10SetOps: QueryDef = QueryDef.withOracle(
+    """SELECT l_partkey FROM lineitem
+      |EXCEPT
+      |SELECT p_partkey FROM part WHERE p_size > 25
+      |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem").select("l_partkey")
+      .except(t(s, dir, "part").where(col("p_size") > 25)
+        .select(col("p_partkey").as("l_partkey")))
+      .orderBy("l_partkey")
+  }
+
+  /** Grouping sets / ROLLUP with NULL-safe sentinel labels. */
+  val q11Rollup: QueryDef = QueryDef.withOracle(
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** Events per type: counts, exact value sums, distinct users. */
+  val q12EventsByType: QueryDef = QueryDef.withOracle(
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Daily tumbling-window aggregation (batch form of the streaming agg):
+    * Spark's `window()` on a UTC session = DuckDB `date_trunc('day', ts)`.
+    */
+  val q13EventsDaily: QueryDef = QueryDef.withOracle(
+    """SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS window_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Documents per (lang, source): counts and exact char sums. */
+  val q14DocsByLang: QueryDef = QueryDef.withOracle(
+    """SELECT lang, source,
+      |  COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS sum_chars,
+      |  CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).cast("double").as("avg_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** Per-document token/char counting (whitespace tokenizer; counts as
+    * BIGINT on both sides).
+    */
+  val q15TokenStats: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id,
+      |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_computed
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars_computed"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-dedup hash groups over documents (md5 hex is identical in both
+    * engines): one row per distinct content with keeper id + copy count.
+    */
+  val q16DedupExact: QueryDef = QueryDef.withOracle(
+    """SELECT md5(text) AS content_hash,
+      |  COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keeper_id
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_id"))
+      .orderBy("content_hash")
+  }
+
+  /** Text-quality feature extraction, cross-engine form: stopword counts via
+    * list filtering, portable token arithmetic.
+    */
+  val q17QualityFeatures: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id,
+      |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(str_split(text, ' '),
+      |       x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS BIGINT)
+      |    AS n_stopwords
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(filter(toks, w => w.isInCollection(
+          Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for"))))
+          .cast("bigint").as("n_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  /** Scalar subquery: orders above the global mean price (mean computed
+    * exactly in DECIMAL, compared once in DOUBLE).
+    */
+  val q18AboveAvgOrders: QueryDef = QueryDef.withOracle(
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val avgRow = orders.agg(
+      (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .cast("double").as("a"))
+    orders.join(avgRow)
+      .where(col("o_totalprice") > col("a"))
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Conditional (pivot-style) aggregation per user. */
+  val q19UserTypePivot: QueryDef = QueryDef.withOracle(
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS view_value,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("purchase_value"),
+        sum(when(col("event_type") === "view", col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("view_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Fact-to-dim join + aggregate at the part grain. */
+  val q20BrandRevenue: QueryDef = QueryDef.withOracle(
+    """SELECT p_brand,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Min/max over timestamps surfaced as DATE (cross-engine-safe). */
+  val q21DateBounds: QueryDef = QueryDef.withOracle(
+    """SELECT l_returnflag,
+      |  strftime(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
+      |  strftime(CAST(MAX(l_shipdate) AS DATE), '%Y-%m-%d') AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Two-level aggregation: average order count per customer nation. */
+  val q22NestedAgg: QueryDef = QueryDef.withOracle(
+    """SELECT n_name,
+      |  COUNT(*) AS n_customers,
+      |  SUM(n_orders) AS total_orders,
+      |  CAST(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_orders_per_cust
+      |FROM (
+      |  SELECT c_custkey, c_nationkey, (
+      |    SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |  FROM customer) x
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val perCust = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_nationkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    perCust
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("total_orders"),
+        (sum(col("n_orders")).cast("double") / count(lit(1))).cast("double")
+          .as("avg_orders_per_cust"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------------------------------
+  // ALS surface (the reference's own capability)
+  // ------------------------------------------------------------------
+
+  /** Ratings derivation shared by all ALS queries: customer×part interaction
+    * strength from the fact table (`user = o_custkey, item = l_partkey,
+    * rating = Σ quantity`).
+    */
+  val alsRatings: QueryDef = QueryDef.withOracle(
+    """SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS rating
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) => ratingsDF(s, dir) }
+
+  private[graft] def ratingsDF(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("rating"))
+      .orderBy("user_id", "item_id")
+
+  /** One trained model per (sfDir) per JVM — the ALS queries share it. */
+  private val modelCache = scala.collection.concurrent.TrieMap.empty[String, GraftALSModel]
+
+  private[graft] def model(s: SparkSession, dir: String): GraftALSModel =
+    modelCache.getOrElseUpdate(dir, {
+      GraftALS(
+        rank = 8, maxIter = 5, regParam = 0.1,
+        numUserBlocks = 8, numItemBlocks = 8,
+        userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+        seed = 42L)
+        .fit(ratingsDF(s, dir))
+    })
+
+  /** Trained user factors (id, rank-wide float array) — not SQL-expressible;
+    * the driver records a rows-only check (S4/O1 operators).
+    */
+  val alsUserFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    model(s, dir).userFactors.orderBy("id")
+  }
+
+  val alsItemFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    model(s, dir).itemFactors.orderBy("id")
+  }
+
+  /** Scoring join-chain + dot product over the training set (O2). */
+  val alsPredictions: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    model(s, dir).transform(ratingsDF(s, dir)).orderBy("user_id", "item_id")
+  }
+
+  /** Training-set MSE (O3/A5) as a single-row result. */
+  val alsMse: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val m = model(s, dir)
+    val spark = s
+    import spark.implicits._
+    Seq(m.mse(ratingsDF(s, dir), "rating")).toDF("mse")
+  }
+
+  /** Top-3 item recommendations per user: blocked factor cross-score +
+    * ranking window (recommendForAllUsers analogue).
+    */
+  val alsRecommend: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val m = model(s, dir)
+    val uf = m.userFactors.select(col("id").as("user_id"), col("features").as("uf"))
+    val itf = m.itemFactors.select(col("id").as("item_id"), col("features").as("if"))
+    val w = Window.partitionBy("user_id").orderBy(desc("score"), asc("item_id"))
+    uf.crossJoin(broadcast(itf))
+      .withColumn("score", VectorFunctions.dot(col("uf"), col("if")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("user_id", "item_id", "rank", "score")
+      .orderBy("user_id", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // LLM-data-pipeline surface
+  // ------------------------------------------------------------------
+
+  /** MinHash-LSH near-dedup keep-list (always non-empty: survivors). */
+  val dedupMinhashKeepers: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+    Dedup.nearDedupKeepers(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
+  }
+
+  /** SimHash signatures per document (near-dup verification in tests). */
+  val dedupSimhashSignatures: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard similar pairs via the inverted-index candidate join. */
+  val dedupNgramJaccard: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.05)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs through hyperplane LSH buckets. */
+  val dedupEmbedding: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Full text-analysis projection (lang-ID, quality, fingerprint, …). */
+  val textAnalyze: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    TextOps.analyze(t(s, dir, "documents")).drop("text").orderBy("doc_id")
+  }
+
+  /** Exact cosine top-5 neighbors, oracle-checked against DuckDB's
+    * list_cosine_similarity. Scores intentionally excluded from the output
+    * (ranks are stable; raw float-sum order is not guaranteed identical).
+    */
+  val simTopkBrute: QueryDef = QueryDef.withOracle(
+    """SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) x
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-5 (the n² -free scale path). */
+  val simTopkLsh: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style probe-limited top-5. */
+  val simTopkIvf: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal: stub-decoded per-asset feature vectors (plumbing-real). */
+  val multimodalFeatures: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    Multimodal.extractFeatures(Multimodal.assetsFromDocuments(t(s, dir, "documents")))
+      .orderBy("asset_id")
+  }
+
+  /** Multimodal: video frame sampling row-explosion. */
+  val multimodalFrames: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    Multimodal.sampleFrames(Multimodal.assetsFromDocuments(t(s, dir, "documents")))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  /** Structured-Streaming windowed aggregation run to completion over the
+    * fixture files (real streaming machinery; emitted windows only — append
+    * mode emits a window once the watermark passes its end, so the trailing
+    * window stays in state; the oracle replicates that cutoff).
+    */
+  val streamEventsDaily: QueryDef = QueryDef.withOracle(
+    """SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS window_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch(date_trunc('day', ts)) + 86400
+      |      <= (SELECT epoch(max(ts)) - 3600 FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    EventsStream.runToBatch(s, dir, EventsStream.windowedAgg(_),
+      s"stream_events_daily_${math.abs(dir.hashCode)}")
+      .orderBy("window_start", "event_type")
+  }
+
+  // ------------------------------------------------------------------
+
+  /** Every registered query, in a stable order. */
+  val all: Seq[(String, QueryDef)] = Seq(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_segment_sales" -> q02SegmentSales,
+    "q03_region_revenue" -> q03RegionRevenue,
+    "q04_shipdate_filter" -> q04ShipdateFilter,
+    "q05_topk_orders" -> q05TopkOrders,
+    "q06_distinct_counts" -> q06DistinctCounts,
+    "q07_window_top3" -> q07WindowTop3,
+    "q08_semi_join" -> q08SemiJoin,
+    "q09_anti_join" -> q09AntiJoin,
+    "q10_setops" -> q10SetOps,
+    "q11_rollup" -> q11Rollup,
+    "q12_events_by_type" -> q12EventsByType,
+    "q13_events_daily" -> q13EventsDaily,
+    "q14_docs_by_lang" -> q14DocsByLang,
+    "q15_token_stats" -> q15TokenStats,
+    "q16_dedup_exact" -> q16DedupExact,
+    "q17_quality_features" -> q17QualityFeatures,
+    "q18_above_avg_orders" -> q18AboveAvgOrders,
+    "q19_user_type_pivot" -> q19UserTypePivot,
+    "q20_brand_revenue" -> q20BrandRevenue,
+    "q21_date_bounds" -> q21DateBounds,
+    "q22_nested_agg" -> q22NestedAgg,
+    "als_ratings" -> alsRatings,
+    "als_user_factors" -> alsUserFactors,
+    "als_item_factors" -> alsItemFactors,
+    "als_predictions" -> alsPredictions,
+    "als_mse" -> alsMse,
+    "als_recommend" -> alsRecommend,
+    "dedup_minhash_keepers" -> dedupMinhashKeepers,
+    "dedup_simhash_signatures" -> dedupSimhashSignatures,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding" -> dedupEmbedding,
+    "text_analyze" -> textAnalyze,
+    "sim_topk_brute" -> simTopkBrute,
+    "sim_topk_lsh" -> simTopkLsh,
+    "sim_topk_ivf" -> simTopkIvf,
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_frames" -> multimodalFrames,
+    "stream_events_daily" -> streamEventsDaily)
+}

@@ -1,0 +1,181 @@
+package graft.als
+
+import graft.SparkFixture
+import org.apache.spark.HashPartitioner
+import org.scalatest.funsuite.AnyFunSuite
+
+class ALSSpec extends AnyFunSuite with SparkFixture {
+
+  /** Synthetic low-rank ratings: U(20×rank) · Vᵀ(rank×15) sampled at 80%
+    * density (FIXTURES.md synthetic set).
+    */
+  private def lowRankRatings(rank: Int, seed: Int): Seq[Rating] = {
+    val rng = new scala.util.Random(seed)
+    val u = Array.fill(20, rank)(rng.nextDouble())
+    val v = Array.fill(15, rank)(rng.nextDouble())
+    for {
+      i <- 0 until 20
+      j <- 0 until 15
+      if rng.nextDouble() < 0.8
+    } yield Rating(i.toLong, j.toLong, (0 until rank).map(r => u(i)(r) * v(j)(r)).sum.toFloat)
+  }
+
+  private def trainRmse(ratings: Seq[Rating], cfg: BlockedALS.Config): Double = {
+    val rdd = spark.sparkContext.parallelize(ratings, 3)
+    val (uf, itf) = BlockedALS.train(rdd, cfg)
+    val uMap = uf.collect().toMap
+    val iMap = itf.collect().toMap
+    val se = ratings.map { r =>
+      val pred = uMap(r.user).zip(iMap(r.item)).map { case (a, b) => a.toDouble * b }.sum
+      math.pow(pred - r.rating, 2)
+    }
+    math.sqrt(se.sum / se.length)
+  }
+
+  test("explicit ALS recovers a synthetic low-rank matrix to near-zero RMSE") {
+    val ratings = lowRankRatings(rank = 3, seed = 13)
+    val rmse = trainRmse(ratings, BlockedALS.Config(
+      rank = 3, numUserBlocks = 2, numItemBlocks = 2,
+      maxIter = 15, regParam = 1e-3, seed = 5))
+    assert(rmse < 0.05, s"rmse=$rmse")
+  }
+
+  test("fixed seed gives identical factors; block count does not change the result") {
+    val ratings = lowRankRatings(rank = 2, seed = 29)
+    val rdd = spark.sparkContext.parallelize(ratings, 4)
+    def run(numBlocks: Int): (Map[Long, Seq[Float]], Map[Long, Seq[Float]]) = {
+      val (uf, itf) = BlockedALS.train(rdd, BlockedALS.Config(
+        rank = 2, numUserBlocks = numBlocks, numItemBlocks = numBlocks,
+        maxIter = 15, regParam = 0.01, seed = 17))
+      (uf.collect().toMap.map { case (k, v) => k -> v.toSeq },
+        itf.collect().toMap.map { case (k, v) => k -> v.toSeq })
+    }
+    val (u1, i1) = run(2)
+    val (u1b, i1b) = run(2)
+    assert(u1 == u1b && i1 == i1b, "same config must be bit-identical")
+    // Block invariance: init draws factors per block from seed+blockId, so
+    // raw factors differ across block counts AND are only identifiable up to
+    // an invertible transform — the PREDICTIONS U·Vᵀ must agree.
+    val (u5, i5) = run(5)
+    assert(u1.keySet == u5.keySet)
+    def pred(u: Map[Long, Seq[Float]], v: Map[Long, Seq[Float]])(r: Rating): Double =
+      u(r.user).zip(v(r.item)).map { case (a, b) => a.toDouble * b }.sum
+    val maxPredDiff = ratings.map { r =>
+      math.abs(pred(u1, i1)(r) - pred(u5, i5)(r))
+    }.max
+    assert(maxPredDiff < 0.05, s"maxPredDiff=$maxPredDiff (block-count sensitivity too high)")
+  }
+
+  test("implicit path converges and ranks positive interactions above unobserved") {
+    val rng = new scala.util.Random(3)
+    // two user groups × two item groups with strong co-preference
+    val ratings = for {
+      u <- 0 until 20
+      i <- 0 until 20
+      if (u % 2 == i % 2) && rng.nextDouble() < 0.7
+    } yield Rating(u.toLong, i.toLong, 1.0f + rng.nextInt(3))
+    val rdd = spark.sparkContext.parallelize(ratings, 2)
+    val (uf, itf) = BlockedALS.train(rdd, BlockedALS.Config(
+      rank = 4, numUserBlocks = 2, numItemBlocks = 2,
+      maxIter = 10, regParam = 0.01, implicitPrefs = true, alpha = 10.0, seed = 1))
+    val uMap = uf.collect().toMap
+    val iMap = itf.collect().toMap
+    def score(u: Long, i: Long): Double =
+      uMap(u).zip(iMap(i)).map { case (a, b) => a.toDouble * b }.sum
+    // mean preference score for matching parity should exceed non-matching
+    val matching = for (u <- 0L until 20L; i <- 0L until 20L if u % 2 == i % 2) yield score(u, i)
+    val nonMatching = for (u <- 0L until 20L; i <- 0L until 20L if u % 2 != i % 2) yield score(u, i)
+    assert(matching.sum / matching.size > nonMatching.sum / nonMatching.size + 0.3)
+  }
+
+  test("nonnegative flag yields nonnegative factors that still fit") {
+    val ratings = lowRankRatings(rank = 2, seed = 41) // U,V entries are positive
+    val rdd = spark.sparkContext.parallelize(ratings, 2)
+    val (uf, itf) = BlockedALS.train(rdd, BlockedALS.Config(
+      rank = 2, numUserBlocks = 2, numItemBlocks = 2,
+      maxIter = 10, regParam = 1e-3, nonnegative = true, seed = 23))
+    val uAll = uf.collect()
+    val iAll = itf.collect()
+    assert(uAll.forall(_._2.forall(_ >= 0f)), "user factors must be >= 0")
+    assert(iAll.forall(_._2.forall(_ >= 0f)), "item factors must be >= 0")
+    val uMap = uAll.toMap
+    val iMap = iAll.toMap
+    val se = ratings.map { r =>
+      val pred = uMap(r.user).zip(iMap(r.item)).map { case (a, b) => a.toDouble * b }.sum
+      math.pow(pred - r.rating, 2)
+    }
+    assert(math.sqrt(se.sum / se.length) < 0.1)
+  }
+
+  test("partitionRatings preserves every rating exactly once across tiles") {
+    val ratings = lowRankRatings(rank = 2, seed = 57)
+    val rdd = spark.sparkContext.parallelize(ratings, 3)
+    val blocks = BlockedALS.partitionRatings(rdd, new HashPartitioner(3), new HashPartitioner(2)).collect()
+    val flat = blocks.flatMap { case ((sb, db), blk) =>
+      blk.srcIds.indices.map { i =>
+        // every rating must sit in the tile its keys hash to
+        assert(new HashPartitioner(3).getPartition(blk.srcIds(i)) == sb)
+        assert(new HashPartitioner(2).getPartition(blk.dstIds(i)) == db)
+        (blk.srcIds(i), blk.dstIds(i), blk.ratings(i))
+      }
+    }
+    assert(flat.sorted.toSeq == ratings.map(r => (r.user, r.item, r.rating)).sorted)
+  }
+
+  test("spill threshold produces identical results for large single tiles") {
+    // >2048 ratings in ONE tile to cross the builder spill path
+    val ratings = for (i <- 0 until 3000) yield Rating(0L, 0L, i.toFloat)
+    val rdd = spark.sparkContext.parallelize(ratings, 2)
+    val blocks = BlockedALS.partitionRatings(rdd, new HashPartitioner(1), new HashPartitioner(1)).collect()
+    assert(blocks.length == 1)
+    assert(blocks.head._2.size == 3000)
+    assert(blocks.head._2.ratings.map(_.toDouble).sum == ratings.map(_.rating.toDouble).sum)
+  }
+
+  test("GraftALS fit/transform/mse end-to-end on a DataFrame") {
+    val ratings = lowRankRatings(rank = 3, seed = 71)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      ratings.map(r => org.apache.spark.sql.Row(r.user, r.item, r.rating.toDouble)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.DoubleType))))
+    val model = GraftALS(
+      rank = 3, maxIter = 12, regParam = 1e-3,
+      numUserBlocks = 2, numItemBlocks = 2,
+      userCol = "u", itemCol = "i", ratingCol = "r", seed = 3).fit(df)
+    assert(model.userFactors.count() == ratings.map(_.user).distinct.size)
+    assert(model.itemFactors.count() == ratings.map(_.item).distinct.size)
+    val scored = model.transform(df)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.count() == ratings.size)
+    val mse = model.mse(df, "r")
+    assert(mse < 0.01, s"mse=$mse")
+    // cold start: unseen user gets NaN under "nan", dropped under "drop"
+    val cold = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(999L, 0L, 1.0)).asJava, df.schema)
+    assert(model.transform(cold).collect().head.getAs[Float]("prediction").isNaN)
+    assert(model.copy(coldStartStrategy = "drop").transform(cold).count() == 0)
+  }
+
+  test("model save/load round-trip") {
+    val ratings = lowRankRatings(rank = 2, seed = 87)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      ratings.map(r => org.apache.spark.sql.Row(r.user, r.item, r.rating.toDouble)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("item", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rating", org.apache.spark.sql.types.DoubleType))))
+    val model = GraftALS(rank = 2, maxIter = 3, numUserBlocks = 2, numItemBlocks = 2, seed = 9).fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft-als-model").toString
+    model.save(dir)
+    val loaded = GraftALSModel.load(spark, dir)
+    assert(loaded.rank == 2)
+    assert(loaded.userFactors.count() == model.userFactors.count())
+    val a = model.mse(df)
+    val b = loaded.mse(df)
+    assert(math.abs(a - b) < 1e-12)
+  }
+}
