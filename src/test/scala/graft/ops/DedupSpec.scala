@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def docsDF(docs: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      docs.map { case (id, text) => Row(id, text, "en", "src", text.length.toLong) }.asJava,
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single day"
+
+  test("exact dedup groups duplicates under one keeper") {
+    val docs = docsDF(Seq(
+      1L -> base,
+      2L -> base, // exact dup of 1
+      3L -> "something entirely different here",
+      4L -> base, // exact dup of 1
+      5L -> "another unique document"))
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_copies") == 3)
+    assert(groups.head.getAs[Long]("keeper_id") == 1L)
+    val keepers = Dedup.exactKeepers(docs).collect().map(_.getLong(0)).sorted
+    assert(keepers.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("minhash LSH finds near-duplicates and only near-duplicates") {
+    val nearDup = base.replace("lazy", "sleepy") // one word of ~20 changed
+    val docs = docsDF(Seq(
+      1L -> base,
+      2L -> nearDup,
+      3L -> "completely unrelated text about spark query engines and parquet files",
+      4L -> "yet another unrelated document mentioning matrices and factorization"))
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("minhash verified jaccard equals the exact shingle jaccard") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val docs = docsDF(Seq(1L -> base, 2L -> nearDup))
+    val row = Dedup.minhashNearDups(docs, threshold = 0.1).collect().head
+    // reference jaccard computed in plain Scala
+    def sh(t: String): Set[Seq[String]] = t.split(" ").sliding(3).map(_.toSeq).toSet
+    val a = sh(base); val b = sh(nearDup)
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(row.getAs[Double]("jaccard") - expected) < 1e-12)
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs do not") {
+    val nearDup = base.replace("dog", "hound")
+    val docs = docsDF(Seq(
+      1L -> base,
+      2L -> nearDup,
+      3L -> "completely different content on an unrelated topic altogether with many words"))
+    val sigs = docs.select(Dedup.simhash("text")).collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0), sigs(1)) < hamming(sigs(0), sigs(2)),
+      "near-dup must be closer in hamming space than unrelated doc")
+    val pairs = Dedup.simhashNearDups(docs, maxHammingDistance = hamming(sigs(0), sigs(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard inverted-index pairs match exact jaccard") {
+    val nearDup = base.replace("quick", "rapid")
+    val docs = docsDF(Seq(
+      1L -> base, 2L -> nearDup,
+      3L -> "no shared trigrams at all in this one really"))
+    val rows = Dedup.ngramJaccardPairs(docs, threshold = 0.01).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    def sh(t: String): Set[Seq[String]] = t.split(" ").sliding(3).map(_.toSeq).toSet
+    val expected = sh(base).intersect(sh(nearDup)).size.toDouble / sh(base).union(sh(nearDup)).size
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - expected) < 1e-12)
+  }
+
+  test("embedding near-dup finds a perturbed copy via LSH buckets") {
+    val rng = new scala.util.Random(2)
+    val dim = 16
+    def vec(): Array[Float] = Array.fill(dim)(rng.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val v0near = v0.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)
+    val rows = (Seq((0L, v0), (1L, v0near)) ++ (2L until 40L).map(i => (i, vec())))
+      .map { case (id, v) => Row(id, v.toSeq, 0) }
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    val pairs = Dedup.embeddingNearDups(df, dim = dim, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in ${pairs.toSeq}")
+    assert(pairs.length < 5, "random vectors must not pass the 0.99 cosine bar")
+  }
+
+  test("near-dedup keepers drop the higher-id member of each pair") {
+    val docs = docsDF(Seq(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> "unique text entirely"))
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+    val kept = Dedup.nearDedupKeepers(docs, pairs).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  private val dim = 16
+
+  private def embDF(vs: Seq[(Long, Array[Float])]): DataFrame =
+    spark.createDataFrame(
+      vs.map { case (id, v) => Row(id, v.toSeq, 0) }.asJava,
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    d / (na * nb)
+  }
+
+  private def randomVecs(n: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+  }
+
+  test("brute-force top-k matches the plain-Scala oracle exactly") {
+    val vs = randomVecs(30, 3)
+    val df = embDF(vs)
+    val got = Similarity.bruteForceTopK(df, df, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val byId = vs.toMap
+    vs.foreach { case (q, qv) =>
+      val expected = vs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cosine(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(3).map(_._1)
+      expected.zipWithIndex.foreach { case (nid, i) =>
+        assert(got((q, i + 1)) == nid, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
+  test("LSH top-k achieves high top-1 recall vs brute force") {
+    // Random vectors have NO true near neighbors (top-1 cosine ~0.5-0.65 at
+    // dim 16), so the collision S-curve needs short signatures: with p =
+    // 1-θ/π per plane, 4 planes × 12 tables gives ≥90% expected recall at
+    // cos ≈ 0.5. Long signatures (8+ planes) are for true near-dup regimes.
+    val vs = randomVecs(100, 7)
+    val df = embDF(vs)
+    val brute = Similarity.bruteForceTopK(df, df, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val lsh = Similarity.lshTopK(df, k = 1, dim = dim, numPlanes = 4, numTables = 12)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = brute.count { case (q, n) => lsh.get(q).contains(n) }
+    assert(hits >= 70, s"top-1 recall $hits/100 below 70%")
+  }
+
+  test("IVF top-k with full probes equals brute force; fewer probes trade recall") {
+    val vs = randomVecs(60, 11)
+    val df = embDF(vs)
+    val brute = Similarity.bruteForceTopK(df, df, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val full = Similarity.ivfTopK(df, df, k = 1, nProbe = 8, numCells = 8, dim = dim)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // probing every cell = exact
+    assert(full == brute)
+    val partial = Similarity.ivfTopK(df, df, k = 1, nProbe = 2, numCells = 8, dim = dim)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = brute.count { case (q, n) => partial.get(q).contains(n) }
+    assert(hits >= 30, s"nProbe=2 recall $hits/60 suspiciously low")
+  }
+
+  test("results are deterministic across runs") {
+    val df = embDF(randomVecs(40, 13))
+    val a = Similarity.lshTopK(df, k = 3, dim = dim).collect().map(_.toString).sorted
+    val b = Similarity.lshTopK(df, k = 3, dim = dim).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+}

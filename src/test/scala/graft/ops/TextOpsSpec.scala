@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+class TextOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def one(text: String) =
+    spark.createDataFrame(
+      Seq(Row(1L, text)).asJava,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("token counting: array form and char-arithmetic form agree") {
+    val df = one("the quick brown fox")
+    val r = df.select(
+      TextOps.tokenCount(col("text")),
+      TextOps.tokenCountArith(col("text"))).collect().head
+    assert(r.getInt(0) == 4 && r.getInt(1) == 4)
+  }
+
+  test("BPE-ish estimate charges long words more than one token") {
+    val r = one("a internationalization x").select(TextOps.bpeTokenEstimate(col("text"))).collect().head
+    // a=1, internationalization(20 chars)=5, x=1
+    assert(r.getLong(0) == 7)
+  }
+
+  test("stopword ratio and punct ratio") {
+    val r = one("the cat is on mat")
+      .select(
+        TextOps.stopwordRatio(col("text")),
+        TextOps.punctRatio(col("text"))).collect().head
+    assert(math.abs(r.getDouble(0) - 3.0 / 5.0) < 1e-12) // the, is, on
+    assert(r.getDouble(1) == 0.0)
+    val p = one("wait, what?!").select(TextOps.punctRatio(col("text"))).collect().head
+    assert(math.abs(p.getDouble(0) - 3.0 / 12.0) < 1e-12) // , ? !
+  }
+
+  test("language id picks the language with most marker hits") {
+    val cases = Seq(
+      "the cat is in the house and it is warm" -> "en",
+      "el perro y la casa de que es una" -> "es",
+      "der hund und die katze ist von dem haus" -> "de",
+      "le chien et la maison est pour le chat" -> "fr",
+      "xyzzy qwerty asdf" -> "und")
+    cases.foreach { case (text, expected) =>
+      val got = one(text).select(TextOps.langId(col("text"))).collect().head.getString(0)
+      assert(got == expected, s"'$text' -> got $got, want $expected")
+    }
+  }
+
+  test("fingerprint equals the manual rolling hash") {
+    val text = "abc xyz"
+    val expected = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = one(text).select(TextOps.fingerprint(col("text"))).collect().head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("shingles produce n-1 overlapping word trigrams") {
+    val got = one("a b c d e").select(TextOps.shingles(col("text"), 3)).collect().head.getSeq[String](0)
+    assert(got == Seq("a b c", "b c d", "c d e"))
+    // shorter than n: whole text as single shingle
+    val short = one("a b").select(TextOps.shingles(col("text"), 3)).collect().head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("analyze projection exposes all feature columns on the fixture table") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextOps.analyze(docs)
+    val cols = out.columns.toSet
+    assert(Set("n_tokens", "n_tokens_bpe", "avg_token_len", "stopword_ratio",
+      "punct_ratio", "quality", "lang_pred", "fingerprint").subsetOf(cols))
+    val rows = out.limit(50).collect()
+    assert(rows.forall(_.getAs[Double]("quality") >= 0.0))
+    assert(rows.forall(r => r.getAs[Double]("quality") <= 1.0))
+  }
+}
