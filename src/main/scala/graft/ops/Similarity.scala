@@ -54,6 +54,14 @@ object Similarity {
     df.withColumn("sigs", array(sigCols: _*))
   }
 
+  /** cosine(a,b) from a precomputed-norm pair: one dot per pair instead of
+    * three (norms are per-ROW and must be computed before the pairwise join,
+    * not inside it — n+m norm evals instead of n·m).
+    */
+  private def cosineWithNorms(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    when(qn === 0.0 || cn === 0.0, 0.0)
+      .otherwise(VectorFunctions.dot(qv, cv) / (qn * cn))
+
   /** Exact cosine top-k neighbors for every query vector. `queries` and
     * `corpus` must expose (idCol, vecCol). Self-matches excluded. Ties
     * broken by neighbor id, so results are fully deterministic.
@@ -64,10 +72,12 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorFunctions.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorFunctions.norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -88,10 +98,11 @@ object Similarity {
       numTables: Int = 6,
       seed: Long = 42L): DataFrame = {
     val sigs = withHyperplaneSignatures(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorFunctions.norm(col(vecCol)).as("n")),
       "v", dim, numPlanes, numTables, seed)
-    val banded = sigs.select(col("id"), col("v"), explode(col("sigs")).as("ts"))
-      .select(col("id"), col("v"), col("ts.table").as("t"), col("ts.sig").as("sig"))
+    val banded = sigs.select(col("id"), col("v"), col("n"), explode(col("sigs")).as("ts"))
+      .select(col("id"), col("v"), col("n"), col("ts.table").as("t"), col("ts.sig").as("sig"))
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.t") === col("y.t") &&
@@ -99,9 +110,10 @@ object Similarity {
           col("x.id") =!= col("y.id"))
       .select(
         col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
-        col("x.v").as("qv"), col("y.v").as("cv"))
+        col("x.v").as("qv"), col("y.v").as("cv"),
+        col("x.n").as("qn"), col("y.n").as("cn"))
       .distinct()
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     candidates
       .withColumn("rank", row_number().over(w))
@@ -150,17 +162,19 @@ object Similarity {
           .otherwise(0))), 1, n).getField("cell")
 
     val assignedCorpus = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        VectorFunctions.norm(col(vecCol)).as("cn"))
       .withColumn("cell", topCells(col("cv"), 1).getItem(0))
 
     val probedQueries = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFunctions.norm(col(vecCol)).as("qn"))
       .withColumn("cell", explode(topCells(col("qv"), nProbe)))
 
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     probedQueries.join(assignedCorpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")

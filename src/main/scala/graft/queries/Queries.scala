@@ -497,20 +497,11 @@ object Queries {
     Seq(m.mse(ratingsDF(s, dir), "rating")).toDF("mse")
   }
 
-  /** Top-3 item recommendations per user: blocked factor cross-score +
-    * ranking window (recommendForAllUsers analogue).
+  /** Top-3 item recommendations per user via the blocked cross-score kernel
+    * (recommendForAllUsers analogue — no per-pair materialization).
     */
   val alsRecommend: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    val m = model(s, dir)
-    val uf = m.userFactors.select(col("id").as("user_id"), col("features").as("uf"))
-    val itf = m.itemFactors.select(col("id").as("item_id"), col("features").as("if"))
-    val w = Window.partitionBy("user_id").orderBy(desc("score"), asc("item_id"))
-    uf.crossJoin(broadcast(itf))
-      .withColumn("score", VectorFunctions.dot(col("uf"), col("if")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select("user_id", "item_id", "rank", "score")
-      .orderBy("user_id", "rank")
+    model(s, dir).recommendForAllUsers(3).orderBy("user_id", "rank")
   }
 
   // ------------------------------------------------------------------

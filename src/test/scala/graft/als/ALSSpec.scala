@@ -159,6 +159,37 @@ class ALSSpec extends AnyFunSuite with SparkFixture {
     assert(model.copy(coldStartStrategy = "drop").transform(cold).count() == 0)
   }
 
+  test("blocked recommendForAllUsers matches the crossJoin+window oracle") {
+    val ratings = lowRankRatings(rank = 3, seed = 99)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      ratings.map(r => org.apache.spark.sql.Row(r.user, r.item, r.rating.toDouble)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("item", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rating", org.apache.spark.sql.types.DoubleType))))
+    val model = GraftALS(rank = 3, maxIter = 5, numUserBlocks = 2, numItemBlocks = 2, seed = 31).fit(df)
+    // tiny blocks force the multi-block merge path
+    val got = model.recommendForAllUsers(4, blockSize = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+    // oracle: plain crossJoin + window ranking over the same factors
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val uf = model.userFactors.select(col("id").as("u"), col("features").as("ufeat"))
+    val itf = model.itemFactors.select(col("id").as("i"), col("features").as("ifeat"))
+    val w = Window.partitionBy("u").orderBy(desc("score"), asc("i"))
+    val oracle = uf.crossJoin(itf)
+      .withColumn("score", graft.functions.VectorFunctions.dot(col("ufeat"), col("ifeat")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 4)
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Int]("rk")) -> r.getAs[Long]("i"))
+      .toMap
+    assert(got == oracle)
+  }
+
   test("model save/load round-trip") {
     val ratings = lowRankRatings(rank = 2, seed = 87)
     import scala.jdk.CollectionConverters._
