@@ -182,36 +182,55 @@ object Dedup {
       .where(col("hamming") <= maxHammingDistance)
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs above a threshold, using
-    * shared-shingle candidate generation: explode (doc, shingle-hash),
-    * self-join on the shingle-hash (only docs sharing a shingle ever meet —
-    * the inverted-index trick), count shared shingles per pair, then
-    * Jaccard = shared / (|a| + |b| − shared). No LSH approximation; still
-    * never all-pairs.
+  /** Exact n-gram Jaccard similarity for pairs above a threshold, using
+    * shared-RARE-shingle candidate generation: explode (doc, shingle-hash),
+    * DROP shingles whose document frequency exceeds `maxDocFrequency`
+    * (stop-shingles carry no near-dup signal but each contributes O(df²)
+    * candidate pairs — on a low-entropy corpus the unfiltered inverted index
+    * degenerates to all-pairs), self-join the remaining postings, then
+    * verify candidates with EXACT Jaccard over the full shingle sets.
+    *
+    * Recall note: a pair sharing only stop-shingles is missed — at any
+    * reasonable cap such pairs are far below near-dup thresholds anyway.
     */
   def ngramJaccardPairs(
       documents: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleSize: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxDocFrequency: Int = 100,
+      minSharedShingles: Int = 2): DataFrame = {
     val sh = documents.select(
       col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_hash"))
-    val shared = inverted.as("x")
-      .join(inverted.as("y"),
+    // document-frequency cap: keep only discriminative shingles
+    val rare = inverted
+      .groupBy("sh_hash")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFrequency)
+      .select("sh_hash")
+    val postings = inverted.join(rare, "sh_hash")
+    // candidate = pair sharing >= minSharedShingles discriminative shingles:
+    // a codegen'd count-aggregate prunes the long random-collision tail
+    // BEFORE the (expensive) exact array-intersection verify
+    val candidates = postings.as("x")
+      .join(postings.as("y"),
         col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .agg(count(lit(1)).as("shared_rare"))
+      .where(col("shared_rare") >= minSharedShingles)
+      .select("id_a", "id_b")
+    // verify with exact Jaccard over the FULL shingle sets (the df cap only
+    // gates candidate generation, never the similarity value)
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -504,6 +504,37 @@ object Queries {
     model(s, dir).recommendForAllUsers(3).orderBy("user_id", "rank")
   }
 
+  /** Implicit-feedback training (M4/M7/M8): event-count confidences through
+    * the Hu-Koren-Volinsky path, NNLS-free. Factors are rows-only; the
+    * derivation itself is oracle-checked via als_implicit_ratings.
+    */
+  private val implicitModelCache = scala.collection.concurrent.TrieMap.empty[String, GraftALSModel]
+
+  val alsImplicitFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val m = implicitModelCache.getOrElseUpdate(dir, {
+      GraftALS(
+        rank = 8, maxIter = 5, regParam = 0.1, alpha = 10.0,
+        implicitPrefs = true,
+        numUserBlocks = 4, numItemBlocks = 4,
+        userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+        seed = 42L)
+        .fit(graft.sources.RatingsSource.implicitFromEvents(s, dir))
+    })
+    m.userFactors.orderBy("id")
+  }
+
+  val alsImplicitRatings: QueryDef = QueryDef.withOracle(
+    """WITH items AS (
+      |  SELECT event_type, CAST(DENSE_RANK() OVER (ORDER BY event_type) AS BIGINT) AS item_id
+      |  FROM (SELECT DISTINCT event_type FROM events))
+      |SELECT e.user_id, i.item_id, CAST(COUNT(*) AS DOUBLE) AS rating
+      |FROM events e JOIN items i ON e.event_type = i.event_type
+      |GROUP BY e.user_id, i.item_id
+      |ORDER BY e.user_id, i.item_id""".stripMargin) { (s, dir) =>
+    graft.sources.RatingsSource.implicitFromEvents(s, dir)
+      .orderBy("user_id", "item_id")
+  }
+
   // ------------------------------------------------------------------
   // LLM-data-pipeline surface
   // ------------------------------------------------------------------
@@ -522,9 +553,12 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** n-gram Jaccard similar pairs via the inverted-index candidate join. */
+  /** n-gram Jaccard similar pairs via the inverted-index candidate join
+    * (df-capped postings: this synthetic corpus is low-entropy, so common
+    * shingles are aggressively dropped from candidate generation).
+    */
   val dedupNgramJaccard: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.05)
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.05, maxDocFrequency = 20)
       .orderBy("id_a", "id_b")
   }
 
@@ -634,6 +668,8 @@ object Queries {
     "als_predictions" -> alsPredictions,
     "als_mse" -> alsMse,
     "als_recommend" -> alsRecommend,
+    "als_implicit_ratings" -> alsImplicitRatings,
+    "als_implicit_factors" -> alsImplicitFactors,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
