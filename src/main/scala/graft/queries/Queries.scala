@@ -438,6 +438,51 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** SQL-string interface over registered views — same engine, textual
+    * entry point (TPC-H Q3 shape). Demonstrates the spark.sql surface the
+    * reference lacks entirely (SURVEY.md §2.11).
+    */
+  val q23SqlInterface: QueryDef = QueryDef.withOracle(
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** CUBE grouping sets (all 4 combinations) with sentinel labels. */
+  val q24Cube: QueryDef = QueryDef.withOracle(
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
   // ------------------------------------------------------------------
   // ALS surface (the reference's own capability)
   // ------------------------------------------------------------------
@@ -548,9 +593,7 @@ object Queries {
 
   /** SimHash signatures per document (near-dup verification in tests). */
   val dedupSimhashSignatures: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash("text").as("simhash"))
-      .orderBy("doc_id")
+    Dedup.simhashSignatures(t(s, dir, "documents")).orderBy("id")
   }
 
   /** n-gram Jaccard similar pairs via the inverted-index candidate join
@@ -662,6 +705,8 @@ object Queries {
     "q20_brand_revenue" -> q20BrandRevenue,
     "q21_date_bounds" -> q21DateBounds,
     "q22_nested_agg" -> q22NestedAgg,
+    "q23_sql_interface" -> q23SqlInterface,
+    "q24_cube" -> q24Cube,
     "als_ratings" -> alsRatings,
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,

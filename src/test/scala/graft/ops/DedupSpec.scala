@@ -75,6 +75,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashSignatures (explode+agg) equals the simhash expression form") {
+    val docs = docsDF(Seq(
+      1L -> base,
+      2L -> base.replace("dog", "hound"),
+      3L -> "a few other words entirely"))
+    val expr = docs.select(org.apache.spark.sql.functions.col("doc_id"), Dedup.simhash("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr == agg)
+  }
+
   test("ngram jaccard inverted-index pairs match exact jaccard") {
     val nearDup = base.replace("quick", "rapid")
     val docs = docsDF(Seq(
