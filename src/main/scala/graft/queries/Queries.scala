@@ -483,6 +483,27 @@ object Queries {
       .orderBy("returnflag", "linestatus")
   }
 
+  /** Salted skew-join: result must be EXACTLY the plain equi-join (the
+    * oracle is the plain SQL join) while the physical plan spreads any hot
+    * key over `saltFactor` buckets.
+    */
+  val q25SkewSaltedJoin: QueryDef = QueryDef.withOracle(
+    """SELECT l_orderkey, l_linenumber, o_custkey,
+      |  CAST(l_quantity AS DOUBLE) AS quantity,
+      |  CAST(o_totalprice AS DOUBLE) AS totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    graft.ops.SkewJoin.saltedInnerJoin(
+      t(s, dir, "lineitem").withColumn("k", col("l_orderkey")),
+      t(s, dir, "orders").withColumn("k", col("o_orderkey")),
+      "k", saltFactor = 8)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("o_totalprice").cast("double").as("totalprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // ------------------------------------------------------------------
   // ALS surface (the reference's own capability)
   // ------------------------------------------------------------------
@@ -707,6 +728,7 @@ object Queries {
     "q22_nested_agg" -> q22NestedAgg,
     "q23_sql_interface" -> q23SqlInterface,
     "q24_cube" -> q24Cube,
+    "q25_skew_salted_join" -> q25SkewSaltedJoin,
     "als_ratings" -> alsRatings,
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,

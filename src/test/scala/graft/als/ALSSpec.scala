@@ -190,6 +190,27 @@ class ALSSpec extends AnyFunSuite with SparkFixture {
     assert(got == oracle)
   }
 
+  test("checkpointing cuts lineage on long explicit runs (M9/checkpointInterval)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val ratings = lowRankRatings(rank = 2, seed = 63)
+      val rdd = spark.sparkContext.parallelize(ratings, 2)
+      // 24 iterations with checkpoint every 5: without lineage cuts this DAG
+      // grows ~96 stages deep; with them the final factors' lineage stays
+      // bounded and checkpoint files exist on disk
+      val (uf, _) = BlockedALS.train(rdd, BlockedALS.Config(
+        rank = 2, numUserBlocks = 2, numItemBlocks = 2,
+        maxIter = 24, regParam = 0.01, checkpointInterval = 5, seed = 3))
+      assert(uf.count() > 0)
+      val ckptFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(ckptFiles > 0, "checkpoint dir must contain materialized rdd files")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null.asInstanceOf[String])
+    }
+  }
+
   test("model save/load round-trip") {
     val ratings = lowRankRatings(rank = 2, seed = 87)
     import scala.jdk.CollectionConverters._

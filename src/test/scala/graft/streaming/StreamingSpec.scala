@@ -58,4 +58,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() > 0)
     assert(out.where(col("rating").isNull).count() == 0)
   }
+
+  test("streamed ratings feed ALS end-to-end (stream -> accumulate -> train)") {
+    // the production pattern: streaming job lands incremental ratings; a
+    // periodic batch job aggregates the accumulated table and (re)trains
+    val streamed = EventsStream.runToBatch(
+      spark, sfDir, EventsStream.incrementalRatings(_), "spec_train_ratings")
+    val ratings = streamed
+      .groupBy("user_id", "item_id")
+      .agg(avg("rating").as("rating"))
+    val model = graft.als.GraftALS(
+      rank = 4, maxIter = 3, regParam = 0.1,
+      numUserBlocks = 2, numItemBlocks = 2,
+      userCol = "user_id", itemCol = "item_id", ratingCol = "rating", seed = 5)
+      .fit(ratings)
+    val scored = model.transform(ratings)
+    assert(scored.count() == ratings.count())
+    assert(scored.where(isnan(col("prediction"))).count() == 0)
+  }
 }
