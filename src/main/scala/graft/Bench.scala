@@ -46,6 +46,12 @@ object Bench {
       timed(name) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      // isolate queries: drop DataFrame caches left by bucketed operators
+      // and nudge the ContextCleaner (broadcast/shuffle cleanup is
+      // GC-driven; with a large heap nothing collects between queries and
+      // accumulated state slows later queries by an order of magnitude)
+      spark.catalog.clearCache()
+      System.gc()
     }
 
     // head-to-head ALS baseline: same ratings, same hyperparameters

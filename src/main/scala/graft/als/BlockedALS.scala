@@ -100,6 +100,8 @@ object BlockedALS {
       sc.getCheckpointDir.isDefined && cfg.checkpointInterval > 0 &&
         (iter + 1) % cfg.checkpointInterval == 0
 
+    var lastExplicitCache: Option[FactorBlocks] = None
+
     if (cfg.implicitPrefs) {
       // implicit path persists+materializes every generation (the YᵀY
       // aggregate is an action per half-step) — ALS.py:105-135
@@ -134,6 +136,9 @@ object BlockedALS {
         userFactors = computeFactors(itemFactors, itemOutBlocks, userInBlocks,
           cfg.rank, cfg.regParam, itemEncoder, implicitPrefs = false, cfg.alpha, solver)
       }
+      // the last checkpointed generation is an ancestor of the final model;
+      // safe to free only after the final factors materialize below — defer
+      lastExplicitCache = previousCachedItemFactors
     }
 
     // id ⋈ factor zip (ALS.py:158-179): attach raw ids (from the in-block
@@ -158,6 +163,7 @@ object BlockedALS {
     itemIdAndFactors.count()
     userFactors.unpersist()
     itemFactors.unpersist()
+    lastExplicitCache.foreach(_.unpersist())
     userInBlocks.unpersist()
     userOutBlocks.unpersist()
     itemInBlocks.unpersist()

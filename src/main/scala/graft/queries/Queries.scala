@@ -517,14 +517,13 @@ object Queries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS rating
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin) { (s, dir) => ratingsDF(s, dir) }
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) => ratingsDF(s, dir).orderBy("user_id", "item_id") }
 
+  /** Unordered — training consumers don't pay a global sort; the oracle
+    * query (als_ratings) adds its own ORDER BY.
+    */
   private[graft] def ratingsDF(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("rating"))
-      .orderBy("user_id", "item_id")
+    graft.sources.RatingsSource.fromLineitem(s, dir)
 
   /** One trained model per (sfDir) per JVM — the ALS queries share it. */
   private val modelCache = scala.collection.concurrent.TrieMap.empty[String, GraftALSModel]
