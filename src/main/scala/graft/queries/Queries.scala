@@ -176,14 +176,20 @@ object Queries {
       .orderBy("c_custkey")
   }
 
-  /** Anti join: customers with no orders at all. */
+  /** Anti join: customers with no large order (every customer has SOME
+    * order in the fixtures, so the filter keeps the result non-empty — an
+    * all-empty match would be weak evidence).
+    */
   val q09AntiJoin: QueryDef = QueryDef.withOracle(
     """SELECT c_custkey, c_name
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        t(s, dir, "orders").where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -504,6 +510,43 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** AS-OF join (point-in-time lookup): each event gets the latest
+    * at-or-before 'purchase' event of the same user. Spark lacks a native
+    * as-of join — composed from union + one window pass (see
+    * `graft/ops/AsofJoin.scala`); DuckDB's native ASOF JOIN is the oracle.
+    */
+  val q26AsofJoin: QueryDef = QueryDef.withOracle(
+    """WITH p AS (
+      |  SELECT user_id, ts,
+      |    arg_max(event_id, event_id) AS prev_purchase_id,
+      |    arg_max(value, event_id) AS prev_purchase_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id,
+      |  p.prev_purchase_id,
+      |  CAST(p.prev_purchase_value AS DOUBLE) AS prev_purchase_value
+      |FROM events e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val events = t(s, dir, "events")
+    val purchases = events.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(
+        max("event_id").as("prev_purchase_id"),
+        max_by(col("value"), col("event_id")).as("prev_purchase_value"))
+    graft.ops.AsofJoin.asofJoin(
+      events.select("event_id", "user_id", "ts"),
+      purchases,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      rightCols = Seq("prev_purchase_id", "prev_purchase_value"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("prev_purchase_id"),
+        col("prev_purchase_value").cast("double").as("prev_purchase_value"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------
   // ALS surface (the reference's own capability)
   // ------------------------------------------------------------------
@@ -728,6 +771,7 @@ object Queries {
     "q23_sql_interface" -> q23SqlInterface,
     "q24_cube" -> q24Cube,
     "q25_skew_salted_join" -> q25SkewSaltedJoin,
+    "q26_asof_join" -> q26AsofJoin,
     "als_ratings" -> alsRatings,
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,
