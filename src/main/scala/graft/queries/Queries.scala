@@ -547,6 +547,60 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Batch sessionization (gaps-and-islands): per-user sessions split at
+    * >30-minute gaps — lag + running sum of session-break markers, then one
+    * aggregate per session. The relational form of the streaming
+    * sessionizers (stream_sessions / EventsStream.sessionizeStateful).
+    */
+  val q27Sessionization: QueryDef = QueryDef.withOracle(
+    """WITH marked AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM marked)
+      |SELECT user_id, sess_id,
+      |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = t(s, dir, "events")
+      .withColumn("prev_sec", lag(col("ts").cast("double"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull ||
+          col("ts").cast("double") - col("prev_sec") > 1800, 1).otherwise(0))
+    marked
+      .withColumn("sess_id",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint"))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Custom-state streaming sessionization (flatMapGroupsWithState with
+    * event-time timeout): emits sessions closed by a gap; each user's
+    * trailing open session stays in state (rows-only — state semantics are
+    * not SQL-expressible; parity vs the batch islands form is asserted in
+    * StreamingSpec).
+    */
+  val streamSessions: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    EventsStream.runToBatch(s, dir, EventsStream.sessionizeStateful(_),
+      s"stream_sessions_${math.abs(dir.hashCode)}")
+      .orderBy("user_id", "session_start")
+  }
+
   // ------------------------------------------------------------------
   // ALS surface (the reference's own capability)
   // ------------------------------------------------------------------
@@ -772,6 +826,8 @@ object Queries {
     "q24_cube" -> q24Cube,
     "q25_skew_salted_join" -> q25SkewSaltedJoin,
     "q26_asof_join" -> q26AsofJoin,
+    "q27_sessionization" -> q27Sessionization,
+    "stream_sessions" -> streamSessions,
     "als_ratings" -> alsRatings,
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,

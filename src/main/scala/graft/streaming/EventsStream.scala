@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming ingest of the `events` table: watermarked windowed
   * aggregation and within-watermark dedup, plus an incremental-ratings
@@ -64,6 +64,83 @@ object EventsStream {
         col("user_id"),
         abs(xxhash64(col("event_type"))).as("item_id"),
         col("rating"))
+
+  /** Session windows via the built-in `session_window` (gap-merged event
+    * groups per user): the declarative sessionization path.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** One user's open session carried across micro-batches. */
+  case class OpenSession(startSec: Double, lastSec: Double, n: Long, sum: Double)
+
+  /** One emitted (closed) session. */
+  case class Session(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * imperative path for session logic the declarative `session_window`
+    * cannot express (per-session derived metrics, custom close rules).
+    *
+    * Per micro-batch, each user's new events are sorted and folded into the
+    * open-session state; sessions closed by a gap are emitted immediately
+    * and the trailing open session is kept in state with an event-time
+    * timeout (watermark past `gap` closes and emits it). State size is
+    * O(users), not O(events).
+    */
+  def sessionizeStateful(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fold(
+        key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(Session(key, s.startSec.toLong, s.n, s.sum))
+      }
+      val sorted = rows.toArray.sortBy(_._2.getTime)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var open = state.getOption
+      sorted.foreach { case (_, ts, value) =>
+        val tsec = ts.getTime / 1000.0
+        open match {
+          case Some(s) if tsec - s.lastSec <= gapSec =>
+            open = Some(OpenSession(s.startSec, tsec, s.n + 1, s.sum + value))
+          case Some(s) =>
+            out += Session(key, s.startSec.toLong, s.n, s.sum)
+            open = Some(OpenSession(tsec, tsec, 1L, value))
+          case None =>
+            open = Some(OpenSession(tsec, tsec, 1L, value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // close once the watermark passes lastSec + gap
+        state.setTimeoutTimestamp((s.lastSec * 1000).toLong + gapSec * 1000)
+      }
+      out.iterator
+    }
+
+    events
+      // the watermark column itself must flow INTO the stateful operator
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+      .toDF()
+  }
 
   /** Runs a streaming transform to completion over the fixture files with
     * `Trigger.AvailableNow` and returns the accumulated result as a batch

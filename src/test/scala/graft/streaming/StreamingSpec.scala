@@ -59,6 +59,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.where(col("rating").isNull).count() == 0)
   }
 
+  test("stateful sessionizer equals batch islands minus each user's open session") {
+    val streamed = EventsStream.runToBatch(
+      spark, sfDir, EventsStream.sessionizeStateful(_), "spec_sessions")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    // batch islands oracle (plain Scala, from the raw events)
+    val events = Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "cast(ts as double) as tsec", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // final watermark after the availableNow run: max event time - 1h delay
+    val watermarkSec = events.map(_._2).max - 3600.0
+    val expected = events.groupBy(_._1).flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Double, Double)]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._2 - cur.last._2 > 1800) {
+          sessions += cur.toSeq
+          cur = scala.collection.mutable.ArrayBuffer.empty
+        }
+        cur += e
+      }
+      // the trailing session is emitted too IF the final watermark passed
+      // its gap timeout; otherwise it stays open in state
+      if (cur.nonEmpty && cur.last._2 + 1800.0 <= watermarkSec) sessions += cur.toSeq
+      sessions.map { s =>
+        (user, s.head._2.toLong) -> (s.size.toLong, s.map(_._3).sum)
+      }
+    }.toMap
+
+    assert(streamed.keySet == expected.keySet,
+      s"session keys differ: streamed=${streamed.size} expected=${expected.size}")
+    streamed.foreach { case (k, (n, sum)) =>
+      assert(n == expected(k)._1, s"session $k count")
+      assert(math.abs(sum - expected(k)._2) < 1e-6, s"session $k sum")
+    }
+    assert(streamed.nonEmpty)
+  }
+
+  test("built-in session_window agrees with the stateful sessionizer on closed sessions") {
+    val stateful = EventsStream.runToBatch(
+      spark, sfDir, EventsStream.sessionizeStateful(_), "spec_sessions_sw_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val declarative = EventsStream.runToBatch(
+      spark, sfDir, EventsStream.sessionWindows(_), "spec_sessions_sw_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // session_window emits only watermark-closed sessions too; every session
+    // it emits must exist in the stateful output with the same event count
+    declarative.foreach { case (k, n) =>
+      assert(stateful.get(k).contains(n), s"session $k: declarative=$n stateful=${stateful.get(k)}")
+    }
+  }
+
   test("streamed ratings feed ALS end-to-end (stream -> accumulate -> train)") {
     // the production pattern: streaming job lands incremental ratings; a
     // periodic batch job aggregates the accumulated table and (re)trains
