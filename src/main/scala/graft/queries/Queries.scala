@@ -601,6 +601,33 @@ object Queries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Custom UDAF surface: bounded top-k aggregator (O(k) buffer, map-side
+    * merged) vs the full-sort window form as oracle — same answer, very
+    * different scaling on huge groups.
+    */
+  val q28TopkUdaf: QueryDef = QueryDef.withOracle(
+    """SELECT o_custkey, o_orderkey, rn,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKAggregator.topK(3)(
+        col("o_orderkey"), col("o_totalprice").cast("double")).as("top"))
+      .select(col("o_custkey"),
+        posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "pair")))
+      .select(
+        col("o_custkey"),
+        col("pair.ids").as("o_orderkey"),
+        (col("pos") + 1).cast("int").as("rn"),
+        col("pair.scores").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
   // ------------------------------------------------------------------
   // ALS surface (the reference's own capability)
   // ------------------------------------------------------------------
@@ -827,6 +854,7 @@ object Queries {
     "q25_skew_salted_join" -> q25SkewSaltedJoin,
     "q26_asof_join" -> q26AsofJoin,
     "q27_sessionization" -> q27Sessionization,
+    "q28_topk_udaf" -> q28TopkUdaf,
     "stream_sessions" -> streamSessions,
     "als_ratings" -> alsRatings,
     "als_user_factors" -> alsUserFactors,
