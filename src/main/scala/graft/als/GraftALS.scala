@@ -44,6 +44,9 @@ case class GraftALS(
       .na.drop()
       .rdd
       .map(r => Rating(r.getLong(0), r.getLong(1), r.getFloat(2)))
+    // fail with a clear message instead of an empty-block crash deep in the
+    // kernel (reference asserts the same up front, ALS.py:39-40)
+    require(!ratings.isEmpty(), "ratings input is empty after null-dropping — nothing to train on")
 
     val cfg = BlockedALS.Config(
       rank = rank,

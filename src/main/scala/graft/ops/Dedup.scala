@@ -279,21 +279,22 @@ object Dedup {
       numPlanes: Int = 12,
       numTables: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val sigs = Similarity.withHyperplaneSignatures(
-      embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-        VectorFunctions.norm(col(vecCol)).as("n")),
-      "v", dim, numPlanes, numTables, seed)
-    val banded = sigs.select(col("id"), col("v"), col("n"), explode(col("sigs")).as("ts"))
-      .select(col("id"), col("v"), col("n"), col("ts.table").as("t"), col("ts.sig").as("sig"))
-    banded.as("x")
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("n"))
+    val sigs = Similarity.withHyperplaneSignatures(base, "v", dim, numPlanes, numTables, seed)
+    // id-only bands: the pair-dedup exchange moves 16-byte rows, not vectors
+    val banded = sigs.select(col("id"), explode(col("sigs")).as("ts"))
+      .select(col("id"), col("ts.table").as("t"), col("ts.sig").as("sig"))
+    val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.t") === col("y.t") &&
           col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("v_a"), col("y.v").as("v_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
       .withColumn("cosine",
         when(col("n_a") === 0.0 || col("n_b") === 0.0, 0.0)
           .otherwise(VectorFunctions.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))

@@ -97,22 +97,23 @@ object Similarity {
       numPlanes: Int = 10,
       numTables: Int = 6,
       seed: Long = 42L): DataFrame = {
-    val sigs = withHyperplaneSignatures(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-        VectorFunctions.norm(col(vecCol)).as("n")),
-      "v", dim, numPlanes, numTables, seed)
-    val banded = sigs.select(col("id"), col("v"), col("n"), explode(col("sigs")).as("ts"))
-      .select(col("id"), col("v"), col("n"), col("ts.table").as("t"), col("ts.sig").as("sig"))
-    val candidates = banded.as("x")
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("n"))
+    val sigs = withHyperplaneSignatures(base, "v", dim, numPlanes, numTables, seed)
+    // bands carry ONLY ids — the dedup `distinct` then exchanges 16-byte
+    // rows, not 64-float vectors; vectors re-attach after dedup
+    val banded = sigs.select(col("id"), explode(col("sigs")).as("ts"))
+      .select(col("id"), col("ts.table").as("t"), col("ts.sig").as("sig"))
+    val candidatePairs = banded.as("x")
       .join(banded.as("y"),
         col("x.t") === col("y.t") &&
           col("x.sig") === col("y.sig") &&
           col("x.id") =!= col("y.id"))
-      .select(
-        col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
-        col("x.v").as("qv"), col("y.v").as("cv"),
-        col("x.n").as("qn"), col("y.n").as("cn"))
+      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"))
       .distinct()
+    val candidates = candidatePairs
+      .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")), "neighbor_id")
       .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     candidates

@@ -211,6 +211,18 @@ class ALSSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("empty ratings input fails fast with a clear message") {
+    import scala.jdk.CollectionConverters._
+    val empty = spark.createDataFrame(
+      Seq.empty[org.apache.spark.sql.Row].asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("item", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rating", org.apache.spark.sql.types.DoubleType))))
+    val e = intercept[IllegalArgumentException](GraftALS(rank = 2, maxIter = 1).fit(empty))
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("model save/load round-trip") {
     val ratings = lowRankRatings(rank = 2, seed = 87)
     import scala.jdk.CollectionConverters._
