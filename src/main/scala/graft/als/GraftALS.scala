@@ -215,6 +215,29 @@ case class GraftALSModel(
     }.toDF("user_id", "item_id", "rank", "score")
   }
 
+  /** Saves the factor tables BUCKETED by id into the session catalog
+    * (`<name>_user_factors` / `<name>_item_factors`). Repeated scoring joins
+    * against bucketed factor tables skip the factor-side shuffle AND its
+    * sort when the probe side is shuffled to match — the co-located-join
+    * layout for a model served at 100 TB probe volume.
+    */
+  def saveBucketed(name: String, numBuckets: Int = 8): Unit = {
+    userFactors.write
+      .bucketBy(numBuckets, "id").sortBy("id")
+      .mode("overwrite")
+      .saveAsTable(s"${name}_user_factors")
+    itemFactors.write
+      .bucketBy(numBuckets, "id").sortBy("id")
+      .mode("overwrite")
+      .saveAsTable(s"${name}_item_factors")
+  }
+
+  /** Loads a bucketed-saved model back as a scoring-ready model. */
+  def persistedBucketed(spark: SparkSession, name: String): GraftALSModel =
+    copy(
+      userFactors = spark.table(s"${name}_user_factors"),
+      itemFactors = spark.table(s"${name}_item_factors"))
+
   /** Persists both factor tables + metadata. */
   def save(path: String): Unit = {
     userFactors.write.mode("overwrite").parquet(s"$path/userFactors")

@@ -109,6 +109,21 @@ object TextOps {
       lit(0L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
 
+  /** Winnowing fingerprints (Schleimer et al.'s local document
+    * fingerprinting): hash the k-gram shingles, slide a window of `w`
+    * hashes, keep each window's minimum, dedup. Guarantees any shared run
+    * of ≥ w+k-1 tokens between two documents yields at least one shared
+    * fingerprint — the positional robustness plain MinHash lacks.
+    */
+  def winnowFingerprints(text: Column, shingleSize: Int = 3, window: Int = 4): Column = {
+    val hs = transform(shingles(text, shingleSize), s => xxhash64(s))
+    val mins = when(size(hs) <= window, array(array_min(hs))).otherwise(
+      transform(
+        sequence(lit(0), size(hs) - window),
+        j => array_min(slice(hs, j + 1, lit(window)))))
+    array_distinct(mins)
+  }
+
   /** Word n-gram shingles (default 3) for MinHash/Jaccard dedup. Documents
     * shorter than n words contribute their full text as one shingle.
     */

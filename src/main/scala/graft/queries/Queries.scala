@@ -791,6 +791,33 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Sketch aggregates: HLL++ approximate distinct and approximate
+    * quantiles next to their exact companions. Approximations are
+    * engine-specific (rows-only; OpsSketchSpec bounds the error), exact
+    * companions are verified by the spec too.
+    */
+  val sketchAggregates: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+      countDistinct(col("l_suppkey")).as("exact_supps"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"))
+  }
+
+  /** Winnowing fingerprints per document (rows-only; guarantees shared
+    * fingerprints for shared token runs — see TextOps.winnowFingerprints).
+    */
+  val textWinnow: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.winnowFingerprints(col("text")).as("fingerprints"))
+      .withColumn("n_fingerprints", size(col("fingerprints")).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal: stub-decoded per-asset feature vectors (plumbing-real). */
   val multimodalFeatures: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     Multimodal.extractFeatures(Multimodal.assetsFromDocuments(t(s, dir, "documents")))
@@ -869,6 +896,8 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
     "text_analyze" -> textAnalyze,
+    "text_winnow" -> textWinnow,
+    "sketch_aggregates" -> sketchAggregates,
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
