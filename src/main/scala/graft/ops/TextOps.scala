@@ -114,14 +114,33 @@ object TextOps {
     * hashes, keep each window's minimum, dedup. Guarantees any shared run
     * of ≥ w+k-1 tokens between two documents yields at least one shared
     * fingerprint — the positional robustness plain MinHash lacks.
+    *
+    * DataFrame-level on purpose: an expression form
+    * (`transform(windows, j -> array_min(slice(hs, ...)))`) re-evaluates
+    * the entire shingle-hash array inside every window lambda — O(len²)
+    * string work per document. This shape is posexplode + one windowed
+    * `min` + a frame filter: codegen'd, one sort per doc, linear.
+    * Output: (idCol, fingerprints ARRAY<BIGINT> sorted ascending).
     */
-  def winnowFingerprints(text: Column, shingleSize: Int = 3, window: Int = 4): Column = {
-    val hs = transform(shingles(text, shingleSize), s => xxhash64(s))
-    val mins = when(size(hs) <= window, array(array_min(hs))).otherwise(
-      transform(
-        sequence(lit(0), size(hs) - window),
-        j => array_min(slice(hs, j + 1, lit(window)))))
-    array_distinct(mins)
+  def winnowFingerprints(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      window: Int = 4): DataFrame = {
+    val hs = documents
+      .select(col(idCol), posexplode(shingles(col(textCol), shingleSize)).as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"), xxhash64(col("s")).as("h"))
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val frame = perDoc.orderBy("pos").rowsBetween(0, window - 1)
+    hs
+      .withColumn("m", min(col("h")).over(frame))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      // full windows only; a doc shorter than the window keeps its single
+      // (truncated-frame = whole-array) minimum at pos 0
+      .where(col("pos") <= greatest(col("n") - window, lit(0)))
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("m"))).as("fingerprints"))
   }
 
   /** Word n-gram shingles (default 3) for MinHash/Jaccard dedup. Documents

@@ -810,10 +810,7 @@ object Queries {
     * fingerprints for shared token runs — see TextOps.winnowFingerprints).
     */
   val textWinnow: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        TextOps.winnowFingerprints(col("text")).as("fingerprints"))
+    TextOps.winnowFingerprints(t(s, dir, "documents"))
       .withColumn("n_fingerprints", size(col("fingerprints")).cast("bigint"))
       .orderBy("doc_id")
   }

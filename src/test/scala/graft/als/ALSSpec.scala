@@ -107,6 +107,29 @@ class ALSSpec extends AnyFunSuite with SparkFixture {
     assert(math.sqrt(se.sum / se.length) < 0.1)
   }
 
+  test("implicit + nonnegative combined path keeps factors nonnegative and useful") {
+    val rng = new scala.util.Random(9)
+    val ratings = for {
+      u <- 0 until 16
+      i <- 0 until 16
+      if (u % 2 == i % 2) && rng.nextDouble() < 0.7
+    } yield Rating(u.toLong, i.toLong, 1.0f + rng.nextInt(3))
+    val rdd = spark.sparkContext.parallelize(ratings, 2)
+    val (uf, itf) = BlockedALS.train(rdd, BlockedALS.Config(
+      rank = 4, numUserBlocks = 2, numItemBlocks = 2,
+      maxIter = 8, regParam = 0.01, implicitPrefs = true, alpha = 10.0,
+      nonnegative = true, seed = 19))
+    val uMap = uf.collect().toMap
+    val iMap = itf.collect().toMap
+    assert(uMap.values.forall(_.forall(_ >= 0f)))
+    assert(iMap.values.forall(_.forall(_ >= 0f)))
+    def score(u: Long, i: Long): Double =
+      uMap(u).zip(iMap(i)).map { case (a, b) => a.toDouble * b }.sum
+    val matching = for (u <- 0L until 16L; i <- 0L until 16L if u % 2 == i % 2) yield score(u, i)
+    val nonMatching = for (u <- 0L until 16L; i <- 0L until 16L if u % 2 != i % 2) yield score(u, i)
+    assert(matching.sum / matching.size > nonMatching.sum / nonMatching.size + 0.2)
+  }
+
   test("partitionRatings preserves every rating exactly once across tiles") {
     val ratings = lowRankRatings(rank = 2, seed = 57)
     val rdd = spark.sparkContext.parallelize(ratings, 3)

@@ -30,7 +30,7 @@ class SketchAndWinnowSpec extends AnyFunSuite with SparkFixture {
       (2L, "prefix words here " + base + " suffix words there"), // shares a long run
       (3L, "totally different content with no overlap whatsoever at all ok"))
       .toDF("doc_id", "text")
-    val fps = docs.select(col("doc_id"), TextOps.winnowFingerprints(col("text")).as("f"))
+    val fps = TextOps.winnowFingerprints(docs)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     // doc2 contains doc1's full token run -> must share fingerprints
     assert((fps(1L) & fps(2L)).nonEmpty, "embedded run must share fingerprints")
@@ -41,8 +41,9 @@ class SketchAndWinnowSpec extends AnyFunSuite with SparkFixture {
 
   test("winnowing handles docs shorter than the window") {
     import spark.implicits._
-    val fps = Seq((1L, "a b c")).toDF("doc_id", "text")
-      .select(TextOps.winnowFingerprints(col("text"), 3, 4)).head().getSeq[Long](0)
+    val fps = TextOps.winnowFingerprints(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), window = 4)
+      .head().getSeq[Long](1)
     assert(fps.length == 1)
   }
 }
