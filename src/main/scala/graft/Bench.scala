@@ -54,7 +54,10 @@ object Bench {
       System.gc()
     }
 
-    // head-to-head ALS baseline: same ratings, same hyperparameters
+    // head-to-head ALS baseline: same ratings, same hyperparameters, each
+    // run from the same cleaned-state baseline
+    spark.catalog.clearCache()
+    System.gc()
     timed("als_train_graft") {
       graft.als.GraftALS(
         rank = 8, maxIter = 5, regParam = 0.1,
@@ -64,6 +67,8 @@ object Bench {
         .fit(graft.queries.Queries.ratingsDF(spark, sfDir))
         .userFactors.write.format("noop").mode("overwrite").save()
     }
+    spark.catalog.clearCache()
+    System.gc()
     timed("als_train_mllib") {
       import org.apache.spark.ml.recommendation.ALS
       new ALS()
