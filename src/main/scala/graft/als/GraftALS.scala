@@ -215,6 +215,29 @@ case class GraftALSModel(
     }.toDF("user_id", "item_id", "rank", "score")
   }
 
+  /** RMSE over a ratings DataFrame (√mse; cold-start rows dropped). */
+  def rmse(df: DataFrame, ratingCol: String = "rating"): Double =
+    math.sqrt(mse(df, ratingCol))
+
+  /** Top-k user recommendations for every item — the transpose of
+    * [[recommendForAllUsers]], same blocked kernel with sides swapped.
+    */
+  def recommendForAllItems(k: Int, blockSize: Int = 4096): DataFrame =
+    copy(userFactors = itemFactors, itemFactors = userFactors)
+      .recommendForAllUsers(k, blockSize)
+      .toDF("item_id", "user_id", "rank", "score")
+      .select("item_id", "user_id", "rank", "score")
+
+  /** Item-item neighbors in factor space (cosine top-k over itemFactors) —
+    * the classic related-items surface, served off the trained model with
+    * no rating replay.
+    */
+  def itemNeighbors(k: Int): DataFrame =
+    graft.ops.Similarity.bruteForceTopK(
+      itemFactors, itemFactors, k = k, idCol = "id", vecCol = "features")
+      .withColumnRenamed("query_id", "item_id")
+      .withColumnRenamed("neighbor_id", "neighbor_item_id")
+
   /** Saves the factor tables BUCKETED by id into the session catalog
     * (`<name>_user_factors` / `<name>_item_factors`). Repeated scoring joins
     * against bucketed factor tables skip the factor-side shuffle AND its

@@ -693,6 +693,11 @@ object Queries {
     model(s, dir).recommendForAllUsers(3).orderBy("user_id", "rank")
   }
 
+  /** Related-items surface: cosine top-3 neighbors in factor space. */
+  val alsItemNeighbors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    model(s, dir).itemNeighbors(3).orderBy("item_id", "rank")
+  }
+
   /** Implicit-feedback training (M4/M7/M8): event-count confidences through
     * the Hu-Koren-Volinsky path, NNLS-free. Factors are rows-only; the
     * derivation itself is oracle-checked via als_implicit_ratings.
@@ -888,6 +893,7 @@ object Queries {
     "als_recommend" -> alsRecommend,
     "als_implicit_ratings" -> alsImplicitRatings,
     "als_implicit_factors" -> alsImplicitFactors,
+    "als_item_neighbors" -> alsItemNeighbors,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

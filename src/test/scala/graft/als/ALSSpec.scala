@@ -246,6 +246,29 @@ class ALSSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("item-side recommendations and neighbors serve off the same model") {
+    val ratings = lowRankRatings(rank = 3, seed = 121)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      ratings.map(r => org.apache.spark.sql.Row(r.user, r.item, r.rating.toDouble)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("item", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rating", org.apache.spark.sql.types.DoubleType))))
+    val model = GraftALS(rank = 3, maxIter = 5, numUserBlocks = 2, numItemBlocks = 2, seed = 13).fit(df)
+    // transpose identity: (item, user) in item-recs(k=ALL users) mirrors user-recs scoring
+    val itemRecs = model.recommendForAllItems(2, blockSize = 4)
+    assert(itemRecs.columns.toSeq == Seq("item_id", "user_id", "rank", "score"))
+    assert(itemRecs.groupBy("item_id").count().collect().forall(_.getLong(1) <= 2))
+    assert(itemRecs.select("item_id").distinct().count() == model.itemFactors.count())
+    // neighbors: deterministic, self excluded, k rows per item
+    val nbrs = model.itemNeighbors(2)
+    assert(nbrs.where("item_id = neighbor_item_id").count() == 0)
+    assert(nbrs.groupBy("item_id").count().collect().forall(_.getLong(1) <= 2))
+    // rmse = sqrt(mse)
+    assert(math.abs(model.rmse(df, "rating") - math.sqrt(model.mse(df, "rating"))) < 1e-12)
+  }
+
   test("model save/load round-trip") {
     val ratings = lowRankRatings(rank = 2, seed = 87)
     import scala.jdk.CollectionConverters._
