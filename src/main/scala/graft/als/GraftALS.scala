@@ -130,9 +130,34 @@ case class GraftALSModel(
     * crossJoin+window plan that shuffles and sorts users×items rows (889s →
     * ~10s at sf0.1 on this box).
     */
-  def recommendForAllUsers(k: Int, blockSize: Int = 4096): DataFrame = {
+  def recommendForAllUsers(k: Int, blockSize: Int = 4096): DataFrame =
+    blockedCrossTopK(userFactors, itemFactors, k, blockSize,
+      normalize = false, excludeSelf = false)
+      .toDF("user_id", "item_id", "rank", "score")
+
+  /** Blocked cross-score top-k kernel shared by [[recommendForAllUsers]] and
+    * [[itemNeighbors]]: factors are chunked into (ids, row-major matrix)
+    * blocks, block pairs meet in an RDD cartesian, and each pair runs a
+    * tight primitive triple loop keeping one bounded top-k buffer per left
+    * row; buffers then merge across right blocks. Compute is
+    * O(left·right·rank) fused multiply-adds but NOTHING materializes per
+    * (left, right) pair — versus a crossJoin+window plan that shuffles and
+    * sorts left×right rows (889s → ~10s at sf0.1 on this box).
+    *
+    * `normalize` divides every vector by its L2 norm at block-build time so
+    * the dot product IS the cosine (zero vectors stay zero → cosine 0,
+    * matching Similarity.bruteForceTopK's convention). `excludeSelf` skips
+    * right rows whose id equals the left id (self-neighbor suppression).
+    */
+  private def blockedCrossTopK(
+      left: DataFrame,
+      right: DataFrame,
+      k: Int,
+      blockSize: Int,
+      normalize: Boolean,
+      excludeSelf: Boolean): org.apache.spark.sql.Dataset[(Long, Long, Int, Double)] = {
     require(k > 0)
-    val spark = userFactors.sparkSession
+    val spark = left.sparkSession
     val r = rank
 
     def toBlocks(df: DataFrame) =
@@ -146,17 +171,27 @@ case class GraftALSModel(
             chunk.foreach { case (id, f) =>
               ids(i) = id
               System.arraycopy(f, 0, mat, i * r, r)
+              if (normalize) {
+                var s = 0.0
+                var d = 0
+                while (d < r) { s += mat(i * r + d).toDouble * mat(i * r + d); d += 1 }
+                if (s > 0.0) {
+                  val inv = 1.0 / math.sqrt(s)
+                  d = 0
+                  while (d < r) { mat(i * r + d) = (mat(i * r + d) * inv).toFloat; d += 1 }
+                }
+              }
               i += 1
             }
             (ids, mat)
           }
         }
 
-    val userBlocks = toBlocks(userFactors)
-    val itemBlocks = toBlocks(itemFactors)
+    val leftBlocks = toBlocks(left)
+    val rightBlocks = toBlocks(right)
 
-    // per (userBlock, itemBlock): bounded top-k per user over this item block
-    val partial = userBlocks.cartesian(itemBlocks).flatMap {
+    // per (leftBlock, rightBlock): bounded top-k per left row over this block
+    val partial = leftBlocks.cartesian(rightBlocks).flatMap {
       case ((uids, umat), (iids, imat)) =>
         val nU = uids.length
         val nI = iids.length
@@ -168,29 +203,31 @@ case class GraftALSModel(
           var size = 0
           var i = 0
           while (i < nI) {
-            var s = 0.0
-            var d = 0
-            val uOff = u * r
-            val iOff = i * r
-            while (d < r) {
-              s += umat(uOff + d).toDouble * imat(iOff + d)
-              d += 1
-            }
-            // bounded insertion, kept sorted (score desc, id asc); k is
-            // small so a linear shift beats a heap on cache behavior
-            val isWorseThanLast = size == k &&
-              (s < topScores(k - 1) || (s == topScores(k - 1) && iids(i) > topIds(k - 1)))
-            if (!isWorseThanLast) {
-              var pos = if (size < k) size else k - 1
-              while (pos > 0 && (topScores(pos - 1) < s ||
-                     (topScores(pos - 1) == s && topIds(pos - 1) > iids(i)))) {
-                topScores(pos) = topScores(pos - 1)
-                topIds(pos) = topIds(pos - 1)
-                pos -= 1
+            if (!(excludeSelf && iids(i) == uids(u))) {
+              var s = 0.0
+              var d = 0
+              val uOff = u * r
+              val iOff = i * r
+              while (d < r) {
+                s += umat(uOff + d).toDouble * imat(iOff + d)
+                d += 1
               }
-              topScores(pos) = s
-              topIds(pos) = iids(i)
-              if (size < k) size += 1
+              // bounded insertion, kept sorted (score desc, id asc); k is
+              // small so a linear shift beats a heap on cache behavior
+              val isWorseThanLast = size == k &&
+                (s < topScores(k - 1) || (s == topScores(k - 1) && iids(i) > topIds(k - 1)))
+              if (!isWorseThanLast) {
+                var pos = if (size < k) size else k - 1
+                while (pos > 0 && (topScores(pos - 1) < s ||
+                       (topScores(pos - 1) == s && topIds(pos - 1) > iids(i)))) {
+                  topScores(pos) = topScores(pos - 1)
+                  topIds(pos) = topIds(pos - 1)
+                  pos -= 1
+                }
+                topScores(pos) = s
+                topIds(pos) = iids(i)
+                if (size < k) size += 1
+              }
             }
             i += 1
           }
@@ -200,7 +237,7 @@ case class GraftALSModel(
         out.iterator
     }
 
-    // merge per-user buffers across item blocks
+    // merge per-left-row buffers across right blocks
     val merged = partial.reduceByKey {
       (a: (Array[Long], Array[Double]), b: (Array[Long], Array[Double])) =>
         val pairs = (a._1.zip(a._2) ++ b._1.zip(b._2))
@@ -212,7 +249,7 @@ case class GraftALSModel(
     import spark.implicits._
     merged.flatMap { case (uid, (ids, scores)) =>
       ids.indices.map(i => (uid, ids(i), i + 1, scores(i)))
-    }.toDF("user_id", "item_id", "rank", "score")
+    }.toDS()
   }
 
   /** RMSE over a ratings DataFrame (√mse; cold-start rows dropped). */
@@ -230,13 +267,17 @@ case class GraftALSModel(
 
   /** Item-item neighbors in factor space (cosine top-k over itemFactors) —
     * the classic related-items surface, served off the trained model with
-    * no rating replay.
+    * no rating replay. Runs the same blocked cross-score kernel as
+    * [[recommendForAllUsers]] with L2-normalized vectors on both sides
+    * (cosine = dot of unit vectors) and self-matches excluded — NOT the
+    * crossJoin+window shape, which materializes and sorts all n² pairs
+    * (measured 320s vs ~5s at sf0.1). Parity vs Similarity.bruteForceTopK
+    * is asserted in GraftALSServingSpec.
     */
-  def itemNeighbors(k: Int): DataFrame =
-    graft.ops.Similarity.bruteForceTopK(
-      itemFactors, itemFactors, k = k, idCol = "id", vecCol = "features")
-      .withColumnRenamed("query_id", "item_id")
-      .withColumnRenamed("neighbor_id", "neighbor_item_id")
+  def itemNeighbors(k: Int, blockSize: Int = 4096): DataFrame =
+    blockedCrossTopK(itemFactors, itemFactors, k, blockSize,
+      normalize = true, excludeSelf = true)
+      .toDF("item_id", "neighbor_item_id", "rank", "cosine")
 
   /** Saves the factor tables BUCKETED by id into the session catalog
     * (`<name>_user_factors` / `<name>_item_factors`). Repeated scoring joins

@@ -271,7 +271,7 @@ object Queries {
   val q14DocsByLang: QueryDef = QueryDef.withOracle(
     """SELECT lang, source,
       |  COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS sum_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars
       |FROM documents
       |GROUP BY lang, source
@@ -420,7 +420,7 @@ object Queries {
   val q22NestedAgg: QueryDef = QueryDef.withOracle(
     """SELECT n_name,
       |  COUNT(*) AS n_customers,
-      |  SUM(n_orders) AS total_orders,
+      |  CAST(SUM(n_orders) AS BIGINT) AS total_orders,
       |  CAST(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_orders_per_cust
       |FROM (
       |  SELECT c_custkey, c_nationkey, (
@@ -662,15 +662,21 @@ object Queries {
         .fit(ratingsDF(s, dir))
     })
 
-  /** Trained user factors (id, rank-wide float array) — not SQL-expressible;
-    * the driver records a rows-only check (S4/O1 operators).
+  /** Trained user factors — not SQL-expressible; the driver records a
+    * rows-only check (S4/O1 operators). Dumped as exploded
+    * `(id, pos, value)` scalar rows: the driver harness sorts the dump with
+    * pandas, which cannot order raw ARRAY cells.
     */
   val alsUserFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    model(s, dir).userFactors.orderBy("id")
+    model(s, dir).userFactors
+      .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("id", "pos")
   }
 
   val alsItemFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    model(s, dir).itemFactors.orderBy("id")
+    model(s, dir).itemFactors
+      .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("id", "pos")
   }
 
   /** Scoring join-chain + dot product over the training set (O2). */
@@ -714,7 +720,9 @@ object Queries {
         seed = 42L)
         .fit(graft.sources.RatingsSource.implicitFromEvents(s, dir))
     })
-    m.userFactors.orderBy("id")
+    m.userFactors
+      .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("id", "pos")
   }
 
   val alsImplicitRatings: QueryDef = QueryDef.withOracle(
@@ -811,19 +819,28 @@ object Queries {
       percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"))
   }
 
-  /** Winnowing fingerprints per document (rows-only; guarantees shared
-    * fingerprints for shared token runs — see TextOps.winnowFingerprints).
+  /** Winnowing fingerprints per document, exploded to `(doc_id,
+    * fingerprint)` scalar rows (the driver harness cannot sort ARRAY cells;
+    * shared-run guarantees are asserted in SketchAndWinnowSpec).
     */
   val textWinnow: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     TextOps.winnowFingerprints(t(s, dir, "documents"))
-      .withColumn("n_fingerprints", size(col("fingerprints")).cast("bigint"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
   }
 
-  /** Multimodal: stub-decoded per-asset feature vectors (plumbing-real). */
+  /** Multimodal: stub-decoded per-asset feature vectors through the
+    * codegen'd expression path (see Multimodal.stubDecodeFeatures; the
+    * mapPartitions/batch variant stays as the codec-init pattern, spec'd in
+    * MultimodalSpec), exploded to `(asset_id, modality, dim, value)` scalars
+    * for the driver dump.
+    */
   val multimodalFeatures: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    Multimodal.extractFeatures(Multimodal.assetsFromDocuments(t(s, dir, "documents")))
-      .orderBy("asset_id")
+    Multimodal.assetsFromDocuments(t(s, dir, "documents"))
+      .select(
+        col("asset_id"), col("modality"),
+        posexplode(Multimodal.stubDecodeFeatures(col("payload"))).as(Seq("dim", "value")))
+      .orderBy("asset_id", "dim")
   }
 
   /** Multimodal: video frame sampling row-explosion. */
