@@ -24,7 +24,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // NOTE: spark.driver.memory cannot be set here — in local mode the
+      // driver JVM already exists. Heap comes from the fork's -Xmx, which
+      // build.sbt derives from SPARK_DRIVER_MEM (javaOptions).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,7 +57,9 @@ object Bench {
     }
 
     // head-to-head ALS baseline: same ratings, same hyperparameters, each
-    // run from the same cleaned-state baseline
+    // run from the same cleaned-state baseline (cached query-suite models
+    // released first — their persisted factor RDDs otherwise skew the JVM)
+    graft.queries.Queries.clearModels()
     spark.catalog.clearCache()
     System.gc()
     timed("als_train_graft") {

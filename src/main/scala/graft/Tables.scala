@@ -22,12 +22,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = read(spark, s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
-  }
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") normalizeEventTs(readNanos(spark, s"$sfDir/$name.parquet"))
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  private def read(spark: SparkSession, path: String): DataFrame = {
+  /** Only the events table needs the legacy nanos conf; there is no per-read
+    * parquet option for it (checked ParquetOptions in 4.1), so reading
+    * events necessarily leaves the session conf set — but loads of the other
+    * nine tables no longer mutate session state at all.
+    */
+  private def readNanos(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }
@@ -44,7 +48,7 @@ object Tables {
     * file source must be given.
     */
   def rawSchema(spark: SparkSession, sfDir: String, name: String): StructType =
-    read(spark, s"$sfDir/$name.parquet").schema
+    readNanos(spark, s"$sfDir/$name.parquet").schema
 
   /** Streaming twin of `load` for the events table. The file source wants a
     * directory, so stream the sf dir with a glob pinned to the events file.

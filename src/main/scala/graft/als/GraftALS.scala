@@ -69,7 +69,8 @@ case class GraftALS(
     val itemFactors = spark.createDataFrame(
       itemIdAndFactors.map { case (id, f) => FactorRow(id, f) })
 
-    GraftALSModel(rank, userFactors, itemFactors, userCol, itemCol, coldStartStrategy)
+    GraftALSModel(rank, userFactors, itemFactors, userCol, itemCol, coldStartStrategy,
+      backingRdds = Seq(userIdAndFactors, itemIdAndFactors))
   }
 }
 
@@ -92,7 +93,15 @@ case class GraftALSModel(
     itemFactors: DataFrame,
     userCol: String = "user",
     itemCol: String = "item",
-    coldStartStrategy: String = "nan") {
+    coldStartStrategy: String = "nan",
+    backingRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
+
+  /** Frees the persisted factor RDDs this model was fit on (no-op for
+    * loaded/derived models). The factor DataFrames stay usable — they
+    * recompute from lineage — but lose their cached backing; call when the
+    * model is done serving (bench/test isolation, long-lived sessions).
+    */
+  def unpersist(): Unit = backingRdds.foreach(_.unpersist(blocking = false))
 
   def transform(df: DataFrame): DataFrame = {
     val uf = userFactors.select(col("id").as("__uid"), col("features").as("__ufeat"))
@@ -113,9 +122,12 @@ case class GraftALSModel(
     */
   def mse(df: DataFrame, ratingCol: String = "rating"): Double = {
     val scored = copy(coldStartStrategy = "drop").transform(df)
-    scored
+    val row = scored
       .agg(avg(pow(col("prediction").cast("double") - col(ratingCol).cast("double"), 2.0)))
-      .head().getDouble(0)
+      .head()
+    require(!row.isNullAt(0),
+      "mse: no scorable rows (every input row was cold-start or input is empty)")
+    row.getDouble(0)
   }
 
   /** Top-k item recommendations for every user, as

@@ -116,7 +116,7 @@ object Dedup {
     val shingled = documents.select(
       col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
-    candidates
+    val verified = candidates
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -124,6 +124,12 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // materialize the (small: true near-dups only) result eagerly so the
+    // banded signature cache can be freed here instead of leaking for the
+    // session lifetime; callers may unpersist the returned frame when done
+    verified.persist().count()
+    banded.unpersist(blocking = false)
+    verified
   }
 
   /** 64-bit SimHash of the document's tokens: per bit, sum +1/−1 votes of
@@ -155,22 +161,27 @@ object Dedup {
   }
 
   /** SimHash signatures as a (id, sig BIGINT) DataFrame in the scale shape:
-    * explode tokens → hash once per token → 64 conditional-sum aggregates
-    * (map-side combining, codegen) → sign-fold into one BIGINT. Identical
-    * values to [[simhash]] (same votes, same sign rule).
+    * explode tokens → hash once per token → `numBits` conditional-sum
+    * aggregates (map-side combining, codegen) → sign-fold into one BIGINT.
+    * Identical values to [[simhash]] at the defaults (same votes, same sign
+    * rule). `hashFn`/`numBits` let an oracle-checked variant use the
+    * cross-engine [[TextOps.portableHash56]] (56 usable bits).
     */
   def simhashSignatures(
       documents: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      numBits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(numBits >= 1 && numBits <= 64)
     val exploded = documents
       .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val voteCols = (0 until 64).map { i =>
+      .select(col("id"), hashFn(col("t")).as("h"))
+    val voteCols = (0 until numBits).map { i =>
       sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$i")
     }
-    val sigExpr = (0 until 64).map { i =>
+    val sigExpr = (0 until numBits).map { i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     exploded

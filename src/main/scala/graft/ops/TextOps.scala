@@ -109,6 +109,15 @@ object TextOps {
       lit(0L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
 
+  /** Cross-engine-portable 56-bit hash: the first 14 hex chars of md5,
+    * parsed big-endian (`('0x' || substr(md5(s),1,14))::BIGINT` in DuckDB).
+    * Slower than xxhash64 (md5 + string conv) — use it where a DuckDB
+    * oracle must replicate hash values exactly; default production paths
+    * keep xxhash64.
+    */
+  def portableHash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
   /** Winnowing fingerprints (Schleimer et al.'s local document
     * fingerprinting): hash the k-gram shingles, slide a window of `w`
     * hashes, keep each window's minimum, dedup. Guarantees any shared run
@@ -127,10 +136,11 @@ object TextOps {
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleSize: Int = 3,
-      window: Int = 4): DataFrame = {
+      window: Int = 4,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val hs = documents
       .select(col(idCol), posexplode(shingles(col(textCol), shingleSize)).as(Seq("pos", "s")))
-      .select(col(idCol), col("pos"), xxhash64(col("s")).as("h"))
+      .select(col(idCol), col("pos"), hashFn(col("s")).as("h"))
     val perDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
     val frame = perDoc.orderBy("pos").rowsBetween(0, window - 1)
     hs

@@ -649,11 +649,22 @@ object Queries {
   private[graft] def ratingsDF(s: SparkSession, dir: String): DataFrame =
     graft.sources.RatingsSource.fromLineitem(s, dir)
 
-  /** One trained model per (sfDir) per JVM — the ALS queries share it. */
-  private val modelCache = scala.collection.concurrent.TrieMap.empty[String, GraftALSModel]
+  /** One trained model per (session, sfDir) — the ALS queries share it. The
+    * session UUID in the key keeps a restarted session from receiving a
+    * model bound to a stale predecessor's DataFrames.
+    */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), GraftALSModel]
+
+  /** Stable identity of a live session. `sessionUUID` is private[sql] in
+    * 4.1, so object identity stands in — good enough to keep a restarted
+    * session from being handed a model bound to a stale predecessor.
+    */
+  private def sessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toString
 
   private[graft] def model(s: SparkSession, dir: String): GraftALSModel =
-    modelCache.getOrElseUpdate(dir, {
+    modelCache.getOrElseUpdate((sessionKey(s), dir), {
       GraftALS(
         rank = 8, maxIter = 5, regParam = 0.1,
         numUserBlocks = 8, numItemBlocks = 8,
@@ -708,10 +719,21 @@ object Queries {
     * the Hu-Koren-Volinsky path, NNLS-free. Factors are rows-only; the
     * derivation itself is oracle-checked via als_implicit_ratings.
     */
-  private val implicitModelCache = scala.collection.concurrent.TrieMap.empty[String, GraftALSModel]
+  private val implicitModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), GraftALSModel]
+
+  /** Frees every cached model's persisted factor RDDs and empties both
+    * caches — the isolation hook for bench/long-lived sessions (cached
+    * models otherwise pin executor memory for the session lifetime).
+    */
+  def clearModels(): Unit = {
+    (modelCache.values ++ implicitModelCache.values).foreach(_.unpersist())
+    modelCache.clear()
+    implicitModelCache.clear()
+  }
 
   val alsImplicitFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    val m = implicitModelCache.getOrElseUpdate(dir, {
+    val m = implicitModelCache.getOrElseUpdate((sessionKey(s), dir), {
       GraftALS(
         rank = 8, maxIter = 5, regParam = 0.1, alpha = 10.0,
         implicitPrefs = true,
@@ -723,6 +745,53 @@ object Queries {
     m.userFactors
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
       .orderBy("id", "pos")
+  }
+
+  /** CSV ingestion round-trip (S2): the ratings derivation is dumped to a
+    * headerless `user,item,rating` CSV (the reference's input format,
+    * `ALS.py:590-592`) and read back through RatingsSource.fromCsv's typed
+    * scan. Java double↔string conversion round-trips exactly, so the result
+    * must hash-match the relational derivation's oracle.
+    */
+  val alsCsvRatings: QueryDef = QueryDef.withOracle(
+    """SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS rating
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val csvDir = s"/tmp/graft_csv_ratings_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(s"$csvDir/_SUCCESS").exists())
+      ratingsDF(s, dir).write.mode("overwrite").option("header", "false").csv(csvDir)
+    graft.sources.RatingsSource.fromCsv(s, csvDir).orderBy("user_id", "item_id")
+  }
+
+  /** BASELINE.md's correctness floor (graft RMSE ≤ MLlib RMSE + tolerance)
+    * surfaced as a driver-visible row, so fit-quality regressions show in
+    * CORRECTNESS, not only in MLlibParitySpec. Values are run-specific
+    * (two trainings) → rows-only; `within_floor` is the assertion bit.
+    */
+  val alsRmseVsMllib: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val ratings = ratingsDF(s, dir)
+      .withColumn("user_int", col("user_id").cast("int"))
+      .withColumn("item_int", col("item_id").cast("int"))
+    ratings.cache().count()
+    try {
+      val graftRmse = model(s, dir).rmse(ratings, "rating")
+      val mllib = new org.apache.spark.ml.recommendation.ALS()
+        .setRank(8).setMaxIter(5).setRegParam(0.1)
+        .setNumUserBlocks(8).setNumItemBlocks(8)
+        .setUserCol("user_int").setItemCol("item_int").setRatingCol("rating")
+        .setSeed(42L)
+        .fit(ratings)
+      mllib.setColdStartStrategy("drop")
+      val mllibRmse = math.sqrt(mllib.transform(ratings)
+        .agg(avg(pow(col("prediction").cast("double") - col("rating"), 2.0)))
+        .head().getDouble(0))
+      val spark = s
+      import spark.implicits._
+      Seq((graftRmse, mllibRmse, graftRmse <= mllibRmse * 1.05 + 1e-9))
+        .toDF("graft_rmse", "mllib_rmse", "within_floor")
+    } finally ratings.unpersist()
   }
 
   val alsImplicitRatings: QueryDef = QueryDef.withOracle(
@@ -748,9 +817,35 @@ object Queries {
     Dedup.nearDedupKeepers(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
   }
 
-  /** SimHash signatures per document (near-dup verification in tests). */
-  val dedupSimhashSignatures: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    Dedup.simhashSignatures(t(s, dir, "documents")).orderBy("id")
+  /** SimHash signatures per document, hash-checked against a DuckDB oracle
+    * that replays the full vote/sign-fold pipeline. Uses the cross-engine
+    * portable 56-bit md5 hash ([[TextOps.portableHash56]]) so both engines
+    * see identical per-token hashes; the production default stays xxhash64
+    * (value-parity between the two forms is the same algorithm, asserted by
+    * DedupSpec on the expression form).
+    */
+  val dedupSimhashSignatures: QueryDef = QueryDef.withOracle {
+    val votes = (0 until 56)
+      .map(i => s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n  ")
+    val sig = (0 until 56)
+      .map(i => s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS t FROM documents),
+       |hs AS (
+       |  SELECT id, ('0x' || substr(md5(t), 1, 14))::BIGINT AS h FROM toks),
+       |votes AS (
+       |  SELECT id,
+       |  $votes
+       |  FROM hs GROUP BY id)
+       |SELECT id, $sig AS sig
+       |FROM votes
+       |ORDER BY id""".stripMargin
+  } { (s, dir) =>
+    Dedup.simhashSignatures(t(s, dir, "documents"),
+      numBits = 56, hashFn = TextOps.portableHash56)
+      .orderBy("id")
   }
 
   /** n-gram Jaccard similar pairs via the inverted-index candidate join
@@ -820,11 +915,37 @@ object Queries {
   }
 
   /** Winnowing fingerprints per document, exploded to `(doc_id,
-    * fingerprint)` scalar rows (the driver harness cannot sort ARRAY cells;
-    * shared-run guarantees are asserted in SketchAndWinnowSpec).
+    * fingerprint)` scalar rows and hash-checked against a DuckDB oracle
+    * that replays the whole pipeline (shingle → hash → sliding-window min →
+    * dedup; shingleSize=3, window=4). The oracle-checked form plugs in the
+    * cross-engine portable md5 hash; production default stays xxhash64.
+    * Shared-run guarantees are asserted in SketchAndWinnowSpec.
     */
-  val textWinnow: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    TextOps.winnowFingerprints(t(s, dir, "documents"))
+  val textWinnow: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (
+      |  SELECT doc_id, text, str_split(text, ' ') AS ts FROM documents),
+      |pos AS (
+      |  SELECT doc_id, text, ts,
+      |    unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS p
+      |  FROM toks),
+      |sh AS (
+      |  SELECT doc_id, p - 1 AS pos,
+      |    CASE WHEN len(ts) < 3 THEN text
+      |         ELSE concat_ws(' ', ts[p], ts[p+1], ts[p+2]) END AS s
+      |  FROM pos),
+      |hs AS (
+      |  SELECT doc_id, pos, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h FROM sh),
+      |win AS (
+      |  SELECT doc_id, pos,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM hs)
+      |SELECT DISTINCT doc_id, m AS fingerprint
+      |FROM win
+      |WHERE pos <= greatest(n - 4, 0)
+      |ORDER BY doc_id, fingerprint""".stripMargin) { (s, dir) =>
+    TextOps.winnowFingerprints(t(s, dir, "documents"), hashFn = TextOps.portableHash56)
       .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
   }
@@ -903,6 +1024,8 @@ object Queries {
     "q28_topk_udaf" -> q28TopkUdaf,
     "stream_sessions" -> streamSessions,
     "als_ratings" -> alsRatings,
+    "als_csv_ratings" -> alsCsvRatings,
+    "als_rmse_vs_mllib" -> alsRmseVsMllib,
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,
     "als_predictions" -> alsPredictions,
