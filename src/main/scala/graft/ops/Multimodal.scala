@@ -58,6 +58,20 @@ object Multimodal {
       sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(payload, i), lit(1000000L)).cast("double") / 1000000.0).cast("float"))
 
+  /** Portable-stub decode for ONE feature dimension: the same stable
+    * bytes→feature idea as [[stubDecodeFeatures]], but with the cross-engine
+    * md5-prefix hash ([[TextOps.portableHash56]]) so a DuckDB oracle can
+    * replay it bit-for-bit: `(hash56(payload_utf8 '#' dim) % 1e6) / 1e6`
+    * as DOUBLE (fixture payloads are UTF-8 text standing in for media).
+    */
+  def stubDecodeFeaturePortable(
+      payload: org.apache.spark.sql.Column,
+      dim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(
+      TextOps.portableHash56(
+        concat_ws("#", decode(payload, "UTF-8"), dim.cast("string"))),
+      lit(1000000L)).cast("double") / lit(1000000.0)
+
   /** STUB resize: a real implementation re-encodes pixels; the stub slices
     * the payload to at most `maxBytes` (shape-preserving plumbing only).
     */

@@ -863,9 +863,47 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Full text-analysis projection (lang-ID, quality, fingerprint, …). */
+  /** Full text-analysis projection (lang-ID, quality, fingerprint, …).
+    * Rows-only: the quality columns use round(), whose tie behavior is not
+    * guaranteed identical across engines; the exactly-portable pieces are
+    * hash-checked separately (q15/q17 and text_langid_fingerprint).
+    */
   val textAnalyze: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     TextOps.analyze(t(s, dir, "documents")).drop("text").orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic + rolling-hash document fingerprint, hash-checked
+    * cross-engine: both are pure integer/string arithmetic, so DuckDB can
+    * replay them exactly (marker-set-intersection argmax with the same
+    * fixed tie order; fold `(acc*31 + code) mod 1e9+7` over characters).
+    */
+  val textLangidFingerprint: QueryDef = QueryDef.withOracle(
+    """WITH base AS (
+      |  SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+      |scored AS (
+      |  SELECT doc_id, text,
+      |    len(list_intersect(toks, ['the','and','is','of','to','a','in','that','it','for'])) AS s_en,
+      |    len(list_intersect(toks, ['el','la','de','que','y','los','es','una','por','con'])) AS s_es,
+      |    len(list_intersect(toks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+      |    len(list_intersect(toks, ['le','la','les','et','de','un','une','est','pour','que'])) AS s_fr,
+      |    len(list_intersect(toks, ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
+      |  FROM base)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_zh) <= 0 THEN 'und'
+      |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END AS lang_pred,
+      |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN str_split(text, '')]),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
   }
 
   /** Exact cosine top-5 neighbors, oracle-checked against DuckDB's
@@ -950,23 +988,53 @@ object Queries {
       .orderBy("doc_id", "fingerprint")
   }
 
-  /** Multimodal: stub-decoded per-asset feature vectors through the
-    * codegen'd expression path (see Multimodal.stubDecodeFeatures; the
-    * mapPartitions/batch variant stays as the codec-init pattern, spec'd in
-    * MultimodalSpec), exploded to `(asset_id, modality, dim, value)` scalars
-    * for the driver dump.
+  /** Multimodal: stub-decoded per-asset feature values through the
+    * codegen'd expression path, one `(asset_id, modality, dim, value)`
+    * scalar row per dimension — hash-checked: the whole chain (asset
+    * derivation, modality assignment, per-dim stub decode) is replayed in
+    * DuckDB via the portable md5-prefix hash. The xxhash64 production stub
+    * and the mapPartitions codec-init pattern stay spec'd in MultimodalSpec.
     */
-  val multimodalFeatures: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val multimodalFeatures: QueryDef = QueryDef.withOracle(
+    """WITH assets AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    text
+      |  FROM documents),
+      |dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
+      |SELECT asset_id, modality, CAST(dim AS BIGINT) AS dim,
+      |  (('0x' || substr(md5(concat_ws('#', text, dim::VARCHAR)), 1, 14))::BIGINT % 1000000) / 1000000.0 AS value
+      |FROM assets, dims
+      |ORDER BY asset_id, dim""".stripMargin) { (s, dir) =>
     Multimodal.assetsFromDocuments(t(s, dir, "documents"))
-      .select(
-        col("asset_id"), col("modality"),
-        posexplode(Multimodal.stubDecodeFeatures(col("payload"))).as(Seq("dim", "value")))
+      .select(col("asset_id"), col("modality"), col("payload"),
+        explode(sequence(lit(0), lit(7))).as("dim"))
+      .select(col("asset_id"), col("modality"), col("dim").cast("bigint").as("dim"),
+        Multimodal.stubDecodeFeaturePortable(col("payload"), col("dim")).as("value"))
       .orderBy("asset_id", "dim")
   }
 
-  /** Multimodal: video frame sampling row-explosion. */
-  val multimodalFrames: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** Multimodal: video frame sampling row-explosion, hash-checked — the
+    * frame-index arithmetic and payload slicing replay exactly in DuckDB
+    * (fixture payloads are ASCII text, so the byte slice the operator takes
+    * equals the char slice the oracle takes; dumped decoded for comparison).
+    */
+  val multimodalFrames: QueryDef = QueryDef.withOracle(
+    """WITH assets AS (
+      |  SELECT doc_id AS asset_id, text, (n_chars % 100) + 1 AS n_frames
+      |  FROM documents
+      |  WHERE (doc_id % 3) = 2),
+      |frames AS (
+      |  SELECT asset_id, text,
+      |    unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS frame_idx
+      |  FROM assets)
+      |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  substring(text, CAST((frame_idx * 16) % greatest(length(text), 1) + 1 AS INT), 16) AS frame_text
+      |FROM frames
+      |ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
     Multimodal.sampleFrames(Multimodal.assetsFromDocuments(t(s, dir, "documents")))
+      .select(col("asset_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        decode(col("frame_payload"), "UTF-8").as("frame_text"))
       .orderBy("asset_id", "frame_idx")
   }
 
@@ -1039,6 +1107,7 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,
     "text_analyze" -> textAnalyze,
+    "text_langid_fingerprint" -> textLangidFingerprint,
     "text_winnow" -> textWinnow,
     "sketch_aggregates" -> sketchAggregates,
     "sim_topk_brute" -> simTopkBrute,
