@@ -45,20 +45,44 @@ object Dedup {
     * the 500-doc fixture. The explode+groupBy form is a codegen'd hash
     * aggregate with map-side partial combine, exactly what scales to 100 TB.
     */
+  /** Modulus of the portable MinHash family: 2^56 (the usable width of
+    * [[TextOps.portableHash56]]). `h1 + 63·h2 < 2^62` — no overflow.
+    */
+  val PortableMinhashModulus: Long = 1L << 56
+
   def minhashSignatures(
       documents: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       numHashes: Int = 64,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      portableHashes: Boolean = false): DataFrame = {
     val exploded = documents.select(
       col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
-    val minCols = (1 to numHashes).map(seed => min(xxhash64(col("s"), lit(seed))).as(s"m$seed"))
-    exploded
-      .groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    if (!portableHashes) {
+      val minCols = (1 to numHashes).map(seed => min(xxhash64(col("s"), lit(seed))).as(s"m$seed"))
+      exploded
+        .groupBy("id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("id"), array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    } else {
+      // cross-engine family: two base md5-prefix hashes per shingle, the
+      // classic linear combination h_i = (h1 + i·h2) mod 2^56 (Broder-style
+      // universal family) — replayable in DuckDB SQL, and cheaper than 64
+      // independent hashes (2 md5 evals instead of 64 xxhash evals per row)
+      val hs = exploded.select(
+        col("id"),
+        TextOps.portableHash56(col("s")).as("h1"),
+        TextOps.portableHash56(concat(col("s"), lit("#"))).as("h2"))
+      val minCols = (1 to numHashes).map { i =>
+        min(pmod(col("h1") + lit((i - 1).toLong) * col("h2"), lit(PortableMinhashModulus)))
+          .as(s"m$i")
+      }
+      hs.groupBy("id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("id"), array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    }
   }
 
   /** MinHash + banded LSH near-duplicate pairs.
@@ -80,11 +104,13 @@ object Dedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      portableHashes: Boolean = false): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
 
-    val withSig = minhashSignatures(documents, textCol, idCol, numHashes, shingleSize)
+    val withSig =
+      minhashSignatures(documents, textCol, idCol, numHashes, shingleSize, portableHashes)
 
     // one row per (doc, band): bucket key = hash of that band's slice
     val banded = withSig.select(

@@ -810,10 +810,66 @@ object Queries {
   // LLM-data-pipeline surface
   // ------------------------------------------------------------------
 
-  /** MinHash-LSH near-dedup keep-list (always non-empty: survivors). */
-  val dedupMinhashKeepers: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** Word-3-gram shingle generation (pos 0-based; a doc shorter than the
+    * shingle width contributes its whole text) as DuckDB CTEs — the oracle
+    * twin of TextOps.shingles, shared by the dedup oracles below.
+    */
+  private val duckShingleCtes: String =
+    """toks AS (
+      |  SELECT doc_id AS id, text, str_split(text, ' ') AS ts FROM documents),
+      |pos AS (
+      |  SELECT id, text, ts, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS p
+      |  FROM toks),
+      |sh0 AS (
+      |  SELECT id,
+      |    CASE WHEN len(ts) < 3 THEN text
+      |         ELSE concat_ws(' ', ts[p], ts[p+1], ts[p+2]) END AS s
+      |  FROM pos)""".stripMargin
+
+  /** MinHash-LSH near-dedup keep-list, hash-checked end-to-end: the oracle
+    * replays signature minima (portable Broder-style family
+    * `h_i = (h1 + i·h2) mod 2^56` over md5-prefix base hashes), the
+    * 16×4 banding, bucket-collision candidate generation, and the exact
+    * shingle-Jaccard verify, then derives the same keeper set. (Band
+    * buckets compare by value on both sides — Spark hashes the band slice,
+    * the oracle concatenates it; identical pair sets either way.)
+    */
+  val dedupMinhashKeepers: QueryDef = QueryDef.withOracle {
+    val P = Dedup.PortableMinhashModulus
+    val mins = (1 to 64).map(i => s"MIN((h1 + ${i - 1} * h2) % $P) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until 16).map { b =>
+      val cols = (1 to 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT id, $b AS band, concat_ws('|', $cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $duckShingleCtes,
+       |hs AS (
+       |  SELECT id,
+       |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |    ('0x' || substr(md5(s || '#'), 1, 14))::BIGINT AS h2
+       |  FROM sh0),
+       |sigs AS (SELECT id,
+       |  $mins
+       |  FROM hs GROUP BY id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |shd AS (SELECT id, list_distinct(list(s)) AS sh FROM sh0 GROUP BY id),
+       |pairs AS (
+       |  SELECT id_b FROM (
+       |    SELECT c.id_b,
+       |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+       |    FROM cands c JOIN shd a ON a.id = c.id_a JOIN shd b ON b.id = c.id_b) z
+       |  WHERE j >= 0.5)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+  } { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, portableHashes = true)
     Dedup.nearDedupKeepers(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
   }
 
@@ -851,8 +907,27 @@ object Queries {
   /** n-gram Jaccard similar pairs via the inverted-index candidate join
     * (df-capped postings: this synthetic corpus is low-entropy, so common
     * shingles are aggressively dropped from candidate generation).
+    * Hash-checked: the oracle replays the same df-cap, shared-rare≥2
+    * pruning, and exact-Jaccard verify on raw shingle strings (Spark joins
+    * on xxhash64 of the shingle — an equality-preserving optimization).
     */
-  val dedupNgramJaccard: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val dedupNgramJaccard: QueryDef = QueryDef.withOracle(
+    s"""WITH $duckShingleCtes,
+       |shd AS (SELECT id, list_distinct(list(s)) AS sh FROM sh0 GROUP BY id),
+       |inv AS (SELECT DISTINCT id, s FROM sh0),
+       |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 20),
+       |posts AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+       |  FROM cand c JOIN shd a ON a.id = c.id_a JOIN shd b ON b.id = c.id_b) z
+       |WHERE jaccard >= 0.05
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.05, maxDocFrequency = 20)
       .orderBy("id_a", "id_b")
   }
