@@ -601,6 +601,39 @@ object Queries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Range (interval) join: events falling inside daily 10:00-11:00
+    * maintenance windows derived from the same table. Spark has no native
+    * range join (a raw BETWEEN condition plans as a nested-loop join) —
+    * composed as explode-intervals-to-buckets + equi-join + residual filter
+    * (`graft/ops/RangeJoin.scala`); DuckDB's plain BETWEEN join is the
+    * oracle. Windows are disjoint → one output row per matching event.
+    */
+  val q29RangeJoin: QueryDef = QueryDef.withOracle(
+    """WITH windows AS (
+      |  SELECT CAST(FLOOR(epoch(d)) AS BIGINT) AS win_id,
+      |    d + INTERVAL 10 HOUR AS win_start,
+      |    d + INTERVAL 11 HOUR AS win_end
+      |  FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events))
+      |SELECT e.event_id, w.win_id, e.user_id,
+      |  CAST(e.value AS DOUBLE) AS value
+      |FROM events e JOIN windows w
+      |  ON e.ts >= w.win_start AND e.ts <= w.win_end
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val events = t(s, dir, "events")
+    val windows = events
+      .select(date_trunc("day", col("ts")).as("d")).distinct()
+      .select(
+        unix_timestamp(col("d")).as("win_id"),
+        (col("d") + expr("INTERVAL 10 HOURS")).as("win_start"),
+        (col("d") + expr("INTERVAL 11 HOURS")).as("win_end"))
+    graft.ops.RangeJoin.bucketedRangeJoin(
+      events, windows, leftTime = "ts",
+      rightStart = "win_start", rightEnd = "win_end", bucketWidth = 3600L)
+      .select(col("event_id"), col("win_id"), col("user_id"),
+        col("value").cast("double").as("value"))
+      .orderBy("event_id")
+  }
+
   /** Custom UDAF surface: bounded top-k aggregator (O(k) buffer, map-side
     * merged) vs the full-sort window form as oracle — same answer, very
     * different scaling on huge groups.
@@ -1165,6 +1198,7 @@ object Queries {
     "q26_asof_join" -> q26AsofJoin,
     "q27_sessionization" -> q27Sessionization,
     "q28_topk_udaf" -> q28TopkUdaf,
+    "q29_range_join" -> q29RangeJoin,
     "stream_sessions" -> streamSessions,
     "als_ratings" -> alsRatings,
     "als_csv_ratings" -> alsCsvRatings,

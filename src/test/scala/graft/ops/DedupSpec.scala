@@ -49,6 +49,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("portable minhash family finds the same near-dups and exact jaccards") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val docs = docsDF(Seq(
+      1L -> base,
+      2L -> nearDup,
+      3L -> "completely unrelated text about spark query engines and parquet files"))
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, portableHashes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+    // signatures stay inside the 56-bit family range and are deterministic
+    val sigs = Dedup.minhashSignatures(docs, portableHashes = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(sigs.forall(_._2.forall(v => v >= 0L && v < Dedup.PortableMinhashModulus)))
+    val again = Dedup.minhashSignatures(docs, portableHashes = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.forall { case (id, s) => again(id) == s })
+  }
+
   test("minhash verified jaccard equals the exact shingle jaccard") {
     val nearDup = base.replace("lazy", "sleepy")
     val docs = docsDF(Seq(1L -> base, 2L -> nearDup))

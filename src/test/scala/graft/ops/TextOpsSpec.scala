@@ -68,6 +68,16 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(short == Seq("a b"))
   }
 
+  test("portableHash56 is the big-endian first-14-hex-chars of md5") {
+    // known answer: md5('hello') = 5d41402abc4b2a76..., first 14 hex chars
+    // parsed base-16 = 26248916684786474; DuckDB computes the same via
+    // ('0x' || substr(md5(s),1,14))::BIGINT — the cross-engine contract
+    val got = one("hello").select(TextOps.portableHash56(col("text")))
+      .collect().head.getLong(0)
+    assert(got == 26248916684786474L)
+    assert(got == java.lang.Long.parseLong("5d41402abc4b2a", 16))
+  }
+
   test("analyze projection exposes all feature columns on the fixture table") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = TextOps.analyze(docs)
