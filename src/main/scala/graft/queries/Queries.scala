@@ -1166,6 +1166,43 @@ object Queries {
       .orderBy("window_start", "event_type")
   }
 
+  /** Partitioned-layout sink + pruned scan: documents written
+    * `partitionBy(lang)` once, then read back with a partition-column
+    * filter — the plan prunes to the matching directories
+    * (`PartitionFilters`, zero I/O on other langs), the layout that turns
+    * a 100 TB scan into a per-partition scan. Hash-checked against the
+    * same filter over the original table.
+    */
+  val docsPartitionedScan: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE lang IN ('en', 'fr')
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_docs_part_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .where(col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Stream-stream interval join run to completion (real state-store join
+    * machinery; inner join emits eagerly, so the batch interval join is an
+    * exact oracle).
+    */
+  val streamPurchaseViews: QueryDef = QueryDef.withOracle(
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+      |  CAST(p.value AS DOUBLE) AS purchase_value
+      |FROM events p JOIN events v
+      |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+      |  AND v.user_id = p.user_id
+      |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+      |ORDER BY purchase_id, view_id""".stripMargin) { (s, dir) =>
+    EventsStream.runToBatch(s, dir, EventsStream.purchaseViewJoin(_),
+      s"stream_purchase_views_${math.abs(dir.hashCode)}")
+      .orderBy("purchase_id", "view_id")
+  }
+
   // ------------------------------------------------------------------
 
   /** Every registered query, in a stable order. */
@@ -1224,5 +1261,7 @@ object Queries {
     "sim_topk_ivf" -> simTopkIvf,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
-    "stream_events_daily" -> streamEventsDaily)
+    "docs_partitioned_scan" -> docsPartitionedScan,
+    "stream_events_daily" -> streamEventsDaily,
+    "stream_purchase_views" -> streamPurchaseViews)
 }

@@ -142,6 +142,32 @@ object EventsStream {
       .toDF()
   }
 
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * views in the preceding hour. Both sides watermarked and the join
+    * condition time-bounded, so the state store evicts rows once the
+    * watermark passes the bound — state is O(events inside the interval),
+    * never O(stream) — the contract that keeps a streaming join alive at
+    * 100 TB/day. Inner joins emit matches eagerly (no watermark wait), so
+    * an AvailableNow run produces exactly the batch join's rows.
+    */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(
+        col("purchase_id"), col("view_id"), col("user_id"),
+        col("purchase_value").cast("double").as("purchase_value"))
+  }
+
   /** Runs a streaming transform to completion over the fixture files with
     * `Trigger.AvailableNow` and returns the accumulated result as a batch
     * DataFrame (memory sink). Used by the verify harness so the streaming

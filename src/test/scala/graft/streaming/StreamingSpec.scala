@@ -31,6 +31,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventsStream.runToBatch(
+      spark, sfDir, EventsStream.purchaseViewJoin(_), "spec_pv_join")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+    val events = Tables.load(spark, sfDir, "events")
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val v = events.where(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("vu"), col("ts").as("vts"))
+    val batch = p.join(v,
+      col("pu") === col("vu") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("vts") <= col("pts"))
+      .select("pid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
     import spark.implicits._
     val events = Tables.load(spark, sfDir, "events").limit(50)
