@@ -57,7 +57,7 @@ object Dedup {
       numHashes: Int = 64,
       shingleSize: Int = 3,
       portableHashes: Boolean = false): DataFrame = {
-    val exploded = documents.select(
+    val exploded = Parallelism.widen(documents).select(
       col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
     if (!portableHashes) {
@@ -138,10 +138,13 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact shingle-set Jaccard
-    val shingled = documents.select(
+    // verify candidates with exact shingle-set Jaccard; the shingle-set
+    // frame feeds BOTH sides of the verify join — persist it so the (HOF)
+    // shingle computation runs once, not once per join side
+    val shingled = Parallelism.widen(documents).select(
       col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
+      .persist()
     val verified = candidates
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -151,10 +154,11 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     // materialize the (small: true near-dups only) result eagerly so the
-    // banded signature cache can be freed here instead of leaking for the
+    // banded/shingle caches can be freed here instead of leaking for the
     // session lifetime; callers may unpersist the returned frame when done
     verified.persist().count()
     banded.unpersist(blocking = false)
+    shingled.unpersist(blocking = false)
     verified
   }
 
@@ -200,7 +204,7 @@ object Dedup {
       numBits: Int = 64,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(numBits >= 1 && numBits <= 64)
-    val exploded = documents
+    val exploded = Parallelism.widen(documents)
       .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("t"))
       .select(col("id"), hashFn(col("t")).as("h"))
     val voteCols = (0 until numBits).map { i =>
@@ -267,9 +271,12 @@ object Dedup {
       threshold: Double = 0.8,
       maxDocFrequency: Int = 100,
       minSharedShingles: Int = 2): DataFrame = {
-    val sh = documents.select(
+    // persisted: feeds the inverted index AND both sides of the verify
+    // join — without the cache the (HOF) shingle computation runs 3×
+    val sh = Parallelism.widen(documents).select(
       col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
+      .persist()
     val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_hash"))
     // document-frequency cap: keep only discriminative shingles
@@ -291,7 +298,7 @@ object Dedup {
       .select("id_a", "id_b")
     // verify with exact Jaccard over the FULL shingle sets (the df cap only
     // gates candidate generation, never the similarity value)
-    candidates
+    val verified = candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -299,6 +306,11 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // eager-materialize the (small) verified pair set, then free the
+    // shingle cache — same no-session-leak contract as minhashNearDups
+    verified.persist().count()
+    sh.unpersist(blocking = false)
+    verified
   }
 
   /** Embedding-cosine near-duplicates via random-hyperplane LSH: bucket on
@@ -316,7 +328,7 @@ object Dedup {
       numPlanes: Int = 12,
       numTables: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = Parallelism.widen(embeddings).select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("n"))
     val sigs = Similarity.withHyperplaneSignatures(base, "v", dim, numPlanes, numTables, seed)
     // id-only bands: the pair-dedup exchange moves 16-byte rows, not vectors

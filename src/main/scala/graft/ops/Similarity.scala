@@ -72,7 +72,10 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    // widen the probe side: below the (broadcast) pairwise join the output
+    // keeps the probe's partitioning, so a single-split probe would score
+    // all n·m pairs in one task
+    val q = Parallelism.widen(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VectorFunctions.norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VectorFunctions.norm(col(vecCol)).as("cn"))
@@ -97,7 +100,7 @@ object Similarity {
       numPlanes: Int = 10,
       numTables: Int = 6,
       seed: Long = 42L): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = Parallelism.widen(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("n"))
     val sigs = withHyperplaneSignatures(base, "v", dim, numPlanes, numTables, seed)
     // bands carry ONLY ids — the dedup `distinct` then exchanges 16-byte
@@ -162,12 +165,12 @@ object Similarity {
           .when(a.getField("score") > b.getField("score"), 1)
           .otherwise(0))), 1, n).getField("cell")
 
-    val assignedCorpus = corpus
+    val assignedCorpus = Parallelism.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         VectorFunctions.norm(col(vecCol)).as("cn"))
       .withColumn("cell", topCells(col("cv"), 1).getItem(0))
 
-    val probedQueries = queries
+    val probedQueries = Parallelism.widen(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFunctions.norm(col(vecCol)).as("qn"))
       .withColumn("cell", explode(topCells(col("qv"), nProbe)))

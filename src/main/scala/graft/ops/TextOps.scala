@@ -138,7 +138,7 @@ object TextOps {
       shingleSize: Int = 3,
       window: Int = 4,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val hs = documents
+    val hs = Parallelism.widen(documents)
       .select(col(idCol), posexplode(shingles(col(textCol), shingleSize)).as(Seq("pos", "s")))
       .select(col(idCol), col("pos"), hashFn(col("s")).as("h"))
     val perDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
@@ -167,7 +167,7 @@ object TextOps {
   /** Full per-document analysis projection over a documents DataFrame. */
   def analyze(documents: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    documents
+    Parallelism.widen(documents)
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("n_tokens_bpe", bpeTokenEstimate(t))
       .withColumn("avg_token_len", avgTokenLen(t))
