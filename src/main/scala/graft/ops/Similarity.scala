@@ -34,6 +34,12 @@ object Similarity {
 
   /** Adds `sigs: ARRAY<STRUCT<table INT, sig BIGINT>>` — per LSH table, the
     * packed sign-bit signature of the vector against that table's planes.
+    *
+    * The plane set ships as ONE 3-D literal (tables × planes × dim) indexed
+    * inside the lambdas, not as tables×planes separate array literals —
+    * the expanded form built an expression tree whose Catalyst
+    * analysis/codegen dominated wall-clock on the driver (seconds per plan
+    * compile, recompiled per join side).
     */
   private[ops] def withHyperplaneSignatures(
       df: DataFrame,
@@ -42,16 +48,25 @@ object Similarity {
       planesPerTable: Int,
       numTables: Int,
       seed: Long): DataFrame = {
-    val sigCols: Seq[Column] = (0 until numTables).map { t =>
-      val planes = hyperplanes(dim, planesPerTable, seed + t)
-      val bits: Seq[Column] = planes.zipWithIndex.map { case (plane, i) =>
-        val planeCol = array(plane.map(v => lit(v)): _*)
-        when(VectorFunctions.dot(col(vecCol), planeCol) >= 0.0, shiftleft(lit(1L), i))
-          .otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+    val planes: Seq[Seq[Seq[Float]]] = (0 until numTables).map { t =>
+      hyperplanes(dim, planesPerTable, seed + t).toSeq.map(_.toSeq)
     }
-    df.withColumn("sigs", array(sigCols: _*))
+    val planeLit = typedLit(planes)
+    val sigs = transform(
+      sequence(lit(0), lit(numTables - 1)),
+      t => struct(
+        t.cast("int").as("table"),
+        aggregate(
+          sequence(lit(0), lit(planesPerTable - 1)),
+          lit(0L),
+          (acc, i) => acc.bitwiseOR(
+            when(
+              VectorFunctions.dot(
+                col(vecCol),
+                element_at(element_at(planeLit, t.cast("int") + 1), i.cast("int") + 1)) >= 0.0,
+              call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))))
+          .as("sig")))
+    df.withColumn("sigs", sigs)
   }
 
   /** cosine(a,b) from a precomputed-norm pair: one dot per pair instead of
@@ -90,6 +105,17 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: candidates = pairs sharing a bucket in
     * any table, exact cosine re-rank inside the candidate set.
+    *
+    * Parameter regime: collision probability per table is (1-θ/π)^planes,
+    * so SHORT signatures + MORE tables raise recall while LONG signatures
+    * shrink buckets (the near-dup regime — see Dedup.embeddingNearDups).
+    * Candidate volume is ≈ n²·tables/2^planes, so the right signature
+    * width GROWS with the corpus: `numPlanes < 0` (the default) sizes it
+    * as log₂(n/64) — bucket occupancy stays ~64 rows and candidate volume
+    * ~64·tables per query at ANY corpus size, trading recall on
+    * structureless corpora for bounded cost. sim_recall reports the
+    * measured recall@k of this trade; IVF is the higher-recall tier on
+    * clustered data.
     */
   def lshTopK(
       vectors: DataFrame,
@@ -97,16 +123,24 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dim: Int = 64,
-      numPlanes: Int = 10,
-      numTables: Int = 6,
+      numPlanes: Int = -1,
+      numTables: Int = 12,
       seed: Long = 42L): DataFrame = {
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = vectors.count().toDouble
+        math.max(4, math.ceil(math.log(math.max(n / 64.0, 2.0)) / math.log(2.0)).toInt)
+      }
     val base = Parallelism.widen(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("n"))
-    val sigs = withHyperplaneSignatures(base, "v", dim, numPlanes, numTables, seed)
+    val sigs = withHyperplaneSignatures(base, "v", dim, planes, numTables, seed)
     // bands carry ONLY ids — the dedup `distinct` then exchanges 16-byte
-    // rows, not 64-float vectors; vectors re-attach after dedup
+    // rows, not 64-float vectors; vectors re-attach after dedup. Persisted:
+    // the self-join would otherwise run the signature lineage once per side
     val banded = sigs.select(col("id"), explode(col("sigs")).as("ts"))
       .select(col("id"), col("ts.table").as("t"), col("ts.sig").as("sig"))
+      .persist()
     val candidatePairs = banded.as("x")
       .join(banded.as("y"),
         col("x.t") === col("y.t") &&
@@ -114,6 +148,10 @@ object Similarity {
           col("x.id") =!= col("y.id"))
       .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"))
       .distinct()
+    // eager-materialize the (bounded: ~tables × bucket-occupancy per query)
+    // candidate set so the banded cache frees here, not at session end
+    candidatePairs.persist().count()
+    banded.unpersist(blocking = false)
     val candidates = candidatePairs
       .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")), "query_id")
       .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")), "neighbor_id")
@@ -126,11 +164,74 @@ object Similarity {
   }
 
   /** Deterministic IVF codebook: `numCells` pseudo-random unit-ish
-    * centroids. A production system would train these with k-means; the
-    * query plan (assign → probe → re-rank) is identical either way.
+    * centroids — the cold-start initializer for [[trainCodebook]] and the
+    * default codebook of [[ivfTopK]].
     */
   private[ops] def codebook(dim: Int, numCells: Int, seed: Long): Array[Array[Float]] =
     hyperplanes(dim, numCells, seed * 7919L)
+
+  /** `ARRAY<STRUCT<cell, centroid>>` literal column for a codebook. */
+  private def cellArrayCol(cells: Array[Array[Float]]): Column =
+    array(cells.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("cell"), array(cv.map(lit): _*).as("centroid"))
+    }: _*)
+
+  /** Top-`n` cells of `v` by dot score against the codebook literal. */
+  private def topCellsCol(cellArr: Column, v: Column, n: Int): Column = {
+    val scored = transform(
+      cellArr,
+      c => struct(
+        c.getField("cell").as("cell"),
+        VectorFunctions.dot(v, c.getField("centroid")).as("score")))
+    slice(reverse(array_sort(scored, (a, b) =>
+      when(a.getField("score") < b.getField("score"), -1)
+        .when(a.getField("score") > b.getField("score"), 1)
+        .otherwise(0))), 1, n).getField("cell")
+  }
+
+  /** Spherical-k-means refinement of the IVF codebook: assign every vector
+    * to its max-dot centroid (the SAME rule `ivfTopK` probes with; with
+    * unit centroids that is max-cosine), recompute per-cell per-dimension
+    * means as an exploded two-key aggregate, re-normalize each centroid to
+    * unit L2 (the closed-form optimal unit centroid for the dot objective —
+    * plain mean centroids shrink toward 0 and degrade the assignment), and
+    * repeat. Each iteration is one distributed pass; only the k×dim
+    * centroid table ever reaches the driver, so the same loop trains on a
+    * 100 TB corpus. Cells that lose all members keep their previous
+    * centroid. Monotone: Σ maxᶜ v·c never decreases across iterations.
+    */
+  def trainCodebook(
+      vectors: DataFrame,
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      numCells: Int = 16,
+      iterations: Int = 3,
+      seed: Long = 42L): Array[Array[Float]] = {
+    def normalized(c: Array[Float]): Array[Float] = {
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (n > 0) c.map(x => (x / n).toFloat) else c
+    }
+    var centroids = codebook(dim, numCells, seed).map(normalized)
+    val base = Parallelism.widen(vectors).select(col(vecCol).as("v"))
+    for (_ <- 0 until iterations) {
+      val cellArr = cellArrayCol(centroids)
+      val means = base
+        .withColumn("cell", topCellsCol(cellArr, col("v"), 1).getItem(0))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val m = new Array[Float](dim)
+        rows.foreach(r => m(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat)
+        val u = normalized(m)
+        if (u.exists(_ != 0f)) next(cell) = u
+      }
+      centroids = next
+    }
+    centroids
+  }
 
   /** IVF-style ANN: every corpus vector is assigned to its nearest centroid
     * cell (one narrow pass); each query probes its `nProbe` nearest cells
@@ -147,23 +248,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val cells = codebook(dim, numCells, seed)
-    val cellArr = array(cells.zipWithIndex.map { case (cv, i) =>
-      struct(lit(i).as("cell"), array(cv.map(lit): _*).as("centroid"))
-    }: _*)
+      seed: Long = 42L,
+      trainedCodebook: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cells = trainedCodebook.getOrElse(codebook(dim, numCells, seed))
+    val cellArr = cellArrayCol(cells)
 
-    def scoredCells(v: Column): Column = transform(
-      cellArr,
-      c => struct(
-        c.getField("cell").as("cell"),
-        VectorFunctions.dot(v, c.getField("centroid")).as("score")))
-
-    def topCells(v: Column, n: Int): Column =
-      slice(reverse(array_sort(scoredCells(v), (a, b) =>
-        when(a.getField("score") < b.getField("score"), -1)
-          .when(a.getField("score") > b.getField("score"), 1)
-          .otherwise(0))), 1, n).getField("cell")
+    def topCells(v: Column, n: Int): Column = topCellsCol(cellArr, v, n)
 
     val assignedCorpus = Parallelism.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

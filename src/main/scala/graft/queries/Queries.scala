@@ -1038,11 +1038,37 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-style probe-limited top-5. */
+  /** IVF-style probe-limited top-5 with a k-means-trained codebook (3
+    * Lloyd passes over the corpus; only the k×dim centroid table reaches
+    * the driver).
+    */
   val simTopkIvf: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, e, k = 5)
+    val trained = Similarity.trainCodebook(e)
+    Similarity.ivfTopK(e, e, k = 5, trainedCodebook = Some(trained))
       .orderBy("query_id", "rank")
+  }
+
+  /** ANN quality surface: recall@5 of the LSH and (trained-codebook) IVF
+    * paths against the exact brute-force neighbors — the accuracy/cost
+    * trade of the approximate tiers as driver-readable numbers. Rows-only:
+    * approximation quality is engine-specific by nature.
+    */
+  val simRecall: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(e, e, k = 5)
+      .select("query_id", "neighbor_id")
+    val lsh = Similarity.lshTopK(e, k = 5).select("query_id", "neighbor_id")
+    val ivf = Similarity
+      .ivfTopK(e, e, k = 5, trainedCodebook = Some(Similarity.trainCodebook(e)))
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count().toDouble
+    val lshHits = exact.join(lsh, Seq("query_id", "neighbor_id")).count()
+    val ivfHits = exact.join(ivf, Seq("query_id", "neighbor_id")).count()
+    val spark = s
+    import spark.implicits._
+    Seq((lshHits / nExact, ivfHits / nExact, nExact.toLong))
+      .toDF("lsh_recall", "ivf_recall", "n_exact_pairs")
   }
 
   /** Sketch aggregates: HLL++ approximate distinct and approximate
@@ -1259,6 +1285,7 @@ object Queries {
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
+    "sim_recall" -> simRecall,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "docs_partitioned_scan" -> docsPartitionedScan,

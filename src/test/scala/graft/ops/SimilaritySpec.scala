@@ -65,6 +65,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hits >= 70, s"top-1 recall $hits/100 below 70%")
   }
 
+  test("k-means codebook training improves the assignment objective") {
+    val vs = randomVecs(200, 23)
+    val df = embDF(vs)
+
+    def objective(cells: Array[Array[Float]]): Double = {
+      // Σ over vectors of max-dot against the codebook (what assignment
+      // maximizes; Lloyd updates must not decrease it materially)
+      vs.map { case (_, v) =>
+        cells.map(c => c.zip(v).map { case (x, y) => x.toDouble * y }.sum).max
+      }.sum
+    }
+
+    // iterations=0 yields the normalized cold-start codebook — the proper
+    // same-scale baseline for the monotone spherical-k-means objective
+    val cold = Similarity.trainCodebook(df, dim = dim, numCells = 8, iterations = 0)
+    val trained = Similarity.trainCodebook(df, dim = dim, numCells = 8, iterations = 3)
+    assert(trained.length == 8 && trained.forall(_.length == dim))
+    assert(objective(trained) > objective(cold),
+      s"training did not improve the assignment objective")
+    // full-probe IVF with the trained codebook is still exact
+    val brute = Similarity.bruteForceTopK(df, df, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val full = Similarity.ivfTopK(df, df, k = 1, nProbe = 8, numCells = 8, dim = dim,
+      trainedCodebook = Some(trained))
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(full == brute)
+  }
+
   test("IVF top-k with full probes equals brute force; fewer probes trade recall") {
     val vs = randomVecs(60, 11)
     val df = embDF(vs)
