@@ -1086,6 +1086,51 @@ object Queries {
       percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"))
   }
 
+  /** Mergeable-sketch tier (Apache DataSketches builtins): HLL sketches
+    * built per event_type then UNIONED — the pre-aggregate-then-merge shape
+    * that lets a 100 TB pipeline sketch per partition/day and combine
+    * later without rescanning — plus a theta-sketch set intersection
+    * (purchasers ∩ viewers), next to their exact companions. Rows-only:
+    * sketch estimates are representation-specific; SketchAndWinnowSpec
+    * bounds the error.
+    */
+  val sketchMergeable: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val events = t(s, dir, "events")
+    val mergedHll = events
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("hll"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(hll)) AS BIGINT)")
+        .as("approx_users_merged"))
+    val exact = events.agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      countDistinct(when(col("event_type") === "purchase", col("user_id")))
+        .as("exact_purchasers"))
+    val theta = events
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)").as("p"),
+        expr("theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)").as("v"))
+      .select(
+        expr("CAST(theta_sketch_estimate(p) AS BIGINT)").as("approx_purchasers"),
+        expr("CAST(theta_sketch_estimate(theta_intersection(p, v)) AS BIGINT)")
+          .as("approx_purchase_and_view_users"))
+    mergedHll.join(exact).join(theta)
+  }
+
+  /** Heavy hitters: approx_top_k (count-min-style frequent items) over the
+    * lineitem part keys, exploded to `(rank, item, approx_count)` rows.
+    * Rows-only: counts are sketch-estimates (merge-order-dependent).
+    */
+  val sketchHeavyHitters: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(expr("approx_top_k(l_partkey, 5)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("entry.item").cast("bigint").as("item"),
+        col("entry.count").cast("bigint").as("approx_count"))
+      .orderBy("rank")
+  }
+
   /** Winnowing fingerprints per document, exploded to `(doc_id,
     * fingerprint)` scalar rows and hash-checked against a DuckDB oracle
     * that replays the whole pipeline (shingle → hash → sliding-window min →
@@ -1282,6 +1327,8 @@ object Queries {
     "text_langid_fingerprint" -> textLangidFingerprint,
     "text_winnow" -> textWinnow,
     "sketch_aggregates" -> sketchAggregates,
+    "sketch_mergeable" -> sketchMergeable,
+    "sketch_heavy_hitters" -> sketchHeavyHitters,
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,

@@ -22,6 +22,43 @@ class SketchAndWinnowSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
   }
 
+  test("mergeable sketches: partial HLL union and theta intersection stay within bounds") {
+    import spark.implicits._
+    // 40k ids split into 4 groups; purchasers = [0, 25k), viewers = [15k, 40k)
+    // → true intersection = 10k
+    val rows = (0L until 40000L).map(i => (i, (i % 4).toString))
+    val df = rows.toDF("uid", "grp")
+
+    // pre-aggregate per group, merge the sketches — the 100 TB shape
+    val merged = df.groupBy("grp")
+      .agg(expr("hll_sketch_agg(uid)").as("hll"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(hll))").as("est"))
+      .head().getLong(0)
+    assert(math.abs(merged - 40000.0) / 40000.0 < 0.05,
+      s"merged HLL estimate $merged too far from 40000")
+
+    val inter = df
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN uid < 25000 THEN uid END)").as("p"),
+        expr("theta_sketch_agg(CASE WHEN uid >= 15000 THEN uid END)").as("v"))
+      .select(expr("theta_sketch_estimate(theta_intersection(p, v))"))
+      .head().getLong(0).toDouble
+    assert(math.abs(inter - 10000.0) / 10000.0 < 0.15,
+      s"theta intersection estimate $inter too far from 10000")
+  }
+
+  test("approx_top_k surfaces the true heavy hitters on skewed keys") {
+    import spark.implicits._
+    // keys 0..99 appear once; keys 1000/1001/1002 appear 500/400/300 times
+    val skew = Seq.fill(500)(1000L) ++ Seq.fill(400)(1001L) ++ Seq.fill(300)(1002L)
+    val df = ((0L until 100L) ++ skew).toDF("k")
+    val top = df.agg(expr("approx_top_k(k, 3)").as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.item").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(1000L, 1001L, 1002L), s"heavy hitters wrong: $top")
+  }
+
   test("winnowing: shared token runs guarantee shared fingerprints") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
