@@ -682,6 +682,12 @@ object Queries {
   private[graft] def ratingsDF(s: SparkSession, dir: String): DataFrame =
     graft.sources.RatingsSource.fromLineitem(s, dir)
 
+  /** Sink dirs already (re)written by THIS JVM — see alsCsvRatings /
+    * docsPartitionedScan.
+    */
+  private val csvWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** One trained model per (session, sfDir) — the ALS queries share it. The
     * session UUID in the key keeps a restarted session from receiving a
     * model bound to a stale predecessor's DataFrames.
@@ -793,8 +799,13 @@ object Queries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val csvDir = s"/tmp/graft_csv_ratings_${math.abs(dir.hashCode)}"
-    if (!new java.io.File(s"$csvDir/_SUCCESS").exists())
+    // rewritten once per JVM (never trusted across processes — a stale dump
+    // from an earlier round's fixtures would silently diverge from the
+    // oracle, which reads the CURRENT relational tables)
+    if (!csvWritten.contains(csvDir)) {
       ratingsDF(s, dir).write.mode("overwrite").option("header", "false").csv(csvDir)
+      csvWritten.add(csvDir)
+    }
     graft.sources.RatingsSource.fromCsv(s, csvDir).orderBy("user_id", "item_id")
   }
 
@@ -1249,8 +1260,10 @@ object Queries {
       |WHERE lang IN ('en', 'fr')
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val path = s"/tmp/graft_docs_part_${math.abs(dir.hashCode)}"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    if (!csvWritten.contains(path)) {
       t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(path)
+      csvWritten.add(path)
+    }
     s.read.parquet(path)
       .where(col("lang").isin("en", "fr"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
