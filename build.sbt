@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap is PINNED at 8g: measured in round 3 (PLANS.md), a 48g heap makes
+  // Tungsten dedup/agg stages 2-5× slower with wild variance (page sizing +
+  // GC never reclaiming accumulated broadcast/shuffle state between
+  // queries), so an env-provided oversized heap silently wrecks the bench.
+  // Override explicitly via SPARK_GRAFT_JAVA_OPTS (appended later — the
+  // last -Xmx wins) when a run genuinely needs more.
+  "-Xmx8g",
+  // ~60 codegen-heavy queries in one JVM approach the default 240m JIT
+  // code cache; when it fills, compilation stops and late queries run
+  // interpreted — an order-of-magnitude, hard-to-reproduce slowdown.
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -116,6 +116,13 @@ object Similarity {
     * structureless corpora for bounded cost. sim_recall reports the
     * measured recall@k of this trade; IVF is the higher-recall tier on
     * clustered data.
+    *
+    * `queryIdPredicate` restricts the QUERY side of the search to ids the
+    * predicate accepts, while the corpus side (bucketing + neighbors) stays
+    * the full input — the shape both batch serving (score one day's new
+    * items against everything) and sampled quality measurement need. The
+    * filter lands below the candidate self-join, so candidate volume
+    * scales with the accepted fraction.
     */
   def lshTopK(
       vectors: DataFrame,
@@ -125,7 +132,8 @@ object Similarity {
       dim: Int = 64,
       numPlanes: Int = -1,
       numTables: Int = 12,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      queryIdPredicate: Option[Column => Column] = None): DataFrame = {
     val planes =
       if (numPlanes > 0) numPlanes
       else {
@@ -141,7 +149,8 @@ object Similarity {
     val banded = sigs.select(col("id"), explode(col("sigs")).as("ts"))
       .select(col("id"), col("ts.table").as("t"), col("ts.sig").as("sig"))
       .persist()
-    val candidatePairs = banded.as("x")
+    val queryBands = queryIdPredicate.fold(banded)(p => banded.where(p(col("id"))))
+    val candidatePairs = queryBands.as("x")
       .join(banded.as("y"),
         col("x.t") === col("y.t") &&
           col("x.sig") === col("y.sig") &&
