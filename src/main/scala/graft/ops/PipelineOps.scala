@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators a training-data pipeline needs around the
+  * cleaning tiers (dedup/similarity/text analysis): deterministic splits,
+  * sampling, and pattern scrubbing.
+  *
+  * Everything here is driven by [[TextOps.portableHash56]] over the row's
+  * OWN id — no RNG state, no `rand()`:
+  *   - reproducible anywhere (the same row lands in the same split on a
+  *     laptop, a 1000-executor cluster, or DuckDB replaying the oracle SQL);
+  *   - stable under re-partitioning, retries, and incremental reruns —
+  *     `rand()`-based splits silently reshuffle rows between train and test
+  *     whenever a task retries, which leaks test data into training;
+  *   - stateless per row, so split/sample filters are codegen'd predicates
+  *     that stack UNDER the parquet scan's column pruning (no shuffle, no
+  *     driver coordination — the only split shape that works at 100 TB).
+  */
+object PipelineOps {
+
+  /** Hash bucket in [0, buckets) for a row id, salted so independent
+    * pipeline stages (split vs sample) draw independent buckets.
+    */
+  def hashBucket(idCol: Column, salt: String, buckets: Int = 100): Column =
+    pmod(TextOps.portableHash56(concat(idCol.cast("string"), lit("|" + salt))), lit(buckets.toLong))
+
+  /** Deterministic train/val/test-style split assignment.
+    *
+    * `fractions` are (name, weight) pairs summing to 1.0; weights are
+    * resolved to integer percent thresholds (so 0.9/0.05/0.05 → buckets
+    * [0,90) / [90,95) / [95,100)). Adding a `bucket` column alongside the
+    * label keeps the assignment auditable and lets a later re-split (say
+    * 95/5 → 90/10) keep every existing train row in train.
+    */
+  def splitAssignments(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      salt: String = "split",
+      fractions: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val pcts = fractions.map { case (n, f) => (n, math.round(f * 100).toInt) }
+    require(pcts.map(_._2).sum == 100, s"fractions must sum to 1.0 in whole percents: $fractions")
+    val bucket = hashBucket(col(idCol), salt)
+    val cumulative = pcts.scanLeft(0)(_ + _._2).tail
+    val label = pcts.zip(cumulative).init.foldRight(lit(pcts.last._1)) {
+      case (((name, _), upper), rest) => when(bucket < upper, name).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", label)
+  }
+
+  /** Stateless fractional sample: keep a row iff its hash bucket (of 1000)
+    * falls under `fraction`. A pure filter — no shuffle, no count, no
+    * coordination; prunes at the scan on a 100 TB table. Salting the hash
+    * per stage makes repeated sampling draws independent.
+    */
+  def sampleFraction(
+      df: DataFrame,
+      fraction: Double,
+      idCol: String = "doc_id",
+      salt: String = "sample"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.where(hashBucket(col(idCol), salt, 1000) < math.round(fraction * 1000).toInt)
+  }
+
+  /** Stratified cap-N sample: at most `cap` rows per stratum, chosen by
+    * hash order (deterministic "random" rank, ties broken by id). One
+    * shuffle on the stratum key; per-stratum state is a streaming top-N
+    * inside the window sort. For FRACTIONAL stratified sampling prefer
+    * [[sampleFraction]] with the stratum folded into the salt — that form
+    * needs no shuffle at all.
+    */
+  def sampleCapPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      cap: Int,
+      idCol: String = "doc_id",
+      salt: String = "sample"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashBucket(col(idCol), salt, 1 << 30), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("bigint")).where(col("rn") <= cap)
+  }
+
+  /** Redacts every match of `pattern` with `token` — the PII/number-scrub
+    * pass (emails, phone numbers, ids) run before a corpus ships to
+    * training. Pure codegen'd string expression: stateless, partition-
+    * parallel, no UDF. Keep `pattern` in the regex subset shared by Java
+    * and RE2 so the oracle replays it unchanged.
+    */
+  def redact(c: Column, pattern: String, token: String = "<REDACTED>"): Column =
+    regexp_replace(c, pattern, token)
+
+  /** Count of characters matching `charClass` (a single-char regex class):
+    * length delta against a strip — portable to engines without
+    * regexp_count.
+    */
+  def charClassCount(c: Column, charClass: String): Column =
+    (length(c) - length(regexp_replace(c, charClass, ""))).cast("bigint")
+}

@@ -54,6 +54,51 @@ object TextOps {
       size(toks).cast("double")
   }
 
+  /** Gopher/C4-style RULE filter: hard keep/drop per document with the
+    * first failing rule as the reason — the form a pretraining pipeline
+    * actually gates on (the composite [[qualityScore]] is for ranking;
+    * thresholded rules are for filtering, and the recorded reason drives
+    * the per-rule drop-rate dashboards a 100 TB curation run lives by).
+    *
+    * Every feature is a stateless codegen'd expression over the row (no
+    * shuffle, filter-pushdown-friendly) and every formula is chosen to be
+    * replayable verbatim in ANSI-ish SQL for the oracle:
+    * `mean_tok_len` uses the exact identity Σ len(tok) = len(text) −
+    * (n_tokens − 1) for a single-char separator, avoiding a per-token
+    * aggregation in both engines.
+    */
+  def qualityFlags(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minTokens: Int = 10,
+      maxTokens: Int = 1000,
+      minMeanTokLen: Double = 2.0,
+      maxMeanTokLen: Double = 12.0,
+      maxTokLen: Int = 30,
+      minStopwordRatio: Double = 0.02): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks).cast("bigint")
+    val meanTokLen =
+      (length(col(textCol)).cast("bigint") - nTokens + lit(1L)).cast("double") /
+        nTokens.cast("double")
+    val maxTok = array_max(transform(toks, w => length(w))).cast("bigint")
+    val nStop = size(filter(toks, w => w.isInCollection(stopwords))).cast("bigint")
+    val stopRatio = nStop.cast("double") / nTokens.cast("double")
+    documents.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      meanTokLen.as("mean_tok_len"),
+      maxTok.as("max_tok_len"),
+      stopRatio.as("stop_ratio"),
+      when(nTokens < minTokens || nTokens > maxTokens, "n_tokens")
+        .when(meanTokLen < minMeanTokLen || meanTokLen > maxMeanTokLen, "mean_tok_len")
+        .when(maxTok > maxTokLen, "long_token")
+        .when(stopRatio < minStopwordRatio, "low_stopword")
+        .otherwise("ok").as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+  }
+
   /** Punctuation-character ratio (over total chars), in DOUBLE. */
   def punctRatio(text: Column): Column =
     (length(text) - length(translate(text, ".,;:!?'\"()-", ""))).cast("double") /

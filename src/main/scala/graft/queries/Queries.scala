@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.als.{GraftALS, GraftALSModel}
 import graft.functions.VectorFunctions
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, PipelineOps, Similarity, TextOps}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1037,6 +1037,119 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split (90/5/5) by salted portable hash of
+    * the row id: reproducible across engines/cluster sizes/retries (no
+    * `rand()`), stateless per row (a codegen'd predicate under the scan —
+    * the only split shape that holds at 100 TB). Hash-checked: DuckDB
+    * replays the identical md5-prefix bucket arithmetic.
+    */
+  val pipelineSplit: QueryDef = QueryDef.withOracle(
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'|split'),1,14))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    PipelineOps.splitAssignments(t(s, dir, "documents"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Stratified cap-N sample: at most 30 docs per language, picked by
+    * deterministic hash rank (window top-N per stratum; the fractional
+    * no-shuffle variant is `PipelineOps.sampleFraction`). Hash-checked
+    * against DuckDB's ROW_NUMBER over the same hash order.
+    */
+  val sampleStratified: QueryDef = QueryDef.withOracle(
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      |      ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'|sample'),1,14))::BIGINT % 1073741824,
+      |      doc_id) AS rn
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 30 ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+    PipelineOps.sampleCapPerStratum(t(s, dir, "documents"), "lang", cap = 30)
+      .select("lang", "doc_id", "rn")
+      .orderBy("lang", "rn")
+  }
+
+  /** Gopher/C4-style rule filter: hard keep/drop with the first failing
+    * rule recorded — token-count bounds, mean-token-length band, longest-
+    * token cap, minimum stopword ratio. All features are stateless
+    * codegen'd expressions (`TextOps.qualityFlags`); DuckDB replays every
+    * formula exactly (mean token length via the Σlen = len−(n−1) identity,
+    * so neither engine aggregates per token).
+    */
+  val qualityFilter: QueryDef = QueryDef.withOracle(
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
+      |    str_split(text, ' ') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n AS n_tokens,
+      |    CAST(length(text) - n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_tok_len,
+      |    CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_tok_len,
+      |    CAST(len(list_filter(toks,
+      |        x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS stop_ratio
+      |  FROM base),
+      |g AS (
+      |  SELECT doc_id, n_tokens, mean_tok_len, max_tok_len, stop_ratio,
+      |    CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'n_tokens'
+      |         WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'mean_tok_len'
+      |         WHEN max_tok_len > 30 THEN 'long_token'
+      |         WHEN stop_ratio < 0.02 THEN 'low_stopword'
+      |         ELSE 'ok' END AS reason
+      |  FROM f)
+      |SELECT doc_id, n_tokens, mean_tok_len, max_tok_len, stop_ratio, reason,
+      |  reason = 'ok' AS keep
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextOps.qualityFlags(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** Pattern scrub (the PII/number-redaction pass before a corpus ships):
+    * digit runs replaced by a token, plus the redacted-character count via
+    * the length-delta identity. Stateless codegen'd regex over the column —
+    * no UDF; the pattern stays in the Java∩RE2 regex subset so DuckDB
+    * replays it verbatim.
+    */
+  val textRedact: QueryDef = QueryDef.withOracle(
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+      |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT)
+      |    AS n_digits
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        PipelineOps.redact(col("props"), "[0-9]+", "<NUM>").as("props_redacted"),
+        PipelineOps.charClassCount(col("props"), "[0-9]").as("n_digits"))
+      .orderBy("event_id")
+  }
+
+  /** Streaming content dedup: first occurrence of each (user_id,
+    * event_type, props) key survives, every later duplicate is dropped
+    * in-flight — the streaming twin of exact dedup. Emitting only the key
+    * columns makes the kept set deterministic (all duplicates agree on
+    * them), so the run is hash-checked against batch DISTINCT. State is
+    * O(distinct keys); the bounded-state TTL variant is
+    * `EventsStream.dedupedEvents` (dropDuplicatesWithinWatermark).
+    */
+  val streamDedup: QueryDef = QueryDef.withOracle(
+    """SELECT DISTINCT user_id, event_type, props FROM events
+      |ORDER BY user_id, event_type, props""".stripMargin) { (s, dir) =>
+    EventsStream.runToBatch(s, dir,
+      _.select("user_id", "event_type", "props")
+        .dropDuplicates("user_id", "event_type", "props"),
+      s"stream_dedup_${math.abs(dir.hashCode)}")
+      .orderBy("user_id", "event_type", "props")
+  }
+
   /** Exact cosine top-5 neighbors, oracle-checked against DuckDB's
     * list_cosine_similarity. Scores intentionally excluded from the output
     * (ranks are stable; raw float-sum order is not guaranteed identical).
@@ -1362,6 +1475,11 @@ object Queries {
     "text_analyze" -> textAnalyze,
     "text_langid_fingerprint" -> textLangidFingerprint,
     "text_winnow" -> textWinnow,
+    "text_redact" -> textRedact,
+    "quality_filter" -> qualityFilter,
+    "pipeline_split" -> pipelineSplit,
+    "sample_stratified" -> sampleStratified,
+    "stream_dedup" -> streamDedup,
     "sketch_aggregates" -> sketchAggregates,
     "sketch_mergeable" -> sketchMergeable,
     "sketch_heavy_hitters" -> sketchHeavyHitters,

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong)
+      .map(i => (i, if (i % 3 == 0) "en" else "fr", s"doc number $i with some words"))
+      .toDF("doc_id", "lang", "text")
+  }
+
+  test("splitAssignments is deterministic, exhaustive, and near the requested fractions") {
+    val d = docs(2000)
+    val a = PipelineOps.splitAssignments(d).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = PipelineOps.splitAssignments(d.repartition(7)).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.size == 2000)
+    val bySplit = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 1600 && bySplit("train") < 1950)
+    assert(bySplit("val") > 40 && bySplit("val") < 180)
+    assert(bySplit("test") > 40 && bySplit("test") < 180)
+  }
+
+  test("splitAssignments rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      PipelineOps.splitAssignments(docs(5), fractions = Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("sampleFraction keeps ~fraction, is stable, and independent across salts") {
+    val d = docs(2000)
+    val s1 = PipelineOps.sampleFraction(d, 0.2, salt = "s1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s1b = PipelineOps.sampleFraction(d, 0.2, salt = "s1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = PipelineOps.sampleFraction(d, 0.2, salt = "s2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s1b, "same salt must redraw the same sample")
+    assert(s1.size > 300 && s1.size < 500)
+    // independent draws overlap on ~fraction² of rows, not ~fraction
+    val overlap = (s1 & s2).size.toDouble / 2000
+    assert(overlap < 0.08, s"salted draws should be near-independent, overlap=$overlap")
+    // growing the fraction only ADDS rows (nested samples — the property
+    // that lets a pipeline scale a sample up without resampling)
+    val bigger = PipelineOps.sampleFraction(d, 0.5, salt = "s1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(bigger))
+  }
+
+  test("sampleCapPerStratum caps every stratum and ranks deterministically") {
+    val d = docs(300)
+    val got = PipelineOps.sampleCapPerStratum(d, "lang", cap = 25)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ == 25))
+    val again = PipelineOps.sampleCapPerStratum(d.repartition(5), "lang", cap = 25)
+    assert(
+      got.select("lang", "doc_id", "rn").collect().map(_.toString).sorted.toSeq ==
+        again.select("lang", "doc_id", "rn").collect().map(_.toString).sorted.toSeq)
+    // a stratum smaller than the cap survives whole
+    val tiny = PipelineOps.sampleCapPerStratum(docs(10), "lang", cap = 25)
+    assert(tiny.count() == 10)
+  }
+
+  test("redact and charClassCount scrub and count pattern matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "call 555-1234 or 555-9999"),
+      (2L, "no digits here"),
+      (3L, "{\"k\": 42}")).toDF("id", "s")
+    val got = df.select(
+      col("id"),
+      PipelineOps.redact(col("s"), "[0-9]+", "<NUM>").as("r"),
+      PipelineOps.charClassCount(col("s"), "[0-9]").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "call <NUM>-<NUM> or <NUM>-<NUM>", 14L),
+      (2L, "no digits here", 0L),
+      (3L, "{\"k\": <NUM>}", 2L)))
+  }
+
+  test("qualityFlags applies rules in order with the first failing reason") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "too short"),                                           // n_tokens < 10
+      (2L, ("the quick brown fox jumps over a lazy dog " * 3).trim), // ok
+      (3L, "a b c d e f g h i j k l m n o p"),                     // mean_tok_len < 2
+      (4L, "the of and a verylongtokenthatgoesonforevermorethan30chars x y z q w e r t"), // long_token
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")) // low_stopword
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityFlags(df)
+      .select("doc_id", "reason", "keep")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ("n_tokens" -> false))
+    assert(got(2L) == ("ok" -> true))
+    assert(got(3L) == ("mean_tok_len" -> false))
+    assert(got(4L) == ("long_token" -> false))
+    assert(got(5L) == ("low_stopword" -> false))
+  }
+}
