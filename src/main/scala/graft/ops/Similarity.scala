@@ -242,6 +242,76 @@ object Similarity {
     centroids
   }
 
+  /** Adds the IVF `cell` assignment (argmax-dot centroid) to a corpus —
+    * the column a 100 TB index is PHYSICALLY PARTITIONED by (see
+    * [[writeCellIndex]] / [[servePrunedTopK]]).
+    */
+  def withCellAssignment(
+      corpus: DataFrame,
+      cells: Array[Array[Float]],
+      vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("cell", topCellsCol(cellArrayCol(cells), col(vecCol), 1).getItem(0))
+
+  /** Materializes the IVF index: corpus written partitioned by `cell`, so
+    * each cell is its own directory and a probe-limited serve reads ONLY
+    * its `nProbe` directories (Catalyst `PartitionFilters`, zero I/O on
+    * the rest). This is the build-side of the 100 TB serving story; the
+    * in-memory [[ivfTopK]] is the batch-search twin over the same
+    * assignment rule.
+    */
+  def writeCellIndex(
+      corpus: DataFrame,
+      cells: Array[Array[Float]],
+      path: String,
+      vecCol: String = "embedding"): Unit =
+    withCellAssignment(Parallelism.widen(corpus), cells, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Driver-side probe selection for ONE query vector: its `nProbe`
+    * max-dot cells. Plain Scala on a k×dim table — the codebook is the
+    * only thing that ever lives on the driver.
+    */
+  def probeCells(v: Array[Float], cells: Array[Array[Float]], nProbe: Int): Seq[Int] =
+    cells.zipWithIndex
+      .map { case (c, i) => (i, c.zip(v).map { case (a, b) => a.toDouble * b }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nProbe)
+      .map(_._1)
+      .toSeq
+
+  /** Point-lookup serving over a [[writeCellIndex]] layout: scan only the
+    * query's probe cells (partition-pruned), exact cosine re-rank inside
+    * them. The per-request cost is `nProbe/numCells` of the corpus
+    * regardless of corpus size — the property that makes the index usable
+    * interactively at 100 TB.
+    */
+  def servePrunedTopK(
+      index: DataFrame,
+      queryId: Long,
+      queryVec: Array[Float],
+      cells: Array[Array[Float]],
+      k: Int = 10,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probes = probeCells(queryVec, cells, nProbe)
+    val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    val qv = array(queryVec.map(lit): _*)
+    index
+      .where(col("cell").isin(probes: _*))
+      .where(col(idCol) =!= queryId)
+      .select(
+        lit(queryId).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        cosineWithNorms(qv, col(vecCol), lit(qn), VectorFunctions.norm(col(vecCol)))
+          .as("cosine"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cosine"), asc("neighbor_id"))))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** IVF-style ANN: every corpus vector is assigned to its nearest centroid
     * cell (one narrow pass); each query probes its `nProbe` nearest cells
     * and re-ranks exactly inside them. The cell column is the partition-

@@ -1184,6 +1184,43 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF index SERVING path: embeddings written once partitioned by their
+    * trained-codebook cell (`writeCellIndex`), then a point lookup for one
+    * query vector scans ONLY its 4 probe-cell directories — the physical
+    * plan carries `PartitionFilters: [cell IN (...)]` and touches
+    * nProbe/numCells of the corpus no matter how big it grows. Rows-only
+    * (float cell assignment is engine-specific); SimilaritySpec asserts
+    * the served result matches the in-memory IVF search.
+    */
+  val simIvfServe: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val cb = trainedCodebook(s, dir)
+    val path = s"/tmp/graft_ivf_index_${math.abs(dir.hashCode)}"
+    if (!csvWritten.contains(path)) {
+      Similarity.writeCellIndex(t(s, dir, "embeddings"), cb, path)
+      csvWritten.add(path)
+    }
+    val q = t(s, dir, "embeddings").where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Similarity.servePrunedTopK(s.read.parquet(path), queryId = 0L, queryVec = q, cells = cb, k = 10)
+  }
+
+  /** BPE-ish subword-count estimate (long words cost ≈ len/4 extra
+    * tokens), hash-checked: DuckDB replays the identical per-token
+    * greatest/ceil arithmetic. Complements q15's whitespace token count —
+    * together they are the cheap token-budget estimators a corpus-sizing
+    * pass runs before committing to a real tokenizer sweep.
+    */
+  val tokenBpeEstimate: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(str_split(text, ' '),
+      |    x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT)
+      |    AS n_tokens_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** ANN quality surface: recall@5 of the LSH and (trained-codebook) IVF
     * paths against the exact brute-force neighbors — the accuracy/cost
     * trade of the approximate tiers as driver-readable numbers. Rows-only:
@@ -1486,7 +1523,9 @@ object Queries {
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
+    "sim_ivf_serve" -> simIvfServe,
     "sim_recall" -> simRecall,
+    "token_bpe_estimate" -> tokenBpeEstimate,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "docs_partitioned_scan" -> docsPartitionedScan,

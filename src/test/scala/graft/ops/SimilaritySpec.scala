@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkFixture
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -106,6 +107,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
     val hits = brute.count { case (q, n) => partial.get(q).contains(n) }
     assert(hits >= 30, s"nProbe=2 recall $hits/60 suspiciously low")
+  }
+
+  test("partition-pruned serve over a written cell index matches in-memory IVF") {
+    val vs = randomVecs(80, 17)
+    val df = embDF(vs)
+    val cb = Similarity.trainCodebook(df, dim = dim, numCells = 8, iterations = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_index_").toString
+    Similarity.writeCellIndex(df, cb, path)
+    val qid = 7L
+    val qv = vs.find(_._1 == qid).get._2
+    val served = Similarity.servePrunedTopK(
+      spark.read.parquet(path), qid, qv, cb, k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    val inMem = Similarity.ivfTopK(df.where(col("vec_id") === qid), df,
+      k = 5, nProbe = 3, numCells = 8, dim = dim, trainedCodebook = Some(cb))
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(served.toSeq == inMem.toSeq)
+    // the physical plan must prune partitions: only the probed cells scan
+    val plan = Similarity.servePrunedTopK(
+      spark.read.parquet(path), qid, qv, cb, k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "serve plan lost partition pruning")
   }
 
   test("results are deterministic across runs") {
