@@ -38,3 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // interpreted — an order-of-magnitude, hard-to-reproduce slowdown.
   "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+// SPARK_DRIVER_MEM used to size the heap; it is deliberately ignored now
+// (see the -Xmx8g note above). Warn instead of silently dropping it.
+Global / onLoad := {
+  val prev = (Global / onLoad).value
+  if (sys.env.contains("SPARK_DRIVER_MEM"))
+    sLog.value.warn(
+      "SPARK_DRIVER_MEM is ignored (heap pinned at -Xmx8g; oversized heaps " +
+        "measured 2-5x slower). Use SPARK_GRAFT_JAVA_OPTS=\"-Xmx<size>\" to override.")
+  prev
+}

@@ -185,7 +185,12 @@ object Similarity {
       struct(lit(i).as("cell"), array(cv.map(lit): _*).as("centroid"))
     }: _*)
 
-  /** Top-`n` cells of `v` by dot score against the codebook literal. */
+  /** Top-`n` cells of `v` by dot score against the codebook literal.
+    * Ties break toward the LOWEST cell index (after the `reverse`, the
+    * comparator's descending-cell order becomes ascending) — the SAME rule
+    * [[probeCells]] applies driver-side, so index assignment and probe
+    * selection can never diverge on a near-tie.
+    */
   private def topCellsCol(cellArr: Column, v: Column, n: Int): Column = {
     val scored = transform(
       cellArr,
@@ -195,6 +200,8 @@ object Similarity {
     slice(reverse(array_sort(scored, (a, b) =>
       when(a.getField("score") < b.getField("score"), -1)
         .when(a.getField("score") > b.getField("score"), 1)
+        .when(a.getField("cell") > b.getField("cell"), -1)
+        .when(a.getField("cell") < b.getField("cell"), 1)
         .otherwise(0))), 1, n).getField("cell")
   }
 
@@ -269,7 +276,10 @@ object Similarity {
 
   /** Driver-side probe selection for ONE query vector: its `nProbe`
     * max-dot cells. Plain Scala on a k×dim table — the codebook is the
-    * only thing that ever lives on the driver.
+    * only thing that ever lives on the driver. Arithmetic ((score desc,
+    * cell asc), left-to-right double accumulation of float products) is
+    * bit-identical to [[topCellsCol]]/DotProductExpr, so the serve path
+    * probes exactly the cells the index assigned.
     */
   def probeCells(v: Array[Float], cells: Array[Array[Float]], nProbe: Int): Seq[Int] =
     cells.zipWithIndex

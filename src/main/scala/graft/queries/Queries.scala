@@ -688,6 +688,18 @@ object Queries {
   private val csvWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Collision-resistant key for scratch paths derived from a data dir.
+    * `dir.hashCode` is a 32-bit Int (and `math.abs(Int.MinValue)` is
+    * negative): two distinct dirs colliding would silently serve one
+    * dataset's on-disk index against another dataset's cached codebook.
+    * md5 of the full dir matches the granularity of the in-memory caches,
+    * which are keyed by the dir string itself.
+    */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+
   /** One trained model per (session, sfDir) — the ALS queries share it. The
     * session UUID in the key keeps a restarted session from receiving a
     * model bound to a stale predecessor's DataFrames.
@@ -810,7 +822,7 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    val csvDir = s"/tmp/graft_csv_ratings_${math.abs(dir.hashCode)}"
+    val csvDir = s"/tmp/graft_csv_ratings_${dirKey(dir)}"
     // rewritten once per JVM (never trusted across processes — a stale dump
     // from an earlier round's fixtures would silently diverge from the
     // oracle, which reads the CURRENT relational tables)
@@ -1194,14 +1206,20 @@ object Queries {
     */
   val simIvfServe: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     val cb = trainedCodebook(s, dir)
-    val path = s"/tmp/graft_ivf_index_${math.abs(dir.hashCode)}"
+    val path = s"/tmp/graft_ivf_index_${dirKey(dir)}"
     if (!csvWritten.contains(path)) {
       Similarity.writeCellIndex(t(s, dir, "embeddings"), cb, path)
       csvWritten.add(path)
     }
-    val q = t(s, dir, "embeddings").where(col("vec_id") === 0L)
-      .select("embedding").head().getSeq[Float](0).toArray
-    Similarity.servePrunedTopK(s.read.parquet(path), queryId = 0L, queryVec = q, cells = cb, k = 10)
+    // query = the smallest vec_id present (not a hardcoded 0, which would
+    // throw NoSuchElementException on any corpus without that id)
+    val qRow = t(s, dir, "embeddings")
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .head(1).headOption
+      .getOrElse(sys.error(s"sim_ivf_serve: embeddings table at $dir is empty"))
+    val qid = qRow.getLong(0)
+    val q = qRow.getSeq[Float](1).toArray
+    Similarity.servePrunedTopK(s.read.parquet(path), queryId = qid, queryVec = q, cells = cb, k = 10)
   }
 
   /** BPE-ish subword-count estimate (long words cost ≈ len/4 extra
@@ -1236,7 +1254,12 @@ object Queries {
     */
   val simRecall: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     val e = t(s, dir, "embeddings")
-    val sampled: Column => Column = id => pmod(xxhash64(id, lit(17L)), lit(4)) === 0
+    // fall back to the unsampled query set on a corpus so small the hash
+    // sample is empty — otherwise nExact=0 and recall silently reports NaN
+    val hashSampled: Column => Column = id => pmod(xxhash64(id, lit(17L)), lit(4)) === 0
+    val sampled: Column => Column =
+      if (e.where(hashSampled(col("vec_id"))).isEmpty) (_: Column) => lit(true)
+      else hashSampled
     val queries = e.where(sampled(col("vec_id")))
     val exact = Similarity.bruteForceTopK(queries, e, k = 5)
       .select("query_id", "neighbor_id").persist()
@@ -1432,7 +1455,7 @@ object Queries {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE lang IN ('en', 'fr')
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val path = s"/tmp/graft_docs_part_${math.abs(dir.hashCode)}"
+    val path = s"/tmp/graft_docs_part_${dirKey(dir)}"
     if (!csvWritten.contains(path)) {
       t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(path)
       csvWritten.add(path)
