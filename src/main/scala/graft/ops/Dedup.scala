@@ -358,4 +358,113 @@ object Dedup {
     documents.join(
       pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Connected components of an undirected pair graph — the cluster-
+    * resolution step after near-dup PAIR generation. Near-duplicate
+    * similarity is not transitive (A≈B, B≈C does not imply A≈C), so a
+    * keep-one-per-cluster policy needs the transitive closure of the pair
+    * relation, not the pairs themselves.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — each round is two
+    * groupBy/join passes over the edge set and the round count is
+    * O(log² n) independent of component DIAMETER, unlike naive label
+    * propagation whose round count is the longest chain. No graph state
+    * ever touches the driver (the per-round fixpoint check is a count +
+    * set-difference emptiness test), so the same code runs on a 100 TB
+    * edge set. Each round's result is `localCheckpoint`ed: the iteration
+    * would otherwise stack joins into an unbounded lineage, the same
+    * failure mode the ALS kernel avoids with checkpointing.
+    *
+    * Returns `(id, cluster_id)` for every node incident to at least one
+    * edge; `cluster_id` is the component's minimum node id. Nodes with no
+    * edges are their own singleton clusters — callers add them with a
+    * left join + coalesce (see the `dedup_clusters` query).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIterations: Int = 25): DataFrame = {
+    // canonical undirected form: (min, max), self-loops dropped, deduped
+    def canon(df: DataFrame): DataFrame =
+      df.where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.union(df.select(col("v").as("u"), col("u").as("v")))
+
+    var edges = canon(
+      pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var done = edges.isEmpty
+    var iter = 0
+    while (!done && iter < maxIterations) {
+      // large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u})
+      val s = sym(edges)
+      val largeMins = s.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = canon(
+        s.join(largeMins, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+      // small-star: orient (u, v) with u > v; u and all its ≤ neighbors
+      // re-link to the minimum
+      val oriented = afterLarge.select(col("v").as("u"), col("u").as("v"))
+      val smallMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = oriented.join(smallMins, "u")
+      val afterSmall = canon(
+        withM.select(col("v").as("u"), col("m").as("v"))
+          .union(withM.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // fixpoint: the star edge set reproduces itself exactly. (distinct
+      // sets + equal counts + empty difference ⇒ equality; at extreme
+      // scale swap the except() for a cheap monotone edge-count check —
+      // the star set only shrinks once components are resolved)
+      done = afterSmall.count() == edges.count() && afterSmall.except(edges).isEmpty
+      edges = afterSmall
+      iter += 1
+    }
+    // at the fixpoint edges form stars (root=min ↔ member): every node's
+    // label is the min over its incident edge endpoints and itself
+    sym(edges).groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("id"), least(col("mv"), col("id")).as("cluster_id"))
+  }
+
+  /** Benchmark decontamination: for each corpus document, how many of its
+    * distinct `shingleSize`-gram shingles also occur anywhere in
+    * `benchmark` (the held-out eval set), as count, fraction, and a
+    * verdict at `threshold`. Pretraining pipelines run exactly this gate
+    * so eval answers don't leak into training data.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to a training
+    * corpus (MBs vs TBs), so it is deduped and BROADCAST — the corpus side
+    * is one narrow scan + a per-doc aggregate, with no shuffle of corpus
+    * text and no repartitioning. Shingles compare by 64-bit hash so the
+    * broadcast ships 8-byte keys, not strings.
+    */
+  def contaminationStats(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame) = Parallelism.widen(df).select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextOps.shingles(col(textCol), shingleSize))).as("s"))
+    val corpSh = sh(corpus).select(col("id"), xxhash64(col("s")).as("h"))
+    val benchSh = sh(benchmark).select(xxhash64(col("s")).as("h")).distinct()
+    val totals = corpSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = corpSh.join(broadcast(benchSh), "h")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
 }

@@ -82,6 +82,30 @@ object PipelineOps {
     df.withColumn("rn", row_number().over(w).cast("bigint")).where(col("rn") <= cap)
   }
 
+  /** Mixture (per-stratum weighted) sampling: keep each row with its
+    * stratum's probability — how a run hits a target domain mix (web 50 %,
+    * code 25 %, …) without a shuffle, a count, or per-stratum jobs.
+    * `fractionCol` is any per-row expression in [0,1] (a `when`-chain over
+    * sources, arithmetic on a source attribute, a joined-in weight
+    * column). The stratum value is folded into the hash salt so draws are
+    * independent across strata: a row kept for one source assignment would
+    * be an independent coin flip under another. Like [[sampleFraction]]
+    * this is a stateless codegen'd scan predicate — the only mixture-
+    * sampling shape that costs nothing extra at 100 TB.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      strataCol: String,
+      fractionCol: Column,
+      idCol: String = "doc_id",
+      salt: String = "mix"): DataFrame = {
+    val b = pmod(
+      TextOps.portableHash56(
+        concat(col(idCol).cast("string"), lit("|" + salt + "|"), col(strataCol).cast("string"))),
+      lit(1000L))
+    df.where(b < round(fractionCol * 1000).cast("long"))
+  }
+
   /** Redacts every match of `pattern` with `token` — the PII/number-scrub
     * pass (emails, phone numbers, ids) run before a corpus ships to
     * training. Pure codegen'd string expression: stateless, partition-

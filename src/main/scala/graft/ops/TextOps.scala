@@ -209,6 +209,42 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Gopher-style within-document repetition metrics: duplicate-n-gram
+    * fraction for n=2 and n=3 plus the most-frequent-bigram share. High
+    * values mark boilerplate, templated spam, and looping generations —
+    * the repetition gates a pretraining filter stack applies next to
+    * [[qualityFlags]].
+    *
+    * Shape: explode n-grams → two chained hash aggregates (both codegen'd
+    * with map-side partial combine). The per-doc group never materializes
+    * an n-gram list, so a pathological 1 GB document costs memory
+    * O(distinct grams per partition), not O(doc length) — the property
+    * that keeps the pass safe on an unfiltered 100 TB crawl.
+    */
+  def repetitionStats(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def stats(n: Int, pfx: String) = {
+      val counts = Parallelism.widen(documents)
+        .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      counts.groupBy("id").agg(
+        sum(col("c")).as(s"n_$pfx"),
+        count(lit(1)).as(s"d_$pfx"),
+        max(col("c")).as(s"m_$pfx"))
+    }
+    stats(2, "2").join(stats(3, "3"), "id")
+      .select(
+        col("id").as(idCol),
+        col("n_2").as("n_2grams"),
+        ((col("n_2") - col("d_2")).cast("double") / col("n_2").cast("double"))
+          .as("dup_2gram_frac"),
+        (col("m_2").cast("double") / col("n_2").cast("double")).as("top_2gram_frac"),
+        ((col("n_3") - col("d_3")).cast("double") / col("n_3").cast("double"))
+          .as("dup_3gram_frac"))
+  }
+
   /** Full per-document analysis projection over a documents DataFrame. */
   def analyze(documents: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1006,6 +1006,90 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTER resolution: the transitive closure of the n-gram
+    * Jaccard pair relation (near-dup similarity is not transitive, so
+    * keep-one-per-cluster needs components, not pairs), every document
+    * labeled with its component's min doc_id and the component size.
+    * Spark side runs alternating large-star/small-star
+    * ([[Dedup.connectedComponents]]); the oracle replays the identical
+    * pair generation and closes it with a recursive CTE — small-data
+    * equivalent of the O(log²n)-round distributed algorithm.
+    */
+  val dedupClusters: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE $duckShingleCtes,
+       |shd AS (SELECT id, list_distinct(list(s)) AS sh FROM sh0 GROUP BY id),
+       |inv AS (SELECT DISTINCT id, s FROM sh0),
+       |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 20),
+       |posts AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+       |    FROM cand c JOIN shd a ON a.id = c.id_a JOIN shd b ON b.id = c.id_b) z
+       |  WHERE jaccard >= 0.05),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS BIGINT)
+       |    AS cluster_size
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.05, maxDocFrequency = 20)
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val labeled = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination gate: per corpus doc, distinct-shingle
+    * overlap against a held-out "benchmark" slice (doc_id % 10 == 0 stands
+    * in for the eval set), with count / fraction / verdict columns. The
+    * benchmark shingle set broadcasts; the corpus side never shuffles.
+    * Hash-checked: DuckDB replays the shingling and overlap joins on raw
+    * shingle strings (Spark joins on xxhash64 of the shingle — an
+    * equality-preserving optimization, as in dedup_ngram_jaccard).
+    */
+  val decontaminate: QueryDef = QueryDef.withOracle(
+    s"""WITH $duckShingleCtes,
+       |shd AS (SELECT DISTINCT id, s FROM sh0),
+       |bench AS (SELECT DISTINCT s FROM shd WHERE id % 10 = 0),
+       |corp AS (SELECT id, s FROM shd WHERE id % 10 <> 0),
+       |tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles FROM corp GROUP BY id),
+       |hits AS (SELECT c.id, CAST(count(*) AS BIGINT) AS n_overlap
+       |         FROM corp c JOIN bench b USING (s) GROUP BY c.id)
+       |SELECT t.id AS doc_id, t.n_shingles,
+       |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |    AS overlap_frac,
+       |  (CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)) >= 0.5
+       |    AS contaminated
+       |FROM tot t LEFT JOIN hits h ON h.id = t.id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val bench = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+    Dedup.contaminationStats(corpus, bench, threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Full text-analysis projection (lang-ID, quality, fingerprint, …).
     * Rows-only: the quality columns use round(), whose tie behavior is not
     * guaranteed identical across engines; the exactly-portable pieces are
@@ -1013,6 +1097,43 @@ object Queries {
     */
   val textAnalyze: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     TextOps.analyze(t(s, dir, "documents")).drop("text").orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition metrics (duplicate 2-/3-gram fractions, top
+    * bigram share) per document — the boilerplate/loop filter features.
+    * Hash-checked: both engines derive the fractions from the same BIGINT
+    * gram counts, so the single IEEE division is bit-identical.
+    */
+  val textRepetition: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (
+      |  SELECT doc_id AS id, text, str_split(text, ' ') AS ts FROM documents),
+      |pos2 AS (
+      |  SELECT id, text, ts, unnest(generate_series(1, greatest(len(ts) - 1, 1))) AS p
+      |  FROM toks),
+      |g2 AS (
+      |  SELECT id, CASE WHEN len(ts) < 2 THEN text
+      |                  ELSE concat_ws(' ', ts[p], ts[p+1]) END AS g
+      |  FROM pos2),
+      |c2 AS (SELECT id, g, count(*) AS c FROM g2 GROUP BY id, g),
+      |s2 AS (SELECT id, CAST(sum(c) AS BIGINT) AS n2, CAST(count(*) AS BIGINT) AS d2,
+      |        CAST(max(c) AS BIGINT) AS m2 FROM c2 GROUP BY id),
+      |pos3 AS (
+      |  SELECT id, text, ts, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS p
+      |  FROM toks),
+      |g3 AS (
+      |  SELECT id, CASE WHEN len(ts) < 3 THEN text
+      |                  ELSE concat_ws(' ', ts[p], ts[p+1], ts[p+2]) END AS g
+      |  FROM pos3),
+      |c3 AS (SELECT id, g, count(*) AS c FROM g3 GROUP BY id, g),
+      |s3 AS (SELECT id, CAST(sum(c) AS BIGINT) AS n3, CAST(count(*) AS BIGINT) AS d3
+      |       FROM c3 GROUP BY id)
+      |SELECT s2.id AS doc_id, n2 AS n_2grams,
+      |  CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup_2gram_frac,
+      |  CAST(m2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS top_2gram_frac,
+      |  CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS dup_3gram_frac
+      |FROM s2 JOIN s3 ON s2.id = s3.id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextOps.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")
   }
 
   /** Language-ID heuristic + rolling-hash document fingerprint, hash-checked
@@ -1087,6 +1208,32 @@ object Queries {
     PipelineOps.sampleCapPerStratum(t(s, dir, "documents"), "lang", cap = 30)
       .select("lang", "doc_id", "rn")
       .orderBy("lang", "rn")
+  }
+
+  /** Domain-mixture sampling: each source stratum sampled at its own rate
+    * (here derived arithmetically from the source index: 100 % / 50 % /
+    * 25 % / 10 % by src-number mod 4) via the stateless salted-hash
+    * predicate — the no-shuffle way a run hits a target domain mix.
+    * Hash-checked: DuckDB replays the md5-bucket arithmetic per
+    * (doc_id, source) exactly.
+    */
+  val mixtureSampleBySource: QueryDef = QueryDef.withOracle(
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CASE CAST(substr(source, 4) AS INT) % 4
+      |      WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END AS thr,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'|mix|'||source),1,14))::BIGINT % 1000
+      |      AS b
+      |  FROM documents)
+      |SELECT doc_id, source FROM w WHERE b < thr ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val frac = when(pmod(srcNum, lit(4)) === 0, 1.0)
+      .when(pmod(srcNum, lit(4)) === 1, 0.5)
+      .when(pmod(srcNum, lit(4)) === 2, 0.25)
+      .otherwise(0.1)
+    PipelineOps.mixtureSample(t(s, dir, "documents"), "source", frac)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
   }
 
   /** Gopher/C4-style rule filter: hard keep/drop with the first failing
@@ -1531,14 +1678,18 @@ object Queries {
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_clusters" -> dedupClusters,
+    "decontaminate" -> decontaminate,
     "dedup_embedding" -> dedupEmbedding,
     "text_analyze" -> textAnalyze,
+    "text_repetition" -> textRepetition,
     "text_langid_fingerprint" -> textLangidFingerprint,
     "text_winnow" -> textWinnow,
     "text_redact" -> textRedact,
     "quality_filter" -> qualityFilter,
     "pipeline_split" -> pipelineSplit,
     "sample_stratified" -> sampleStratified,
+    "mixture_sample" -> mixtureSampleBySource,
     "stream_dedup" -> streamDedup,
     "sketch_aggregates" -> sketchAggregates,
     "sketch_mergeable" -> sketchMergeable,

@@ -142,4 +142,47 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val kept = Dedup.nearDedupKeepers(docs, pairs).collect().map(_.getAs[Long]("doc_id")).sorted
     assert(kept.toSeq == Seq(1L, 3L))
   }
+
+  test("connected components match a union-find oracle on a random graph") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(80)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    // union-find with union-by-min: the final root of every node IS the
+    // component minimum, exactly the labeling connectedComponents returns
+    val parent = Array.tabulate(60)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n.toInt).toLong).toMap
+    val spark2 = spark
+    import spark2.implicits._
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("connected components resolve a long chain (diameter >> rounds)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val chain = (0L until 30L).sliding(2).map(s => (s.head, s(1))).toSeq
+    val got = Dedup.connectedComponents(chain.toDF("id_a", "id_b")).collect()
+    assert(got.length == 30)
+    assert(got.forall(_.getLong(1) == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("contamination stats flag benchmark-overlapping docs only") {
+    val corpus = docsDF(Seq(
+      1L -> base, // identical to the benchmark doc -> fully contaminated
+      2L -> "completely separate subject matter with no shared phrases at all today"))
+    val bench = docsDF(Seq(100L -> base))
+    val got = Dedup.contaminationStats(corpus, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Double]("overlap_frac"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got(1L)._2 == 1.0 && got(1L)._3)
+    assert(got(2L)._1 == 0L && got(2L)._2 == 0.0 && !got(2L)._3)
+  }
 }

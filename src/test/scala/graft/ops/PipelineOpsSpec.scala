@@ -105,4 +105,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(4L) == ("long_token" -> false))
     assert(got(5L) == ("low_stopword" -> false))
   }
+
+  test("mixture sampling follows per-stratum fractions, deterministically") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0) "all" else "half"))
+      .toDF("doc_id", "source")
+    val frac = when(col("source") === "all", 1.0).otherwise(0.5)
+    val kept = PipelineOps.mixtureSample(df, "source", frac)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // fraction 1.0 keeps the whole stratum
+    assert(kept.count(_._2 == "all") == 500)
+    // fraction 0.5 keeps roughly half (binomial 500 @ 0.5, generous band)
+    val halfKept = kept.count(_._2 == "half")
+    assert(halfKept > 180 && halfKept < 320, s"halfKept=$halfKept")
+    // deterministic under rerun and under repartitioning
+    val again = PipelineOps.mixtureSample(df.repartition(7), "source", frac)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSet == kept.toSet)
+    // fraction 0 drops the stratum entirely
+    val none = PipelineOps.mixtureSample(df, "source",
+      when(col("source") === "all", 0.0).otherwise(1.0))
+      .collect().map(_.getString(1))
+    assert(!none.contains("all") && none.length == 500)
+  }
 }

@@ -88,4 +88,21 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getAs[Double]("quality") >= 0.0))
     assert(rows.forall(r => r.getAs[Double]("quality") <= 1.0))
   }
+
+  test("repetition stats quantify duplicate n-grams") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "a a a a a"),   // 4 bigrams, all "a a": dup 3/4, top 4/4
+      (2L, "w x y z"))     // 3 bigrams, all distinct: dup 0, top 1/3
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_2grams") == 4L)
+    assert(got(1L).getAs[Double]("dup_2gram_frac") == 0.75)
+    assert(got(1L).getAs[Double]("top_2gram_frac") == 1.0)
+    assert(got(1L).getAs[Double]("dup_3gram_frac") == 2.0 / 3.0)
+    assert(got(2L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(got(2L).getAs[Double]("top_2gram_frac") == 1.0 / 3.0)
+  }
 }
