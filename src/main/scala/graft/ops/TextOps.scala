@@ -107,13 +107,19 @@ object TextOps {
   /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
     * extreme punctuation and stopword-free (keyword-stuffed) text. A
     * heuristic scorer of the kind used for pretraining-data filtering.
+    *
+    * Rounded to 6 decimals via explicit `floor(x·10⁶ + 0.5)/10⁶` (half-up)
+    * rather than `round(x, 6)`: engines disagree on round()'s tie rule
+    * (half-up vs banker's half-even), while the floor form is plain IEEE
+    * arithmetic every engine evaluates identically — it is what lets
+    * `text_analyze` be hash-checked against the DuckDB oracle.
     */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val lengthScore = least(nTok / 50.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    round((lengthScore * 0.5 + punctScore * 0.25 + stopScore * 0.25), 6)
+    floor((lengthScore * 0.5 + punctScore * 0.25 + stopScore * 0.25) * 1e6 + 0.5) / lit(1e6)
   }
 
   /** Per-language marker-word profiles for the n-gram/keyword language-ID

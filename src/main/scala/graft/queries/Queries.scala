@@ -1090,13 +1090,66 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Full text-analysis projection (lang-ID, quality, fingerprint, …).
-    * Rows-only: the quality columns use round(), whose tie behavior is not
-    * guaranteed identical across engines; the exactly-portable pieces are
-    * hash-checked separately (q15/q17 and text_langid_fingerprint).
+  /** Full text-analysis projection (token counts, BPE estimate, length /
+    * stopword / punctuation ratios, composite quality, lang-ID,
+    * fingerprint) — hash-checked end-to-end: every feature is integer or
+    * single-division IEEE arithmetic, and the composite score rounds via
+    * the portable floor-half-up form, so DuckDB replays all eight columns
+    * exactly (graduated from rows-only in round 5).
     */
-  val textAnalyze: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    TextOps.analyze(t(s, dir, "documents")).drop("text").orderBy("doc_id")
+  val textAnalyze: QueryDef = QueryDef.withOracle(
+    """WITH base AS (
+      |  SELECT doc_id, text, str_split(text, ' ') AS ts FROM documents),
+      |feat AS (
+      |  SELECT doc_id, text, ts,
+      |    CAST(len(ts) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(ts,
+      |      x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT)
+      |      AS n_tokens_bpe,
+      |    CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+      |      / CAST(len(ts) AS DOUBLE) AS avg_token_len,
+      |    CAST(len(list_filter(ts, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it','on','for'], x))) AS DOUBLE)
+      |      / CAST(len(ts) AS DOUBLE) AS stopword_ratio,
+      |    CAST(length(text) - length(translate(text, '.,;:!?''"()-', '')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS punct_ratio
+      |  FROM base),
+      |sc AS (
+      |  SELECT *,
+      |    least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) AS length_score,
+      |    1.0 - least(punct_ratio * 5.0, 1.0) AS punct_score,
+      |    least(stopword_ratio * 4.0, 1.0) AS stop_score,
+      |    len(list_intersect(ts, ['the','and','is','of','to','a','in','that','it','for'])) AS s_en,
+      |    len(list_intersect(ts, ['el','la','de','que','y','los','es','una','por','con'])) AS s_es,
+      |    len(list_intersect(ts, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+      |    len(list_intersect(ts, ['le','la','les','et','de','un','une','est','pour','que'])) AS s_fr,
+      |    len(list_intersect(ts, ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
+      |  FROM feat)
+      |SELECT doc_id, n_tokens, n_tokens_bpe, avg_token_len, stopword_ratio, punct_ratio,
+      |  floor((length_score * 0.5 + punct_score * 0.25 + stop_score * 0.25)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS quality,
+      |  CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_zh) <= 0 THEN 'und'
+      |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END AS lang_pred,
+      |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN str_split(text, '')]),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM sc
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextOps.analyze(t(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("n_tokens_bpe"),
+        col("avg_token_len"),
+        col("stopword_ratio"),
+        col("punct_ratio"),
+        col("quality"),
+        col("lang_pred"),
+        col("fingerprint"))
+      .orderBy("doc_id")
   }
 
   /** Gopher-style repetition metrics (duplicate 2-/3-gram fractions, top
@@ -1134,6 +1187,35 @@ object Queries {
       |FROM s2 JOIN s3 ON s2.id = s3.id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextOps.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** Vocabulary analysis: top-5 terms per source by frequency — the
+    * corpus-composition dashboard a curation run reads before choosing
+    * mixtures/filters. Shape: explode tokens → two-phase hash aggregate on
+    * (source, term) → per-source window top-k; the term-count table (the
+    * only large intermediate) shuffles counts, never text rows.
+    * Deterministic ties (freq desc, term asc) make it hash-checkable.
+    */
+  val textTopTerms: QueryDef = QueryDef.withOracle(
+    """WITH tf AS (
+      |  SELECT source, t AS term, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT source, unnest(str_split(text, ' ')) AS t FROM documents) z
+      |  GROUP BY source, t),
+      |r AS (
+      |  SELECT source, term, freq,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY freq DESC, term)
+      |      AS BIGINT) AS rank
+      |  FROM tf)
+      |SELECT source, term, freq, rank FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+    val tf = graft.ops.Parallelism.widen(t(s, dir, "documents"))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("source").orderBy(desc("freq"), asc("term"))
+    tf.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= 5)
+      .select("source", "term", "freq", "rank")
+      .orderBy("source", "rank")
   }
 
   /** Language-ID heuristic + rolling-hash document fingerprint, hash-checked
@@ -1683,6 +1765,7 @@ object Queries {
     "dedup_embedding" -> dedupEmbedding,
     "text_analyze" -> textAnalyze,
     "text_repetition" -> textRepetition,
+    "text_top_terms" -> textTopTerms,
     "text_langid_fingerprint" -> textLangidFingerprint,
     "text_winnow" -> textWinnow,
     "text_redact" -> textRedact,
