@@ -431,6 +431,27 @@ object Dedup {
       .select(col("id"), least(col("mv"), col("id")).as("cluster_id"))
   }
 
+  /** Content-hash index of a corpus — the running state an INCREMENTAL
+    * dedup pipeline carries between daily batches. md5 (not sha2) so the
+    * index is replayable by any engine; 128 bits is collision-safe at any
+    * corpus size.
+    */
+  def exactHashIndex(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents.select(md5(col(textCol)).as("content_hash")).distinct()
+
+  /** Incremental exact dedup: keep only the new-batch documents whose
+    * content hash is absent from the existing corpus index — the
+    * daily-ingest shape (dedup today's crawl against everything already
+    * kept, without rescanning the corpus text). A left-anti join on the
+    * 16-byte hash: broadcast when the index fits, shuffled hash-anti-join
+    * otherwise — either way the corpus TEXT is never read again.
+    */
+  def incrementalKeepers(
+      newDocs: DataFrame,
+      index: DataFrame,
+      textCol: String = "text"): DataFrame =
+    newDocs.join(index, md5(newDocs(textCol)) === index("content_hash"), "left_anti")
+
   /** Benchmark decontamination: for each corpus document, how many of its
     * distinct `shingleSize`-gram shingles also occur anywhere in
     * `benchmark` (the held-out eval set), as count, fraction, and a

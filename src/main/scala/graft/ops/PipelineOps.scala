@@ -106,6 +106,36 @@ object PipelineOps {
     df.where(b < round(fractionCol * 1000).cast("long"))
   }
 
+  /** Training-sequence packing: assign every document a deterministic
+    * shard, an order within the shard, and the token offset at which its
+    * text starts when the shard's documents are concatenated —
+    * `seq_id = floor(start_offset / budget)` is then the fixed-size
+    * training sequence the document starts in (GPT-style chunked
+    * concatenation, where documents may cross sequence boundaries).
+    *
+    * Sharding and ordering both derive from one salted portable hash, so
+    * the packing is reproducible anywhere and stable under repartitioning;
+    * each shard packs independently (one window sort per shard — shards
+    * ARE the parallelism unit, the way a 100 TB packing run fans out), and
+    * the running-offset window is the only shuffle.
+    */
+  def packSequences(
+      df: DataFrame,
+      tokenCol: String,
+      idCol: String = "doc_id",
+      budget: Int = 256,
+      shards: Int = 8,
+      salt: String = "pack"): DataFrame = {
+    val h = TextOps.portableHash56(concat(col(idCol).cast("string"), lit("|" + salt)))
+    val w = Window.partitionBy("shard").orderBy("h", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("start_offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start_offset") / lit(budget.toDouble)))
+      .drop("h")
+  }
+
   /** Redacts every match of `pattern` with `token` — the PII/number-scrub
     * pass (emails, phone numbers, ids) run before a corpus ships to
     * training. Pure codegen'd string expression: stateless, partition-

@@ -1318,6 +1318,71 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Training-sequence packing: shard → deterministic order → running
+    * token offset → fixed-budget sequence id (chunked concatenation; docs
+    * may cross sequence boundaries, exactly like pretraining packing).
+    * Pure integer window arithmetic, so DuckDB replays it bit-for-bit.
+    */
+  val packSequencesQ: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'|pack'),1,14))::BIGINT AS h
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens, h % 8 AS shard,
+      |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_offset
+      |  FROM d)
+      |SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard, start_offset,
+      |  CAST(floor(start_offset / 256.0) AS BIGINT) AS seq_id
+      |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    PipelineOps.packSequences(docs, "n_tokens", budget = 256, shards = 8)
+      .select("doc_id", "n_tokens", "shard", "start_offset", "seq_id")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental exact dedup: today's batch (doc_id % 5 == 0 stands in for
+    * the new crawl) anti-joined on content hash against the index of the
+    * existing corpus — the daily-ingest shape where corpus text is never
+    * rescanned. Oracle replays the md5 anti-join.
+    */
+  val dedupIncremental: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang, source FROM documents b
+      |WHERE doc_id % 5 = 0
+      |  AND md5(b.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val index = Dedup.exactHashIndex(docs.where(pmod(col("doc_id"), lit(5L)) =!= 0))
+    Dedup.incrementalKeepers(batch, index)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** JSONL source/sink round-trip: documents written as JSON-lines (the
+    * de-facto LLM corpus interchange format), read back with an explicit
+    * schema, and checked against the original table (text integrity via
+    * md5) — JSON string escaping must round-trip every character.
+    */
+  val docsJsonlRoundtrip: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_docs_jsonl_${dirKey(dir)}"
+    if (!csvWritten.contains(path)) {
+      t(s, dir, "documents").write.mode("overwrite").json(path)
+      csvWritten.add(path)
+    }
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(path)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/C4-style rule filter: hard keep/drop with the first failing
     * rule recorded — token-count bounds, mean-token-length band, longest-
     * token cap, minimum stopword ratio. All features are stateless
@@ -1773,6 +1838,9 @@ object Queries {
     "pipeline_split" -> pipelineSplit,
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
+    "pack_sequences" -> packSequencesQ,
+    "dedup_incremental" -> dedupIncremental,
+    "docs_jsonl_roundtrip" -> docsJsonlRoundtrip,
     "stream_dedup" -> streamDedup,
     "sketch_aggregates" -> sketchAggregates,
     "sketch_mergeable" -> sketchMergeable,

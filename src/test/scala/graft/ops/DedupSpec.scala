@@ -173,6 +173,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(_.getLong(1) == 0L), "every chain node must label to the min id 0")
   }
 
+  test("incremental keepers admit only content absent from the index") {
+    val corpus = docsDF(Seq(1L -> base, 2L -> "already indexed body of text"))
+    val batch = docsDF(Seq(
+      10L -> base, // exact dup of indexed doc 1 -> dropped
+      11L -> "a genuinely new document arriving in this batch"))
+    val index = Dedup.exactHashIndex(corpus)
+    val kept = Dedup.incrementalKeepers(batch, index)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(11L))
+  }
+
   test("contamination stats flag benchmark-overlapping docs only") {
     val corpus = docsDF(Seq(
       1L -> base, // identical to the benchmark doc -> fully contaminated

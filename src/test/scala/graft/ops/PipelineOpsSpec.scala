@@ -130,4 +130,46 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getString(1))
     assert(!none.contains("all") && none.length == 500)
   }
+
+  test("packSequences matches a plain-Scala replay of the packing rule") {
+    val spark2 = spark
+    import spark2.implicits._
+    def h56(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = (0L until 50L).map(i => (i, i % 7 + 1))
+    val got = PipelineOps.packSequences(
+      docs.toDF("doc_id", "n_tokens").repartition(5), "n_tokens", budget = 16, shards = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("start_offset"), r.getAs[Long]("seq_id"))))
+      .toMap
+    // replay: shard/order by the same salted hash, prefix-sum offsets
+    val expected = docs
+      .map { case (id, n) => (id, n, h56(s"$id|pack")) }
+      .groupBy(_._3 % 4)
+      .flatMap { case (shard, rows) =>
+        var off = 0L
+        rows.sortBy { case (id, _, h) => (h, id) }.map { case (id, n, _) =>
+          val r = (id, (shard, off, off / 16)); off += n; r
+        }
+      }.toMap
+    assert(got == expected)
+  }
+
+  test("packSequences offsets are contiguous within every shard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 200L).map(i => (i, i % 11 + 1)).toDF("doc_id", "n_tokens")
+    val rows = PipelineOps.packSequences(docs, "n_tokens", budget = 64, shards = 8).collect()
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("start_offset"))
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b.getAs[Long]("start_offset") ==
+          a.getAs[Long]("start_offset") + a.getAs[Long]("n_tokens"))
+      }
+    }
+  }
 }
