@@ -322,6 +322,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** PCA projection + explained variance of an embedding column. */
+  case class PcaResult(projected: DataFrame, explainedVariance: Array[Double])
+
+  /** Distributed PCA over embeddings, composed from Spark ML's own
+    * estimator (preference order (a): the built-in op already has the
+    * right scale shape — covariance via one distributed Gramian pass with
+    * only the dim×dim matrix on the driver, eigendecomposition local,
+    * projection a narrow per-row matmul). Used for embedding compression
+    * before ANN (search in k ≪ dim dims, re-rank in full precision) and
+    * for corpus drift diagnostics via the explained-variance profile.
+    */
+  def pca(
+      embeddings: DataFrame,
+      k: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): PcaResult = {
+    import org.apache.spark.ml.feature.{PCA => MlPca}
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val withVec = Parallelism.widen(embeddings)
+      .select(col(idCol), array_to_vector(col(vecCol).cast("array<double>")).as("v"))
+    val model = new MlPca().setInputCol("v").setOutputCol("p").setK(k).fit(withVec)
+    val projected = model.transform(withVec)
+      .select(col(idCol), vector_to_array(col("p")).as("pc"))
+    PcaResult(projected, model.explainedVariance.toArray)
+  }
+
   /** IVF-style ANN: every corpus vector is assigned to its nearest centroid
     * cell (one narrow pass); each query probes its `nProbe` nearest cells
     * and re-ranks exactly inside them. The cell column is the partition-

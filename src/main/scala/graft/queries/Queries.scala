@@ -1006,6 +1006,40 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Dedup-tier quality surface: recall of the MinHash-LSH near-dup pairs
+    * against the exact inverted-index Jaccard pairs at the same 0.5
+    * threshold — the accuracy/cost trade of the banded tier as driver-
+    * readable numbers (the dedup twin of sim_recall). Rows-only: LSH pair
+    * recall is probabilistic by design; the exact side is itself
+    * oracle-checked via dedup_ngram_jaccard.
+    */
+  val dedupRecall: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(
+      docs, threshold = 0.5, maxDocFrequency = 100, minSharedShingles = 1)
+      .select("id_a", "id_b")
+    val lsh = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("id_a", "id_b")
+    val nExact = exact.count()
+    val hits = exact.join(lsh, Seq("id_a", "id_b")).count()
+    val spark = s
+    import spark.implicits._
+    Seq((nExact, hits, if (nExact == 0) 1.0 else hits.toDouble / nExact))
+      .toDF("n_exact_pairs", "n_lsh_hits", "lsh_pair_recall")
+  }
+
+  /** PCA compression of the embedding table (top-8 components via the
+    * composed Spark ML estimator), emitted as (vec_id, pc_idx, value)
+    * scalar rows. Rows-only: eigenvector signs/values are engine-
+    * specific floats; SimilaritySpec asserts variance ordering and
+    * that full-rank projection preserves pairwise geometry.
+    */
+  val embeddingPca: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    Similarity.pca(t(s, dir, "embeddings"), k = 8).projected
+      .select(col("vec_id"), posexplode(col("pc")).as(Seq("pc_idx", "value")))
+      .orderBy("vec_id", "pc_idx")
+  }
+
   /** Near-dup CLUSTER resolution: the transitive closure of the n-gram
     * Jaccard pair relation (near-dup similarity is not transitive, so
     * keep-one-per-cluster needs components, not pairs), every document
@@ -1826,7 +1860,9 @@ object Queries {
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
+    "dedup_recall" -> dedupRecall,
     "decontaminate" -> decontaminate,
+    "embedding_pca" -> embeddingPca,
     "dedup_embedding" -> dedupEmbedding,
     "text_analyze" -> textAnalyze,
     "text_repetition" -> textRepetition,

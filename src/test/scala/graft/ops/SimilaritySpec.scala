@@ -137,4 +137,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val b = Similarity.lshTopK(df, k = 3, dim = dim).collect().map(_.toString).sorted
     assert(a.toSeq == b.toSeq)
   }
+
+  test("PCA orders variance and preserves geometry at full rank") {
+    val df = embDF(randomVecs(60, 29))
+    val r = Similarity.pca(df, k = 8)
+    // explained variance: a probability profile, decreasing
+    assert(r.explainedVariance.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r.explainedVariance.sum <= 1.0 + 1e-9)
+    r.explainedVariance.zip(r.explainedVariance.drop(1)).foreach { case (a, b) =>
+      assert(a >= b - 1e-12, "explained variance must be non-increasing")
+    }
+    // full-rank projection multiplies by an orthonormal basis, so all
+    // pairwise distances survive exactly
+    val full = Similarity.pca(df, k = dim).projected
+      .collect().map(row => row.getLong(0) -> row.getSeq[Double](1).toArray).toMap
+    val orig = df.collect()
+      .map(row => row.getLong(0) -> row.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = orig.keys.toSeq.sorted.take(10)
+    for (i <- ids; j <- ids if i < j) {
+      assert(math.abs(dist(full(i), full(j)) - dist(orig(i), orig(j))) < 1e-6,
+        s"distance ($i,$j) not preserved at full rank")
+    }
+  }
 }
