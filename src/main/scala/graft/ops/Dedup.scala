@@ -394,9 +394,19 @@ object Dedup {
     def sym(df: DataFrame): DataFrame =
       df.union(df.select(col("v").as("u"), col("u").as("v")))
 
+    // Each round's localCheckpoint holds executor storage until GC; on a
+    // long session that accumulation slows later work, so the PREVIOUS
+    // round's checkpoint RDD is unpersisted explicitly once the fixpoint
+    // test no longer needs it. The persistent-RDD diff is captured tightly
+    // around our own localCheckpoint call (queries here run sequentially;
+    // a concurrently-persisting caller should rely on GC instead).
+    val sc = pairs.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val before0 = persistedIds
     var edges = canon(
       pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
       .localCheckpoint(true)
+    var prevIds = persistedIds -- before0
     var done = edges.isEmpty
     var iter = 0
     while (!done && iter < maxIterations) {
@@ -412,15 +422,19 @@ object Dedup {
       val oriented = afterLarge.select(col("v").as("u"), col("u").as("v"))
       val smallMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
       val withM = oriented.join(smallMins, "u")
+      val beforeN = persistedIds
       val afterSmall = canon(
         withM.select(col("v").as("u"), col("m").as("v"))
           .union(withM.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
+      val newIds = persistedIds -- beforeN
       // fixpoint: the star edge set reproduces itself exactly. (distinct
       // sets + equal counts + empty difference ⇒ equality; at extreme
       // scale swap the except() for a cheap monotone edge-count check —
       // the star set only shrinks once components are resolved)
       done = afterSmall.count() == edges.count() && afterSmall.except(edges).isEmpty
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = newIds
       edges = afterSmall
       iter += 1
     }

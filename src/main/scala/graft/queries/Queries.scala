@@ -1015,13 +1015,22 @@ object Queries {
     */
   val dedupRecall: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val exact = Dedup.ngramJaccardPairs(
-      docs, threshold = 0.5, maxDocFrequency = 100, minSharedShingles = 1)
-      .select("id_a", "id_b")
-    val lsh = Dedup.minhashNearDups(docs, threshold = 0.5)
-      .select("id_a", "id_b")
+    // exact side at the PRODUCTION operating point (df-cap 20, shared≥2 —
+    // same as dedup_ngram_jaccard): a pair at Jaccard ≥ 0.5 shares many
+    // shingles, so the pruning loses ~nothing while keeping the candidate
+    // set bounded (df-cap 100 + shared≥1 measured 36s vs ~6s at sf0.1 on
+    // the low-entropy fixture corpus)
+    val exactPairs = Dedup.ngramJaccardPairs(
+      docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2)
+    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+    val exact = exactPairs.select("id_a", "id_b")
+    val lsh = lshPairs.select("id_a", "id_b")
     val nExact = exact.count()
     val hits = exact.join(lsh, Seq("id_a", "id_b")).count()
+    // both pair frames come back persisted (their builders cache them for
+    // the verify joins) — release them so they don't pressure later queries
+    exactPairs.unpersist(blocking = false)
+    lshPairs.unpersist(blocking = false)
     val spark = s
     import spark.implicits._
     Seq((nExact, hits, if (nExact == 0) 1.0 else hits.toDouble / nExact))
