@@ -33,6 +33,18 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // Untimed warmup: codegen-compiler classes, the noop sink lookup, and
+    // parquet reader init are one-time session state that would otherwise
+    // be billed entirely to the alphabetically-first query (als_csv_ratings
+    // measured ~2x its steady-state cost). One tiny scan + one tiny
+    // aggregate exercise both paths without touching any query's own data
+    // volume.
+    try {
+      Tables.load(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
+      spark.range(1 << 14).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     def timed(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       try {
