@@ -1426,6 +1426,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** ORC source/sink round-trip (same contract as docs_jsonl_roundtrip,
+    * over the other columnar format Spark ships natively) — closes the
+    * format matrix: parquet (every query), CSV (als_csv_ratings), JSONL
+    * (docs_jsonl_roundtrip), ORC (here).
+    */
+  val docsOrcRoundtrip: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_docs_orc_${dirKey(dir)}"
+    if (!csvWritten.contains(path)) {
+      t(s, dir, "documents").write.mode("overwrite").orc(path)
+      csvWritten.add(path)
+    }
+    s.read.orc(path)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/C4-style rule filter: hard keep/drop with the first failing
     * rule recorded — token-count bounds, mean-token-length band, longest-
     * token cap, minimum stopword ratio. All features are stateless
@@ -1886,6 +1905,7 @@ object Queries {
     "pack_sequences" -> packSequencesQ,
     "dedup_incremental" -> dedupIncremental,
     "docs_jsonl_roundtrip" -> docsJsonlRoundtrip,
+    "docs_orc_roundtrip" -> docsOrcRoundtrip,
     "stream_dedup" -> streamDedup,
     "sketch_aggregates" -> sketchAggregates,
     "sketch_mergeable" -> sketchMergeable,

@@ -164,6 +164,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected)
   }
 
+  test("connected components match union-find across graph shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (seed, nodes, edges): sparse fragments, dense single component, and
+    // a duplicate-heavy multigraph with self-loops
+    val cases = Seq((11, 40, 20), (12, 25, 120), (13, 30, 60))
+    cases.foreach { case (seed, n, m) =>
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed n=$n m=$m")
+    }
+  }
+
   test("connected components resolve a long chain (diameter >> rounds)") {
     val spark2 = spark
     import spark2.implicits._
