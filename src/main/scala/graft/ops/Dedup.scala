@@ -466,6 +466,48 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     newDocs.join(index, md5(newDocs(textCol)) === index("content_hash"), "left_anti")
 
+  /** Bloom-prefiltered incremental dedup — the 100 TB shape of
+    * [[incrementalKeepers]]: one distributed `bloom_filter_agg` pass
+    * builds a bloom filter of the corpus content hashes (bit-OR merge —
+    * order-independent, deterministic), the filter ships to the batch
+    * side as a plan literal (a broadcast in effect; a few MB represents
+    * hundreds of millions of documents), and the exact index join runs
+    * ONLY on rows the bloom cannot rule out. Bloom filters have no false
+    * negatives, so bloom-rejected rows are definitely new and skip the
+    * join; false positives are removed by the exact verify — the result
+    * is IDENTICAL to [[incrementalKeepers]], which is what lets the gate
+    * oracle-check this path with the same SQL.
+    */
+  def incrementalKeepersBloom(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      expectedItems: Long = 100000L,
+      numBits: Long = 1L << 20): DataFrame = {
+    // BloomFilterAggregate/MightContain are Catalyst-internal (used by the
+    // optimizer's runtime-filter injection, not in the SQL registry) —
+    // constructed directly, the same justified bridge DotProductExpr uses
+    val bloomAgg = org.apache.spark.sql.GraftSqlShims.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftSqlShims.expression(xxhash64(md5(col(textCol)))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    val bloomBytes = corpus
+      .agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bloomBytes == null) return newDocs // empty corpus: everything is new
+    val mightContain = org.apache.spark.sql.GraftSqlShims.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftSqlShims.expression(xxhash64(md5(col(textCol))))))
+    val definitelyNew = newDocs.where(!mightContain)
+    val confirmedNew = incrementalKeepers(
+      newDocs.where(mightContain), exactHashIndex(corpus), textCol)
+    definitelyNew.unionByName(confirmedNew)
+  }
+
   /** Benchmark decontamination: for each corpus document, how many of its
     * distinct `shingleSize`-gram shingles also occur anywhere in
     * `benchmark` (the held-out eval set), as count, fraction, and a

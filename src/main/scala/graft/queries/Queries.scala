@@ -1426,6 +1426,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered incremental dedup: same semantics (and the same
+    * oracle SQL) as dedup_incremental, but the batch consults a
+    * broadcast-style bloom filter of the corpus hashes first and only
+    * bloom-positive rows reach the exact index join — the shape that
+    * keeps daily-ingest dedup cheap when the corpus index no longer fits
+    * a broadcast join.
+    */
+  val dedupIncrementalBloom: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang, source FROM documents b
+      |WHERE doc_id % 5 = 0
+      |  AND md5(b.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    Dedup.incrementalKeepersBloom(batch, corpus)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** ORC source/sink round-trip (same contract as docs_jsonl_roundtrip,
     * over the other columnar format Spark ships natively) — closes the
     * format matrix: parquet (every query), CSV (als_csv_ratings), JSONL
@@ -1904,6 +1924,7 @@ object Queries {
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "docs_jsonl_roundtrip" -> docsJsonlRoundtrip,
     "docs_orc_roundtrip" -> docsOrcRoundtrip,
     "stream_dedup" -> streamDedup,

@@ -207,6 +207,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(kept.toSeq == Seq(11L))
   }
 
+  test("bloom-prefiltered incremental dedup equals the plain anti-join") {
+    def text(i: Int) = s"document body number $i with filler ${i % 5}"
+    val corpus = docsDF((0L until 60L).map(i => i -> text(i.toInt)))
+    val batch = docsDF(
+      (100L until 120L).map(i => i -> text(i.toInt - 100)) ++ // dups of corpus
+        (200L until 215L).map(i => i -> s"brand new content $i"))
+    val plain = Dedup.incrementalKeepers(batch, Dedup.exactHashIndex(corpus))
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    val bloomed = Dedup.incrementalKeepersBloom(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(bloomed.toSeq == plain.toSeq)
+    assert(plain.forall(_ >= 200L), "every corpus dup must be dropped")
+  }
+
   test("contamination stats flag benchmark-overlapping docs only") {
     val corpus = docsDF(Seq(
       1L -> base, // identical to the benchmark doc -> fully contaminated
