@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.als.{GraftALS, GraftALSModel}
 import graft.functions.VectorFunctions
-import graft.ops.{Dedup, Multimodal, PipelineOps, Similarity, TextOps}
+import graft.ops.{Bucketing, Dedup, Multimodal, PipelineOps, Similarity, TextOps}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1465,6 +1465,40 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Fact⋈fact join over bucketed tables — the pay-the-shuffle-once layout
+    * for joins where neither side broadcasts at scale. Both tables are
+    * written `bucketBy(8, key)` once per JVM (`Bucketing.writeBucketed`),
+    * after which the planner proves co-partitioning and elides every
+    * Exchange from the join (asserted in BucketingSpec). The oracle replays
+    * the identical join+agg on the raw parquet — bucketing must be a pure
+    * layout change, invisible in the result.
+    */
+  val bucketedJoin: QueryDef = QueryDef.withOracle(
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val k = dirKey(dir)
+    val li = s"graft_li_buck_$k"
+    val ord = s"graft_ord_buck_$k"
+    Bucketing.writeBucketed(
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      li, 8, "l_orderkey")
+    Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      ord, 8, "o_orderkey")
+    Bucketing.coLocatedJoin(s, li, ord, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double")
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gopher/C4-style rule filter: hard keep/drop with the first failing
     * rule recorded — token-count bounds, mean-token-length band, longest-
     * token cap, minimum stopword ratio. All features are stateless
@@ -1927,6 +1961,7 @@ object Queries {
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "docs_jsonl_roundtrip" -> docsJsonlRoundtrip,
     "docs_orc_roundtrip" -> docsOrcRoundtrip,
+    "bucketed_join" -> bucketedJoin,
     "stream_dedup" -> streamDedup,
     "sketch_aggregates" -> sketchAggregates,
     "sketch_mergeable" -> sketchMergeable,

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketingSpec extends AnyFunSuite with SparkFixture {
+
+  private def facts() = {
+    import spark.implicits._
+    val left = (0L until 1000L)
+      .map(i => (i % 97, i, s"v$i")).toDF("k", "seq", "payload")
+    val right = (0L until 97L).map(i => (i, s"dim$i")).toDF("rk", "label")
+    (left, right)
+  }
+
+  test("co-located join of bucketed tables has no shuffle exchange") {
+    val (left, right) = facts()
+    Bucketing.writeBucketed(left, "spec_fact_left", 4, "k")
+    Bucketing.writeBucketed(right, "spec_fact_right", 4, "rk")
+    val joined =
+      Bucketing.coLocatedJoin(spark, "spec_fact_left", "spec_fact_right", "k", "rk")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+  }
+
+  test("bucketed join result equals the plain join") {
+    val (left, right) = facts()
+    Bucketing.writeBucketed(left, "spec_fact_left", 4, "k")
+    Bucketing.writeBucketed(right, "spec_fact_right", 4, "rk")
+    val bucketed =
+      Bucketing.coLocatedJoin(spark, "spec_fact_left", "spec_fact_right", "k", "rk")
+        .select("seq", "label").orderBy("seq")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("seq", "label").orderBy("seq")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(bucketed.length == 1000)
+    assert(bucketed.toSeq == plain.toSeq)
+  }
+
+  test("aggregate on the bucket key reuses the bucket partitioning") {
+    val (left, _) = facts()
+    Bucketing.writeBucketed(left, "spec_fact_agg", 4, "k")
+    val agg = spark.table("spec_fact_agg").groupBy("k")
+      .agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"groupBy on the bucket key must not shuffle:\n$plan")
+    assert(agg.count() == 97)
+  }
+}
