@@ -44,6 +44,16 @@ object Bucketing {
       numBuckets: Int,
       bucketCol: String): Unit =
     if (!written.contains(table)) {
+      val spark = df.sparkSession
+      // a previous JVM may have left the managed location on disk while
+      // this JVM's in-memory catalog has no such table — SaveMode.Overwrite
+      // only drops REGISTERED tables, so clear the orphaned dir explicitly
+      if (!spark.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       df.write
         .format("parquet")
         .bucketBy(numBuckets, bucketCol)

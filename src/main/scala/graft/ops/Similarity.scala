@@ -348,6 +348,227 @@ object Similarity {
     PcaResult(projected, model.explainedVariance.toArray)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011): split each vector into M subvectors,
+  // k-means each subspace to K centroids, store a vector as M small codes
+  // (M bytes at K≤256 vs dim×4 bytes raw — 32× compression at dim=64,
+  // M=8). Query scoring is ADC: one M×K lookup table per query, then a
+  // pair costs M array reads instead of dim multiplies. At 100 TB the
+  // codes table is what stays hot; raw vectors are only touched for the
+  // final exact re-rank of a bounded candidate set.
+  // ------------------------------------------------------------------
+
+  /** Deterministic PQ codebook init: M × K × (dim/M) pseudo-random
+    * centroids (same generator family as [[codebook]]; Lloyd iterations in
+    * [[trainPqCodebooks]] move them onto the data).
+    */
+  private[ops] def pqInit(dim: Int, numSubspaces: Int, numCentroids: Int,
+      seed: Long): Array[Array[Array[Float]]] =
+    Array.tabulate(numSubspaces)(m =>
+      hyperplanes(dim / numSubspaces, numCentroids, seed * 104729L + m))
+
+  /** `ARRAY<ARRAY<FLOAT>>` of the M subvectors of `v`. Materialize this
+    * with `withColumn` BEFORE any per-centroid lambda so each slice is cut
+    * once per row, not once per centroid probe.
+    */
+  private def subvecsCol(v: Column, numSubspaces: Int, subDim: Int): Column =
+    transform(sequence(lit(0), lit(numSubspaces - 1)),
+      m => slice(v, m.cast("int") * subDim + 1, lit(subDim)))
+
+  /** Best (argmin-L2) centroid code for subvector `sv` of subspace `m`
+    * (0-based column). argmin ‖sv−c‖² ≡ argmax (sv·c − ‖c‖²/2), so the
+    * scan reuses the codegen'd dot; ‖c‖²/2 ships precomputed in
+    * `halfNormLit`. Ties break toward the LOWEST code, like [[topCellsCol]].
+    */
+  private def bestCodeCol(cbLit: Column, halfNormLit: Column, m: Column,
+      sv: Column, numCentroids: Int): Column = {
+    val scored = transform(
+      sequence(lit(0), lit(numCentroids - 1)),
+      kk => struct(
+        (VectorFunctions.dot(sv, element_at(element_at(cbLit, m.cast("int") + 1), kk.cast("int") + 1)) -
+          element_at(element_at(halfNormLit, m.cast("int") + 1), kk.cast("int") + 1)).as("score"),
+        kk.cast("int").as("code")))
+    element_at(reverse(array_sort(scored, (a, b) =>
+      when(a.getField("score") < b.getField("score"), -1)
+        .when(a.getField("score") > b.getField("score"), 1)
+        .when(a.getField("code") > b.getField("code"), -1)
+        .when(a.getField("code") < b.getField("code"), 1)
+        .otherwise(0))), 1).getField("code")
+  }
+
+  private def pqLiterals(cb: Array[Array[Array[Float]]]): (Column, Column) = {
+    val cbLit = typedLit(cb.map(_.toSeq.map(_.toSeq)).toSeq)
+    val halfLit = typedLit(cb.map(_.toSeq.map(c =>
+      c.map(x => x.toDouble * x).sum / 2.0)).toSeq)
+    (cbLit, halfLit)
+  }
+
+  /** Lloyd's k-means per subspace, all M subspaces in each distributed
+    * pass: explode rows to (m, subvector), assign each to its argmin-L2
+    * centroid, recompute per-(m, code, dimension) means, repeat. Only the
+    * M×K×(dim/M) codebook (≈1k floats) ever reaches the driver, so the
+    * identical loop trains on a 100 TB corpus. Codes that lose all members
+    * keep their previous centroid.
+    */
+  def trainPqCodebooks(
+      vectors: DataFrame,
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      numSubspaces: Int = 8,
+      numCentroids: Int = 16,
+      iterations: Int = 3,
+      seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val subDim = dim / numSubspaces
+    require(subDim * numSubspaces == dim, s"dim $dim not divisible by $numSubspaces")
+    var cb = pqInit(dim, numSubspaces, numCentroids, seed)
+    val subs = Parallelism.widen(vectors)
+      .select(posexplode(subvecsCol(col(vecCol), numSubspaces, subDim)).as(Seq("m", "sv")))
+      .persist()
+    try {
+      for (_ <- 0 until iterations) {
+        val (cbLit, halfLit) = pqLiterals(cb)
+        val means = subs
+          .withColumn("code", bestCodeCol(cbLit, halfLit, col("m"), col("sv"), numCentroids))
+          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg(avg(col("x")).as("mean"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        means.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("code"))).foreach {
+          case ((m, code), rows) =>
+            val c = new Array[Float](subDim)
+            rows.foreach(r => c(r.getAs[Int]("pos")) = r.getAs[Double]("mean").toFloat)
+            next(m)(code) = c
+        }
+        cb = next
+      }
+      cb
+    } finally subs.unpersist(blocking = false)
+  }
+
+  /** Adds `codes: ARRAY<INT>` (length M, values in [0, K)) — the stored
+    * form of a PQ-compressed corpus. At rest these pack to M bytes per
+    * vector; everything downstream of the encode touches only this column.
+    */
+  def withPqCodes(
+      df: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      vecCol: String = "embedding"): DataFrame = {
+    val numSubspaces = codebooks.length
+    val numCentroids = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    val (cbLit, halfLit) = pqLiterals(codebooks)
+    df.withColumn("__subs", subvecsCol(col(vecCol), numSubspaces, subDim))
+      .withColumn("codes", transform(sequence(lit(0), lit(numSubspaces - 1)),
+        m => bestCodeCol(cbLit, halfLit, m, element_at(col("__subs"), m.cast("int") + 1),
+          numCentroids)))
+      .drop("__subs")
+  }
+
+  /** Adds `cell` (argmax-dot IVF assignment) and `residual` (v − cell
+    * centroid). IVF-PQ encodes RESIDUALS: the coarse quantizer already
+    * says which cell a vector is in, so PQ codes over `v` itself would
+    * spend nearly all their resolution re-describing the cell and leave
+    * within-cell ordering to noise (measured: recall@5 ≈ rerank/cell-size,
+    * i.e. random, on clustered data). Codes over `v − centroid` spend it
+    * on the within-cell detail the rerank actually needs.
+    */
+  def withCellResiduals(
+      df: DataFrame,
+      cells: Array[Array[Float]],
+      vecCol: String = "embedding",
+      outCol: String = "residual"): DataFrame = {
+    val centLit = typedLit(cells.map(_.toSeq).toSeq)
+    val cellArr = cellArrayCol(cells)
+    df.withColumn("cell", topCellsCol(cellArr, col(vecCol), 1).getItem(0))
+      .withColumn(outCol,
+        zip_with(col(vecCol), element_at(centLit, col("cell") + 1), (a, b) => a - b))
+  }
+
+  /** IVF-PQ ANN — the composed 100 TB shape: IVF cells prune which corpus
+    * partitions a query touches ([[ivfTopK]]'s pruning story), PQ codes
+    * make the in-cell scan cheap and small (ADC: per query one M×K lookup
+    * table, per candidate M array reads), and only the top-`rerank` ADC
+    * candidates are re-ranked with exact cosine over raw vectors. The ADC
+    * stage carries (id, cell, codes) ONLY — raw corpus vectors re-attach
+    * by id AFTER the rerank cut, so the wide rows never enter the
+    * candidate shuffle.
+    *
+    * `trainedPq` must be trained on RESIDUALS of `trainedCells` (see
+    * [[withCellResiduals]]); pass both from the same training run.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      rerank: Int = 50,
+      nProbe: Int = 4,
+      numCells: Int = 16,
+      numSubspaces: Int = 8,
+      numCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      seed: Long = 42L,
+      trainedCells: Option[Array[Array[Float]]] = None,
+      trainedPq: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val cells = trainedCells.getOrElse(codebook(dim, numCells, seed))
+    val pq = trainedPq.getOrElse(pqInit(dim, numSubspaces, numCentroids, seed))
+    val subDim = dim / numSubspaces
+    val cellArr = cellArrayCol(cells)
+    val (cbLit, _) = pqLiterals(pq)
+
+    val centLit = typedLit(cells.map(_.toSeq).toSeq)
+    val corpusBase = Parallelism.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        VectorFunctions.norm(col(vecCol)).as("cn"))
+    // ADC side: codes only — M ints per row instead of dim floats.
+    // Codes quantize RESIDUALS (see withCellResiduals): x̂ = c_cell + PQ(r)
+    val corpusCodes =
+      withPqCodes(withCellResiduals(corpusBase, cells, "cv"), pq, "residual")
+        .select("neighbor_id", "cell", "codes")
+
+    // per-query ADC lookup table: lut[m][k] = q_m · c_mk (M×K dots, once
+    // per query row, materialized before the candidate join)
+    val probedQueries = Parallelism.widen(queries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFunctions.norm(col(vecCol)).as("qn"))
+      .withColumn("__subs", subvecsCol(col("qv"), numSubspaces, subDim))
+      .withColumn("lut", transform(sequence(lit(0), lit(numSubspaces - 1)),
+        m => transform(sequence(lit(0), lit(numCentroids - 1)),
+          kk => VectorFunctions.dot(
+            element_at(col("__subs"), m.cast("int") + 1),
+            element_at(element_at(cbLit, m.cast("int") + 1), kk.cast("int") + 1)))))
+      .drop("__subs")
+      .withColumn("cell", explode(topCellsCol(cellArr, col("qv"), nProbe)))
+      // q·c_cell: one dot per (query, probed cell) row, BEFORE the candidate
+      // join — makes ADC scores comparable across a query's nProbe cells
+      // (q·x̂ = q·c_cell + q·PQ(r)) at zero per-candidate cost
+      .withColumn("qdotcell",
+        VectorFunctions.dot(col("qv"), element_at(centLit, col("cell") + 1)))
+
+    val adcW = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    val candidates = probedQueries.join(corpusCodes, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", col("qdotcell") + aggregate(
+        sequence(lit(0), lit(numSubspaces - 1)), lit(0.0),
+        (acc, m) => acc + element_at(element_at(col("lut"), m.cast("int") + 1),
+          element_at(col("codes"), m.cast("int") + 1) + 1)))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .where(col("adc_rank") <= rerank)
+      .select("query_id", "neighbor_id", "qv", "qn")
+
+    // exact re-rank of the bounded candidate set: raw vectors re-attach here
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    candidates
+      .join(corpusBase, "neighbor_id")
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** IVF-style ANN: every corpus vector is assigned to its nearest centroid
     * cell (one narrow pass); each query probes its `nProbe` nearest cells
     * and re-ranks exactly inside them. The cell column is the partition-

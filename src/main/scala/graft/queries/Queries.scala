@@ -719,6 +719,18 @@ object Queries {
   private def trainedCodebook(s: SparkSession, dir: String): Array[Array[Float]] =
     codebookCache.getOrElseUpdate(dir, Similarity.trainCodebook(t(s, dir, "embeddings")))
 
+  /** Trained PQ codebooks per data dir — trained on RESIDUALS of the dir's
+    * IVF codebook (the IVF-PQ contract; see Similarity.withCellResiduals),
+    * so the two caches always describe the same composed index.
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  private def trainedPq(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    pqCache.getOrElseUpdate(dir, Similarity.trainPqCodebooks(
+      Similarity.withCellResiduals(t(s, dir, "embeddings"), trainedCodebook(s, dir)),
+      vecCol = "residual"))
+
   /** Stable identity of a live session. `sessionUUID` is private[sql] in
     * 4.1, so object identity stands in — good enough to keep a restarted
     * session from being handed a model bound to a stale predecessor.
@@ -1606,6 +1618,20 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ ANN (rows-only: float scores) — the composed compressed-index
+    * tier: IVF cells prune the probe set, residual PQ codes (M bytes per
+    * vector) carry the ADC scan, raw vectors only re-attach for the exact
+    * re-rank of the top-`rerank` candidates. The recall of this tier vs
+    * brute force is measured by sim_recall's `ivfpq_recall` column.
+    */
+  val simTopkIvfPq: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(e, e, k = 5,
+      trainedCells = Some(trainedCodebook(s, dir)),
+      trainedPq = Some(trainedPq(s, dir)))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF index SERVING path: embeddings written once partitioned by their
     * trained-codebook cell (`writeCellIndex`), then a point lookup for one
     * query vector scans ONLY its 4 probe-cell directories — the physical
@@ -1678,14 +1704,20 @@ object Queries {
     val ivf = Similarity
       .ivfTopK(queries, e, k = 5, trainedCodebook = Some(trainedCodebook(s, dir)))
       .select("query_id", "neighbor_id").persist()
+    val ivfpq = Similarity
+      .ivfPqTopK(queries, e, k = 5,
+        trainedCells = Some(trainedCodebook(s, dir)),
+        trainedPq = Some(trainedPq(s, dir)))
+      .select("query_id", "neighbor_id").persist()
     val nExact = exact.count().toDouble
     val lshHits = exact.join(lsh, Seq("query_id", "neighbor_id")).count()
     val ivfHits = exact.join(ivf, Seq("query_id", "neighbor_id")).count()
-    Seq(exact, lsh, ivf).foreach(_.unpersist(blocking = false))
+    val ivfpqHits = exact.join(ivfpq, Seq("query_id", "neighbor_id")).count()
+    Seq(exact, lsh, ivf, ivfpq).foreach(_.unpersist(blocking = false))
     val spark = s
     import spark.implicits._
-    Seq((lshHits / nExact, ivfHits / nExact, nExact.toLong))
-      .toDF("lsh_recall", "ivf_recall", "n_exact_pairs")
+    Seq((lshHits / nExact, ivfHits / nExact, ivfpqHits / nExact, nExact.toLong))
+      .toDF("lsh_recall", "ivf_recall", "ivfpq_recall", "n_exact_pairs")
   }
 
   /** Sketch aggregates: HLL++ approximate distinct and approximate
@@ -1969,6 +2001,7 @@ object Queries {
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
+    "sim_topk_ivfpq" -> simTopkIvfPq,
     "sim_ivf_serve" -> simIvfServe,
     "sim_recall" -> simRecall,
     "token_bpe_estimate" -> tokenBpeEstimate,

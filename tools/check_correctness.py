@@ -42,8 +42,18 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     import glob
     import os
+    seen = set()
+    try:
+        with open(f"{out_dir}/verify_errors.json") as fh:
+            verify_errors = json.load(fh)
+    except FileNotFoundError:
+        verify_errors = {}
+    for name, msg in verify_errors.items():
+        print(f"{name:28s} VERIFY-ERROR {msg[:120]}")
+        failures += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
+        seen.add(name)
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"{name:28s} NO-OUTPUT")
@@ -95,6 +105,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
         else:
             print(f"{name:28s} OK rows={len(s)}")
+    # an oracle entry whose dump dir is absent would otherwise vanish from
+    # the dir-driven loop entirely (this is exactly what the driver records
+    # as err) — flag it even when verify_errors.json is unavailable
+    for name in sorted(set(oracles) - seen - set(verify_errors)):
+        print(f"{name:28s} MISSING-DUMP")
+        failures += 1
     print(f"\n{'FAILURES: %d' % failures if failures else 'ALL OK'}")
     return 1 if failures else 0
 
