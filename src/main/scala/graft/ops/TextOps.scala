@@ -252,6 +252,60 @@ object TextOps {
   }
 
   /** Full per-document analysis projection over a documents DataFrame. */
+  /** `ARRAY<STRING>` of all character trigrams of `text` (positions
+    * 1..len−2; empty below 3 chars — `sequence` would count DOWNWARD on a
+    * negative span, so the short-text case is guarded explicitly).
+    */
+  private def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus-trained character-trigram vocabulary: the `topK` most frequent
+    * trigrams, ties at the cut broken by trigram (binary collation — the
+    * same rule DuckDB's `ORDER BY c DESC, tri` applies). One exploded
+    * count pass; the result is ≤ topK rows, the broadcastable "model".
+    */
+  def trigramVocab(
+      documents: DataFrame,
+      textCol: String = "text",
+      topK: Int = 512): DataFrame =
+    Parallelism.widen(documents)
+      .select(explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tri"))
+      .limit(topK)
+      .select("tri")
+
+  /** Language-model-flavored quality signal without a language model: how
+    * much of a document is made of trigrams the corpus itself considers
+    * common. Train = one count pass + top-K cut ([[trigramVocab]]); score =
+    * explode each doc's trigrams, membership-check against the BROADCAST
+    * vocab, partial-count per doc — the explode and the join are map-side,
+    * so only (doc_id, count) rows ever shuffle, at any corpus size.
+    * Outputs are integers plus one single-division rate (both bit-identical
+    * across engines — no float-sum ordering hazard), so the whole op is
+    * DuckDB-oracle-checkable. Docs shorter than 3 chars have no trigrams
+    * and drop out, matching the oracle's empty `range`.
+    */
+  def oovScore(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topK: Int = 512): DataFrame = {
+    val vocab = trigramVocab(documents, textCol, topK)
+    Parallelism.widen(documents)
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("tri"))
+      .join(broadcast(vocab.withColumn("known", lit(1))), Seq("tri"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("oov_trigrams"))
+      .withColumn("oov_rate",
+        col("oov_trigrams").cast("double") / col("n_trigrams"))
+  }
+
   def analyze(documents: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     Parallelism.widen(documents)

@@ -1477,6 +1477,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-trained trigram OOV quality: vocabulary = the 512 most common
+    * character trigrams of the corpus itself (ties at the cut broken
+    * (count DESC, trigram ASC) — binary collation in both engines), score =
+    * per doc how many of its trigrams fall outside that vocabulary. The
+    * outputs are two integers and one single-division rate, so the usual
+    * float-sum ordering hazard cannot arise and the full train+score
+    * pipeline is hash-checked against DuckDB.
+    */
+  val textOovQuality: QueryDef = QueryDef.withOracle(
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i FROM documents
+      |),
+      |tri AS (SELECT doc_id, substr(text, i, 3) AS tri FROM pos),
+      |vocab AS (
+      |  SELECT tri FROM (
+      |    SELECT tri, count(*) AS c FROM tri GROUP BY tri
+      |    ORDER BY c DESC, tri LIMIT 512)
+      |),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    count(*) AS n_trigrams,
+      |    sum(CASE WHEN v.tri IS NULL THEN 1 ELSE 0 END) AS oov
+      |  FROM tri t LEFT JOIN vocab v USING (tri)
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+      |  CAST(oov AS BIGINT) AS oov_trigrams,
+      |  CAST(oov AS DOUBLE) / n_trigrams AS oov_rate
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextOps.oovScore(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
   /** Fact⋈fact join over bucketed tables — the pay-the-shuffle-once layout
     * for joins where neither side broadcasts at scale. Both tables are
     * written `bucketBy(8, key)` once per JVM (`Bucketing.writeBucketed`),
@@ -1982,6 +2013,7 @@ object Queries {
     "text_repetition" -> textRepetition,
     "text_top_terms" -> textTopTerms,
     "text_langid_fingerprint" -> textLangidFingerprint,
+    "text_oov_quality" -> textOovQuality,
     "text_winnow" -> textWinnow,
     "text_redact" -> textRedact,
     "quality_filter" -> qualityFilter,

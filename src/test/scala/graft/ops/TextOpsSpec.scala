@@ -105,4 +105,37 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L).getAs[Double]("dup_2gram_frac") == 0.0)
     assert(got(2L).getAs[Double]("top_2gram_frac") == 1.0 / 3.0)
   }
+
+  test("trigram OOV score matches a plain-Scala replay of train+score") {
+    val texts = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the log",
+      3L -> "zqx!7#", // all-rare trigrams
+      4L -> "hi", // < 3 chars: no trigrams, must drop out
+      5L -> "the the the the")
+    val df = spark.createDataFrame(
+      texts.map { case (id, t) => Row(id, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val topK = 8
+    // plain-Scala replay
+    def tris(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val counts = texts.flatMap(t => tris(t._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(topK).map(_._1).toSet
+    val expected = texts.filter(_._2.length >= 3).map { case (id, t) =>
+      val ts = tris(t)
+      val oov = ts.count(!vocab.contains(_))
+      id -> ((ts.size.toLong, oov.toLong, oov.toDouble / ts.size))
+    }.toMap
+    val got = TextOps.oovScore(df, topK = topK).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Long]("oov_trigrams"),
+          r.getAs[Double]("oov_rate")))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    assert(!got.contains(4L), "sub-trigram docs must produce no row")
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // the all-rare doc must be fully OOV with a tiny vocab
+    assert(got(3L)._2 == got(3L)._1)
+  }
 }
