@@ -544,4 +544,125 @@ object Dedup {
         col("n_overlap").cast("double") / col("n_shingles").cast("double"))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
+
+  /** Distinct stride-1 `spanWords`-word window hashes per document:
+    * `(id, h)` rows, `h` = the portable 56-bit md5-prefix hash of the
+    * span text so an external SQL engine replays it exactly. A document
+    * shorter than `spanWords` words contributes its whole text as one
+    * span. Span TEXT never leaves the narrow projection — only the
+    * 8-byte hash and the doc id are shuffled by downstream consumers.
+    */
+  def spanHashes(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      spanWords: Int = 16): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val spans = transform(
+      sequence(lit(0), greatest(size(ws) - spanWords, lit(0))),
+      i => TextOps.portableHash56(concat_ws(" ", slice(ws, i + 1, lit(spanWords)))))
+    Parallelism.widen(documents)
+      .select(col(idCol).as("id"), explode(spans).as("h"))
+      .distinct()
+  }
+
+  /** Exact duplicate-span detection (the exact-substring dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): document pairs sharing at least one verbatim run of
+    * `spanWords` words, with the count of distinct shared spans. Catches
+    * verbatim quotation/mirroring that whole-document MinHash misses when
+    * the surrounding text differs.
+    *
+    * Scale shape: stride-1 spans are O(total tokens) rows — unavoidable
+    * for exact-substring semantics — but each row is (id, 8-byte hash),
+    * never span text. Spans occurring in only one document die in the
+    * first aggregate; spans in more than `maxDf` documents (tag soup,
+    * templated runs) are capped OUT before the self-join, so candidate
+    * volume is Σ df² over 2 ≤ df ≤ maxDf — never all-pairs.
+    */
+  def duplicateSpanPairs(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      spanWords: Int = 16,
+      maxDf: Int = 50): DataFrame = {
+    val d = spanHashes(documents, textCol, idCol, spanWords)
+    val inDf = d.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val capped = d.join(inDf, "h")
+    capped.as("a")
+      .join(capped.as("b"), "h")
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  /** Disjoint `chunkSize`-word chunks of each document as
+    * `(id, idx, chunk)` rows — the structural unit for cross-document
+    * boilerplate removal ([[removeBoilerplate]]). Splits on single space
+    * so an external SQL engine's `str_split` replays it byte-identically.
+    * Chunking is one narrow pass per document (no shuffle).
+    */
+  def chunkify(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      chunkSize: Int = 8): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(ws) / lit(chunkSize.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(ws, i * chunkSize + 1, lit(chunkSize))))
+    Parallelism.widen(documents)
+      .select(col(idCol).as("id"), posexplode(chunks).as(Seq("idx", "chunk")))
+  }
+
+  /** Cross-document boilerplate removal (the C4/RefinedWeb line-dedup
+    * pass, on fixed word windows since the fixture corpus has no line
+    * structure): a chunk that occurs in ≥ `minDocs` distinct documents is
+    * boilerplate (headers, navigation, license blurbs) and is stripped
+    * from every document; the survivors are reassembled in original order.
+    * Output: `(id, n_chunks, n_kept, clean_text)` — one row per input
+    * document, `clean_text` empty when everything was boilerplate.
+    *
+    * Scale shape: chunking is narrow; the frequency count shuffles only
+    * (chunk, id) with map-side partial combine; the frequent set is small
+    * BY DEFINITION (each member occurs ≥ minDocs times, so distinct
+    * boilerplate ≤ corpus_chunks / minDocs, and real boilerplate is a few
+    * thousand strings even on a web-scale crawl) and is BROADCAST into a
+    * left-anti join; kept text then shuffles exactly once to reassemble.
+    */
+  def removeBoilerplate(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      chunkSize: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val chunks = chunkify(documents, textCol, idCol, chunkSize)
+    val frequent = chunks
+      .groupBy("chunk")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("chunk")
+    val kept = chunks.join(broadcast(frequent), Seq("chunk"), "left_anti")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")),
+          " ").as("clean_text"))
+    val totals = documents.select(
+      col(idCol).as("id"),
+      ceil(size(split(col(textCol), " ")) / lit(chunkSize.toDouble))
+        .cast("bigint").as("n_chunks"))
+    totals.join(kept, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

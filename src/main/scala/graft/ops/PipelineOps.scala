@@ -151,4 +151,38 @@ object PipelineOps {
     */
   def charClassCount(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("bigint")
+
+  /** Overlapping-window document chunking: sliding token windows of
+    * `window` words advancing by `stride` — the context-window shaping
+    * step for RAG indexing and long-document training, where `window -
+    * stride` tokens of overlap keep boundary-spanning content intact in
+    * at least one chunk. Every document emits at least one chunk (short
+    * docs emit themselves); the last window clamps at the document end.
+    * Output: `(id, chunk_id, chunk_tokens, chunk_text)`.
+    *
+    * One narrow pass per document — no shuffle, no UDF; the window plan
+    * stays inside whole-stage codegen, so this runs at scan speed on an
+    * arbitrarily large corpus.
+    */
+  def chunkDocuments(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 32,
+      stride: Int = 16): DataFrame = {
+    require(stride > 0 && window >= stride, s"need 0 < stride <= window, got window=$window stride=$stride")
+    val ws = split(col(textCol), " ")
+    val nWindows = ceil(greatest(size(ws) - window, lit(0)) / lit(stride.toDouble))
+      .cast("int") + 1
+    val chunks = transform(
+      sequence(lit(0), nWindows - 1),
+      i => slice(ws, i * stride + 1, lit(window)))
+    documents
+      .select(col(idCol).as("id"), posexplode(chunks).as(Seq("chunk_id", "cw")))
+      .select(
+        col("id"),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        size(col("cw")).cast("bigint").as("chunk_tokens"),
+        concat_ws(" ", col("cw")).as("chunk_text"))
+  }
 }

@@ -1477,6 +1477,86 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate removal: documents chunked into disjoint
+    * 8-word windows; chunks occurring in ≥2 distinct documents are
+    * stripped corpus-wide and the survivors reassembled in order. The
+    * oracle replays chunking (1-based list slices), the distinct-doc
+    * frequency gate, the anti-join, and the ordered reassembly; text
+    * integrity rides on md5 of the cleaned text.
+    */
+  val dedupBoilerplate: QueryDef = QueryDef.withOracle(
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS idx, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      |  FROM w, unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)
+      |),
+      |freq AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+      |kept AS (SELECT doc_id, idx, chunk FROM c WHERE chunk NOT IN (SELECT chunk FROM freq)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY idx) AS clean
+      |  FROM kept GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(ceil(len(ws)/8.0) AS BIGINT) AS n_chunks FROM w)
+      |SELECT n.doc_id, n.n_chunks,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  md5(coalesce(agg.clean, '')) AS clean_md5
+      |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+      |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.removeBoilerplate(t(s, dir, "documents"), chunkSize = 8, minDocs = 2)
+      .select(
+        col("id").as("doc_id"),
+        col("n_chunks"),
+        col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact duplicate-span pairs (Lee et al.-style exact-substring signal):
+    * doc pairs sharing ≥1 verbatim 16-word run, df-capped at 50. Oracle
+    * replays stride-1 span extraction, the md5-prefix 56-bit span hash,
+    * the df gate, and the pair join — byte-identical hash on both sides.
+    */
+  val dedupSpanPairs: QueryDef = QueryDef.withOracle(
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |sp AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x'||substr(md5(array_to_string(ws[(i+1):(i+16)], ' ')),1,14))::BIGINT AS h
+      |  FROM w, unnest(range(0, CAST(greatest(len(ws) - 16, 0) AS BIGINT) + 1)) AS t(i)
+      |),
+      |df AS (SELECT h FROM sp GROUP BY h HAVING count(*) BETWEEN 2 AND 50)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS shared_spans
+      |FROM sp a JOIN df USING (h) JOIN sp b USING (h)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Dedup.duplicateSpanPairs(t(s, dir, "documents"), spanWords = 16, maxDf = 50)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Overlapping-window chunking (32-token windows, stride 16): the
+    * RAG/context-shaping pass. Oracle replays the window arithmetic with
+    * 1-based clamped list slices; chunk text integrity via md5.
+    */
+  val chunkOverlap: QueryDef = QueryDef.withOracle(
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_id, ws[(i*16+1):(i*16+32)] AS cw
+      |  FROM w, unnest(range(0,
+      |    CAST(ceil(greatest(len(ws) - 32, 0)/16.0) AS BIGINT) + 1)) AS t(i)
+      |)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(len(cw) AS BIGINT) AS chunk_tokens,
+      |  md5(array_to_string(cw, ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    PipelineOps.chunkDocuments(t(s, dir, "documents"), window = 32, stride = 16)
+      .select(
+        col("id").as("doc_id"),
+        col("chunk_id"),
+        col("chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Corpus-trained trigram OOV quality: vocabulary = the 512 most common
     * character trigrams of the corpus itself (ties at the cut broken
     * (count DESC, trigram ASC) — binary collation in both engines), score =
@@ -2023,6 +2103,9 @@ object Queries {
     "pack_sequences" -> packSequencesQ,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
+    "dedup_boilerplate" -> dedupBoilerplate,
+    "dedup_span_pairs" -> dedupSpanPairs,
+    "chunk_overlap" -> chunkOverlap,
     "docs_jsonl_roundtrip" -> docsJsonlRoundtrip,
     "docs_orc_roundtrip" -> docsOrcRoundtrip,
     "bucketed_join" -> bucketedJoin,

@@ -233,4 +233,62 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(1L)._2 == 1.0 && got(1L)._3)
     assert(got(2L)._1 == 0L && got(2L)._2 == 0.0 && !got(2L)._3)
   }
+
+  test("duplicateSpanPairs finds verbatim runs and honors the df cap") {
+    val run = (1 to 16).map(i => s"r$i").mkString(" ") // a verbatim 16-word run
+    val hot = (1 to 16).map(i => s"h$i").mkString(" ") // run present in MANY docs
+    val docs = docsDF(Seq(
+      1L -> s"alpha beta $run gamma delta",
+      2L -> s"completely different framing $run with other tails",
+      3L -> "no shared content in this one at all beyond stray words",
+      4L -> s"$hot a", 5L -> s"$hot b", 6L -> s"$hot c", 7L -> s"$hot d"))
+    val pairs = Dedup.duplicateSpanPairs(docs, spanWords = 16, maxDf = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared_spans")))
+    // docs 1/2 share exactly the one 16-word run; the hot span sits in 4
+    // docs > maxDf=3 so contributes no pairs
+    assert(pairs.toSet == Set((1L, 2L, 1L)))
+  }
+
+  test("duplicateSpanPairs treats a short doc as one whole-text span") {
+    val docs = docsDF(Seq(
+      1L -> "tiny doc of five words",
+      2L -> "tiny doc of five words",
+      3L -> "tiny doc of five words plus unrelated continuation tail"))
+    val pairs = Dedup.duplicateSpanPairs(docs, spanWords = 16, maxDf = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // 1 and 2 are identical short docs; 3's spans are windows of a LONGER
+    // doc... it is only 9 words, also < 16, so its single span differs
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("removeBoilerplate strips shared chunks, keeps unique ones in order") {
+    // chunkSize=4 -> chunks are exact 4-word windows; craft docs around that
+    val docs = docsDF(Seq(
+      1L -> "alpha beta gamma delta shared one two three epsilon zeta eta theta",
+      2L -> "iota kappa lambda mu shared one two three",
+      3L -> "nu xi omicron pi rho sigma tau upsilon"))
+    val out = Dedup.removeBoilerplate(docs, chunkSize = 4, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // "shared one two three" is chunk idx 1 in both doc 1 and doc 2
+    assert(out(1L) == ((3L, 2L, "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(2L) == ((2L, 1L, "iota kappa lambda mu")))
+    assert(out(3L) == ((2L, 2L, "nu xi omicron pi rho sigma tau upsilon")))
+  }
+
+  test("removeBoilerplate emits empty text for a fully-boilerplate doc") {
+    val docs = docsDF(Seq(
+      1L -> "copy right footer text",
+      2L -> "copy right footer text",
+      3L -> "copy right footer text unique tail words here"))
+    val out = Dedup.removeBoilerplate(docs, chunkSize = 4, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((0L, "")))
+    assert(out(2L) == ((0L, "")))
+    assert(out(3L) == ((1L, "unique tail words here")))
+  }
 }

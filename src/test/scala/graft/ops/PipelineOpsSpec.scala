@@ -172,4 +172,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("chunkDocuments windows cover every token with the requested overlap") {
+    val spark2 = spark
+    import spark2.implicits._
+    val words = (1 to 75).map(i => s"w$i")
+    val d = Seq((1L, words.mkString(" ")), (2L, "a b c")).toDF("doc_id", "text")
+    val rows = PipelineOps.chunkDocuments(d, window = 32, stride = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // 75 tokens, window 32, stride 16 -> ceil((75-32)/16)+1 = 4 windows
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(doc1.map(_._3).toSeq == Seq(32L, 32L, 32L, 27L)) // last clamps at doc end
+    // window i starts at token i*stride; consecutive windows overlap by window-stride
+    doc1.foreach { case (_, cid, n, text) =>
+      val expect = words.slice((cid * 16).toInt, (cid * 16).toInt + 32)
+      assert(text == expect.mkString(" ") && n == expect.length)
+    }
+    // short doc: one chunk = the doc itself
+    val doc2 = rows.filter(_._1 == 2L)
+    assert(doc2.toSeq == Seq((2L, 0L, 3L, "a b c")))
+  }
+
+  test("chunkDocuments rejects a stride larger than the window") {
+    val spark2 = spark
+    import spark2.implicits._
+    intercept[IllegalArgumentException] {
+      PipelineOps.chunkDocuments(Seq((1L, "x")).toDF("doc_id", "text"), window = 8, stride = 9)
+    }
+  }
 }
