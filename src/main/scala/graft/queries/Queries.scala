@@ -1695,6 +1695,33 @@ object Queries {
       .orderBy("user_id", "event_type", "props")
   }
 
+  /** Streaming merge-on-write index maintenance: the events stream keeps
+    * a parquet first-seen index (content hash → min event id) fresh via
+    * foreachBatch upserts — the streaming twin of dedup_incremental's
+    * batch index. The oracle replays the equivalent global group-by; the
+    * min-merge is idempotent, so the maintained index must equal it
+    * exactly regardless of micro-batch boundaries.
+    */
+  val streamIndexMaintenance: QueryDef = QueryDef.withOracle(
+    """SELECT md5(concat_ws('|', user_id, event_type, props)) AS content_hash,
+      |  min(event_id) AS first_event_id
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val idxDir = s"/tmp/graft_stream_index_${dirKey(dir)}"
+    if (!csvWritten.contains(idxDir)) {
+      EventsStream.deleteRecursively(new java.io.File(idxDir))
+      EventsStream.deleteRecursively(new java.io.File(idxDir + "_ck"))
+      val keyed = EventsStream.readEvents(s, dir).select(
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("props")))
+          .as("content_hash"),
+        col("event_id"))
+      EventsStream.firstSeenIndex(keyed, idxDir, idxDir + "_ck")
+      csvWritten.add(idxDir)
+    }
+    EventsStream.latestIndex(s, idxDir).orderBy("content_hash")
+  }
+
   /** Exact cosine top-5 neighbors, oracle-checked against DuckDB's
     * list_cosine_similarity. Scores intentionally excluded from the output
     * (ranks are stable; raw float-sum order is not guaranteed identical).
@@ -2110,6 +2137,7 @@ object Queries {
     "docs_orc_roundtrip" -> docsOrcRoundtrip,
     "bucketed_join" -> bucketedJoin,
     "stream_dedup" -> streamDedup,
+    "stream_index_maintenance" -> streamIndexMaintenance,
     "sketch_aggregates" -> sketchAggregates,
     "sketch_mergeable" -> sketchMergeable,
     "sketch_heavy_hitters" -> sketchHeavyHitters,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -187,5 +187,70 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Micro-batch merge-on-write index maintenance via `foreachBatch`: for
+    * a streaming `(content_hash, event_id)` frame, keeps a parquet index
+    * of the FIRST event id seen per content hash, merged and atomically
+    * versioned per micro-batch (`v<batchId>` dirs; readers take the
+    * latest, the writer prunes the rest after a successful commit). This
+    * is the streaming twin of [[graft.ops.Dedup.exactHashIndex]] — the
+    * daily-crawl index that batch `dedup_incremental` consults, kept
+    * fresh by the stream itself.
+    *
+    * Exactly-once posture: the merge is `min`, a commutative/idempotent
+    * reduction, so a replayed micro-batch (checkpoint recovery re-offers
+    * the same files) converges to the same index instead of double
+    * counting — the property that makes merge-on-write safe without a
+    * transactional table format. At scale the index would live in a
+    * transactional format with compaction; the versioned-dir swap is the
+    * format-free equivalent, and the merge plan (old index ∪ batch minima
+    * → re-min) shuffles only hashes and ids, never payloads.
+    */
+  def firstSeenIndex(
+      keyed: DataFrame,
+      indexDir: String,
+      checkpointDir: String): Unit = {
+    val spark = keyed.sparkSession
+    def versions: Seq[Long] =
+      Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName.stripPrefix("v").toLong).sorted
+    val q = keyed.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val newMin = batch.groupBy("content_hash")
+          .agg(min(col("event_id")).as("first_event_id"))
+        val prior = versions
+        val merged = prior.lastOption match {
+          case Some(v) =>
+            spark.read.parquet(s"$indexDir/v$v")
+              .unionByName(newMin)
+              .groupBy("content_hash")
+              .agg(min(col("first_event_id")).as("first_event_id"))
+          case None => newMin
+        }
+        merged.write.mode("overwrite").parquet(s"$indexDir/v$batchId")
+        prior.foreach(v => deleteRecursively(new java.io.File(s"$indexDir/v$v")))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The current contents of a [[firstSeenIndex]] directory (its latest
+    * committed version).
+    */
+  def latestIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val vs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.stripPrefix("v").toLong)
+    require(vs.nonEmpty, s"no committed index version under $indexDir")
+    spark.read.parquet(s"$indexDir/v${vs.max}")
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

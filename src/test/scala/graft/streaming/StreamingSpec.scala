@@ -155,4 +155,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(scored.count() == ratings.count())
     assert(scored.where(isnan(col("prediction"))).count() == 0)
   }
+
+  test("firstSeenIndex merges across micro-batches to the global minimum") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsi").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    // three source files -> maxFilesPerTrigger=1 forces three micro-batches;
+    // key "b" spans batches with a LOWER id arriving in a later batch
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(("b", 5L), ("c", 30L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    Seq(("a", 40L), ("d", 50L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f3")
+    val keyed = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    EventsStream.firstSeenIndex(keyed, idx, ck)
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 10L, "b" -> 5L, "c" -> 30L, "d" -> 50L))
+    // superseded versions are pruned: exactly one committed version remains
+    val vs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("v"))
+    assert(vs.length == 1)
+    // re-running against the same checkpoint is a no-op (no new files)
+    EventsStream.firstSeenIndex(keyed, idx, ck)
+    val again = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
 }
