@@ -1695,6 +1695,27 @@ object Queries {
       .orderBy("user_id", "event_type", "props")
   }
 
+  /** Range-sorted layout scan: documents rewritten once per JVM with
+    * `repartitionByRange` + `sortWithinPartitions` on doc_id (each file a
+    * disjoint id range — parquet min/max stats then let a range predicate
+    * skip whole files' row groups), read back through a selective range
+    * filter. The oracle applies the same filter to the raw table: layout
+    * must be invisible in the result.
+    */
+  val docsSortedScan: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents
+      |WHERE doc_id BETWEEN 42 AND 137
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_docs_rangesorted_${dirKey(dir)}"
+    Bucketing.writeRangeSorted(t(s, dir, "documents"), path, numFiles = 8, sortCol = "doc_id")
+    s.read.parquet(path)
+      .where(col("doc_id").between(42L, 137L))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming merge-on-write index maintenance: the events stream keeps
     * a parquet first-seen index (content hash → min event id) fresh via
     * foreachBatch upserts — the streaming twin of dedup_incremental's
@@ -2151,6 +2172,7 @@ object Queries {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "docs_partitioned_scan" -> docsPartitionedScan,
+    "docs_sorted_scan" -> docsSortedScan,
     "stream_events_daily" -> streamEventsDaily,
     "stream_purchase_views" -> streamPurchaseViews)
 }

@@ -50,4 +50,35 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
       s"groupBy on the bucket key must not shuffle:\n$plan")
     assert(agg.count() == 97)
   }
+
+  test("range-sorted layout yields disjoint per-file key ranges and pushes the range filter") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rs").toString
+    val path = s"$root/sorted"
+    val df = (0L until 1000L).map(i => (i, s"payload$i")).toDF("id", "payload")
+    Bucketing.writeRangeSorted(df, path, numFiles = 4, sortCol = "id")
+    // every parquet part file must cover an id range disjoint from the others
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("id")), max(col("id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.drop(1)).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: ${ranges.mkString(", ")}")
+    }
+    // the range predicate reaches the scan as pushed filters (row-group
+    // skipping via footer min/max needs both the stats AND the pushdown)
+    val scan = spark.read.parquet(path).where(col("id").between(100L, 160L))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,100)") &&
+      plan.contains("LessThanOrEqual(id,160)"),
+      s"range filter must be pushed to the scan:\n$plan")
+    assert(scan.count() == 61)
+    graft.streaming.EventsStream.deleteRecursively(new java.io.File(root))
+  }
 }
