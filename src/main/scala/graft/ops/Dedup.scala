@@ -586,7 +586,11 @@ object Dedup {
       idCol: String = "doc_id",
       spanWords: Int = 16,
       maxDf: Int = 50): DataFrame = {
-    val d = spanHashes(documents, textCol, idCol, spanWords)
+    // persisted: referenced by the df gate AND both sides of the pair
+    // join — without it the plan re-scans and re-explodes the corpus four
+    // times (released by the harness's per-query clearCache, as with the
+    // other persisted dedup intermediates)
+    val d = spanHashes(documents, textCol, idCol, spanWords).persist()
     val inDf = d.groupBy("h")
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
