@@ -152,6 +152,34 @@ object PipelineOps {
   def charClassCount(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("bigint")
 
+  /** Equi-width histogram of a numeric column — the distribution-audit
+    * pass a pipeline runs on lengths, quality scores, and token counts
+    * before choosing filter thresholds. Values below `lo` clamp into the
+    * first bucket, values at/above `hi` into the last, so the histogram
+    * is total. One map-side-combined hash aggregate over `nBins` keys:
+    * the cheapest possible distributed shape (empty buckets are simply
+    * absent).
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins > 0 and hi > lo, got [$lo,$hi)x$nBins")
+    val width = (hi - lo) / nBins
+    val bucket = least(
+      greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("bigint")
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * lit(width)).as("bucket_hi"),
+        col("n"))
+  }
+
   /** Overlapping-window document chunking: sliding token windows of
     * `window` words advancing by `stride` — the context-window shaping
     * step for RAG indexing and long-document training, where `window -

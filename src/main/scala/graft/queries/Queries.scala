@@ -1695,6 +1695,49 @@ object Queries {
       .orderBy("user_id", "event_type", "props")
   }
 
+  /** Length-distribution audit: equi-width histogram of document n_chars
+    * (12 buckets over [0, 600), under/overflow clamped into the edge
+    * buckets). Oracle replays the clamped floor arithmetic.
+    */
+  val docsLengthHistogram: QueryDef = QueryDef.withOracle(
+    """WITH b AS (
+      |  SELECT CAST(least(greatest(floor((n_chars - 0.0) / 50.0), 0.0), 11.0) AS BIGINT) AS bucket
+      |  FROM documents)
+      |SELECT bucket, 0.0 + bucket * 50.0 AS bucket_lo,
+      |  0.0 + (bucket + 1) * 50.0 AS bucket_hi,
+      |  count(*) AS n
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    PipelineOps.histogram(t(s, dir, "documents"), "n_chars", lo = 0.0, hi = 600.0, nBins = 12)
+      .orderBy("bucket")
+  }
+
+  /** Schema-evolution read: two parquet generations of the documents
+    * table — v1 written without the `source` column (the early-crawl
+    * schema), v2 with it — read back through mergeSchema so v1 rows
+    * surface NULL source. The oracle replays the generation split with a
+    * CASE. Schema drift across file generations is a fact of life for a
+    * long-lived 100 TB corpus; the merged read is Spark's native answer.
+    */
+  val docsSchemaEvolution: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val root = s"/tmp/graft_docs_evo_${dirKey(dir)}"
+    if (!csvWritten.contains(root)) {
+      val docs = t(s, dir, "documents")
+      docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$root/v1")
+      docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+        .select("doc_id", "lang", "source")
+        .write.mode("overwrite").parquet(s"$root/v2")
+      csvWritten.add(root)
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Range-sorted layout scan: documents rewritten once per JVM with
     * `repartitionByRange` + `sortWithinPartitions` on doc_id (each file a
     * disjoint id range — parquet min/max stats then let a range predicate
@@ -2173,6 +2216,8 @@ object Queries {
     "multimodal_frames" -> multimodalFrames,
     "docs_partitioned_scan" -> docsPartitionedScan,
     "docs_sorted_scan" -> docsSortedScan,
+    "docs_length_histogram" -> docsLengthHistogram,
+    "docs_schema_evolution" -> docsSchemaEvolution,
     "stream_events_daily" -> streamEventsDaily,
     "stream_purchase_views" -> streamPurchaseViews)
 }

@@ -196,6 +196,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(doc2.toSeq == Seq((2L, 0L, 3L, "a b c")))
   }
 
+  test("histogram clamps out-of-range values into edge buckets and is total") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0)
+      .toDF("v")
+    val got = PipelineOps.histogram(d, "v", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Double]("bucket_lo"), r.getAs[Double]("bucket_hi"), r.getAs[Long]("n"))))
+      .toMap
+    assert(got(0L) == ((0.0, 10.0, 3L)))  // -5 clamps in; 0.0 and 9.9 fall in
+    assert(got(1L) == ((10.0, 20.0, 1L))) // 10.0 is the second bucket's lo edge
+    assert(got(5L) == ((50.0, 60.0, 1L)))
+    assert(got(9L) == ((90.0, 100.0, 3L))) // 99.9 plus clamped 100.0 and 250.0
+    assert(got.values.map(_._3).sum == 8L) // total: every row lands somewhere
+  }
+
   test("chunkDocuments rejects a stride larger than the window") {
     val spark2 = spark
     import spark2.implicits._
