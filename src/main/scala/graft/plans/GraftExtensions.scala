@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.DotProductExpr
+import graft.functions.{ChunkGenerator, DotProductExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_norm takes exactly 1 argument")
         Sqrt(DotProductExpr(children.head, children.head))
+      }))
+    // table-generating function (UDTF surface): sliding-window chunking,
+    // usable as `LATERAL VIEW graft_chunks(text, 32, 16)`
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[ChunkGenerator].getName, null, "graft_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_chunks takes (text, window, stride)")
+        ChunkGenerator(children.head, children(1), children(2))
       }))
   }
 }

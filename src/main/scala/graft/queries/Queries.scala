@@ -1557,6 +1557,39 @@ object Queries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The same chunking computed by the custom Catalyst Generator (UDTF
+    * surface, `graft.functions.ChunkGenerator`) instead of the
+    * transform+posexplode HOF form — the generator streams chunks lazily
+    * (peak memory one doc + one chunk, vs the HOF's window/stride ×
+    * document transient array). Same oracle as chunk_overlap: the two
+    * forms must be indistinguishable in output.
+    */
+  val chunkOverlapGen: QueryDef = QueryDef.withOracle(
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_id, ws[(i*16+1):(i*16+32)] AS cw
+      |  FROM w, unnest(range(0,
+      |    CAST(ceil(greatest(len(ws) - 32, 0)/16.0) AS BIGINT) + 1)) AS t(i)
+      |)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(len(cw) AS BIGINT) AS chunk_tokens,
+      |  md5(array_to_string(cw, ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    val gen = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.ChunkGenerator(
+        org.apache.spark.sql.GraftSqlShims.expression(col("text")),
+        org.apache.spark.sql.GraftSqlShims.expression(lit(32)),
+        org.apache.spark.sql.GraftSqlShims.expression(lit(16))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), gen)
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        col("chunk_tokens").cast("bigint").as("chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Corpus-trained trigram OOV quality: vocabulary = the 512 most common
     * character trigrams of the corpus itself (ties at the cut broken
     * (count DESC, trigram ASC) — binary collation in both engines), score =
@@ -2197,6 +2230,7 @@ object Queries {
     "dedup_boilerplate" -> dedupBoilerplate,
     "dedup_span_pairs" -> dedupSpanPairs,
     "chunk_overlap" -> chunkOverlap,
+    "chunk_overlap_gen" -> chunkOverlapGen,
     "docs_jsonl_roundtrip" -> docsJsonlRoundtrip,
     "docs_orc_roundtrip" -> docsOrcRoundtrip,
     "bucketed_join" -> bucketedJoin,
