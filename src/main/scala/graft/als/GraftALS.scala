@@ -117,6 +117,55 @@ case class GraftALSModel(
     if (coldStartStrategy == "drop") joined.where(!isnan(col("prediction"))) else joined
   }
 
+  /** Serving-time USER FOLD-IN: solve factors for users absent from
+    * training (or users with fresh ratings) against the FIXED item
+    * factors — one user half-step of ALS-WR, without retraining. The
+    * reference (and MLlib) has no answer for a new user beyond cold-start
+    * NaN/drop; fold-in is the standard serving fix: a new user's normal
+    * equations involve only their own ratings, so the solve is exact
+    * given the item factors, and because explicit training ends on the
+    * user half-step, folding in the training ratings reproduces the
+    * trained user factors (parity-checked in GraftALSServingSpec).
+    *
+    * Scale shape: ratings join item factors on item id (broadcast when
+    * factors are small; the new-user batch is tiny by definition), then
+    * one `aggregateByKey` per user with a packed NormalEquation buffer —
+    * map-side combined, O(rank²) per buffer — and a per-user Cholesky
+    * (or NNLS) solve. No all-users state is touched.
+    */
+  def foldInUsers(
+      ratings: DataFrame,
+      regParam: Double,
+      ratingCol: String = "rating",
+      nonnegative: Boolean = false): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val itf = itemFactors.select(col("id").as("__iid"), col("features").as("__ifeat"))
+    val joined = ratings
+      .select(
+        col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("i"),
+        col(ratingCol).cast("float").as("r"))
+      .join(itf, col("i") === col("__iid")) // inner: unknown items carry no signal
+      .select(col("u"), col("__ifeat"), col("r"))
+    val k = rank
+    val nn = nonnegative
+    joined.rdd
+      .map(row => (row.getLong(0),
+        (row.getAs[scala.collection.Seq[Float]](1).toArray, row.getFloat(2))))
+      .aggregateByKey((new NormalEquation(k), 0L))(
+        seqOp = { case ((ne, n), (f, r)) => ne.add(f, r); (ne, n + 1) },
+        combOp = { case ((a, na), (b, nb)) => a.merge(b); (a, na + nb) })
+      .mapValues { case (ne, n) =>
+        val solver: LeastSquaresNESolver =
+          if (nn) new NNLSSolver else new CholeskySolver
+        // ALS-WR weighted regularization, as in the training kernel
+        solver.solve(ne, n * regParam)
+      }
+      .map { case (id, f) => FactorRow(id, f) }
+      .toDF("id", "features")
+  }
+
   /** Training-set-style MSE over a ratings DataFrame with `ratingCol`
     * (reference: `ALS.py:629`). Cold-start rows are dropped first.
     */

@@ -765,6 +765,19 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Serving-time user fold-in (one exact ALS-WR user half-step against
+    * the fixed item factors — the cold-start answer the reference lacks)
+    * for a hash-slice of users, dumped as scalar rows. Rows-only: trained
+    * floats; GraftALSServingSpec proves fold-in of the training ratings
+    * reproduces the trained factors.
+    */
+  val alsFoldin: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val slice = ratingsDF(s, dir).where(pmod(col("user_id"), lit(7L)) === 3)
+    model(s, dir).foldInUsers(slice, regParam = 0.1)
+      .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("id", "pos")
+  }
+
   /** Scoring join-chain + dot product over the training set (O2). */
   val alsPredictions: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     model(s, dir).transform(ratingsDF(s, dir)).orderBy("user_id", "item_id")
@@ -2204,6 +2217,7 @@ object Queries {
     "als_recommend" -> alsRecommend,
     "als_implicit_ratings" -> alsImplicitRatings,
     "als_implicit_factors" -> alsImplicitFactors,
+    "als_foldin" -> alsFoldin,
     "als_item_neighbors" -> alsItemNeighbors,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,

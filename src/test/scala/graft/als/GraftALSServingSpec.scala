@@ -54,4 +54,48 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     // every item with a non-self match gets exactly k=3 rows on both sides
     assert(blocked.count() == brute.count())
   }
+
+  test("foldInUsers reproduces trained user factors from the training ratings") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic low-rank-ish ratings: 40 users x 25 items, ~60% density
+    val rng = new scala.util.Random(11L)
+    val ratings = (for {
+      u <- 0 until 40; i <- 0 until 25
+      if rng.nextDouble() < 0.6
+    } yield (u.toLong, i.toLong, (1.0 + 4.0 * rng.nextDouble()).toFloat))
+      .toDF("user", "item", "rating")
+    val reg = 0.1
+    val model = GraftALS(
+      rank = 4, maxIter = 4, regParam = reg,
+      numUserBlocks = 2, numItemBlocks = 2,
+      userCol = "user", itemCol = "item", ratingCol = "rating", seed = 3L)
+      .fit(ratings)
+    // explicit training ends on the user half-step, so one fold-in pass
+    // over the same ratings against the final item factors must land on
+    // the trained user factors (up to accumulation-order float noise)
+    val trained = model.userFactors.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    val folded = model.foldInUsers(ratings, regParam = reg).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    assert(folded.keySet == trained.keySet)
+    folded.foreach { case (u, f) =>
+      val t = trained(u)
+      assert(f.length == t.length)
+      f.zip(t).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-4 * (1.0 + math.abs(b)),
+          s"user $u: folded ${f.toSeq} vs trained ${t.toSeq}")
+      }
+    }
+    // a genuinely NEW user folds in from their ratings alone and scores
+    val newUser = Seq((999L, 0L, 5.0f), (999L, 1L, 4.5f), (999L, 2L, 1.0f))
+      .toDF("user", "item", "rating")
+    val nf = model.foldInUsers(newUser, regParam = reg).collect()
+    assert(nf.length == 1 && nf.head.getLong(0) == 999L)
+    val feat = nf.head.getAs[scala.collection.Seq[Float]](1)
+    assert(feat.length == 4 && feat.exists(_ != 0f))
+    // ratings on items unknown to the model carry no signal at all
+    val unknownOnly = Seq((1000L, 9999L, 5.0f)).toDF("user", "item", "rating")
+    assert(model.foldInUsers(unknownOnly, regParam = reg).isEmpty)
+  }
 }
