@@ -166,6 +166,63 @@ case class GraftALSModel(
       .toDF("id", "features")
   }
 
+  /** Implicit-feedback twin of [[foldInUsers]] (Hu-Koren-Volinsky): a new
+    * user's normal equations are `YᵀY + Σ c₁·yᵢyᵢᵀ` over just their own
+    * interactions, so the solve needs the global item Gramian — computed
+    * here with one `treeAggregate` over the item factors (k²/2 doubles,
+    * the serving twin of the training kernel's `computeYtY`) and
+    * broadcast into the per-user solves. Confidence weighting and the
+    * λ·n_explicits regularization match the training kernel exactly, so
+    * folding in the training interactions reproduces the trained implicit
+    * factors (parity-checked in GraftALSServingSpec).
+    */
+  def foldInUsersImplicit(
+      ratings: DataFrame,
+      regParam: Double,
+      alpha: Double = 1.0,
+      ratingCol: String = "rating",
+      nonnegative: Boolean = false): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val k = rank
+    val yty = itemFactors.select("features").rdd
+      .treeAggregate(new NormalEquation(k))(
+        (ne, row) => ne.add(row.getAs[scala.collection.Seq[Float]](0).toArray, 0.0),
+        (a, b) => a.merge(b))
+    val ytyAta = spark.sparkContext.broadcast(yty.ata)
+    val itf = itemFactors.select(col("id").as("__iid"), col("features").as("__ifeat"))
+    val joined = ratings
+      .select(
+        col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("i"),
+        col(ratingCol).cast("float").as("r"))
+      .join(itf, col("i") === col("__iid"))
+      .select(col("u"), col("__ifeat"), col("r"))
+    val a = alpha
+    val nn = nonnegative
+    joined.rdd
+      .map(row => (row.getLong(0),
+        (row.getAs[scala.collection.Seq[Float]](1).toArray, row.getFloat(2))))
+      .aggregateByKey((new NormalEquation(k), 0L))(
+        seqOp = { case ((ne, n), (f, r)) =>
+          // Hu-Koren-Volinsky: c1 = α|r|, preference 1 w/ weight 1+c1 if r>0
+          val c1 = a * math.abs(r)
+          ne.add(f, if (r > 0.0f) 1.0 + c1 else 0.0, c1)
+          (ne, n + (if (r > 0.0f) 1L else 0L))
+        },
+        combOp = { case ((x, nx), (y, ny)) => x.merge(y); (x, nx + ny) })
+      .mapValues { case (ne, n) =>
+        val withGramian = new NormalEquation(k)
+        Array.copy(ytyAta.value, 0, withGramian.ata, 0, withGramian.triK)
+        withGramian.merge(ne)
+        val solver: LeastSquaresNESolver =
+          if (nn) new NNLSSolver else new CholeskySolver
+        solver.solve(withGramian, n * regParam)
+      }
+      .map { case (id, f) => FactorRow(id, f) }
+      .toDF("id", "features")
+  }
+
   /** Training-set-style MSE over a ratings DataFrame with `ratingCol`
     * (reference: `ALS.py:629`). Cold-start rows are dropped first.
     */

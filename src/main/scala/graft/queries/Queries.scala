@@ -820,8 +820,8 @@ object Queries {
     implicitModelCache.clear()
   }
 
-  val alsImplicitFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    val m = implicitModelCache.getOrElseUpdate((sessionKey(s), dir), {
+  private def implicitModel(s: SparkSession, dir: String): GraftALSModel =
+    implicitModelCache.getOrElseUpdate((sessionKey(s), dir), {
       GraftALS(
         rank = 8, maxIter = 5, regParam = 0.1, alpha = 10.0,
         implicitPrefs = true,
@@ -830,7 +830,22 @@ object Queries {
         seed = 42L)
         .fit(graft.sources.RatingsSource.implicitFromEvents(s, dir))
     })
-    m.userFactors
+
+  val alsImplicitFactors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    implicitModel(s, dir).userFactors
+      .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("id", "pos")
+  }
+
+  /** Implicit-feedback fold-in for a hash-slice of users: YᵀY + per-user
+    * confidence-weighted normal equations against the fixed item factors
+    * (Hu-Koren-Volinsky at serving time). Rows-only: trained floats;
+    * GraftALSServingSpec proves exact parity with trained factors.
+    */
+  val alsFoldinImplicit: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val slice = graft.sources.RatingsSource.implicitFromEvents(s, dir)
+      .where(pmod(col("user_id"), lit(7L)) === 3)
+    implicitModel(s, dir).foldInUsersImplicit(slice, regParam = 0.1, alpha = 10.0)
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
       .orderBy("id", "pos")
   }
@@ -2218,6 +2233,7 @@ object Queries {
     "als_implicit_ratings" -> alsImplicitRatings,
     "als_implicit_factors" -> alsImplicitFactors,
     "als_foldin" -> alsFoldin,
+    "als_foldin_implicit" -> alsFoldinImplicit,
     "als_item_neighbors" -> alsItemNeighbors,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,

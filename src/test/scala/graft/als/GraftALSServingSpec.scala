@@ -98,4 +98,35 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     val unknownOnly = Seq((1000L, 9999L, 5.0f)).toDF("user", "item", "rating")
     assert(model.foldInUsers(unknownOnly, regParam = reg).isEmpty)
   }
+
+  test("foldInUsersImplicit reproduces trained implicit user factors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(23L)
+    // implicit interactions: positive counts with ~70% sparsity
+    val ratings = (for {
+      u <- 0 until 30; i <- 0 until 20
+      if rng.nextDouble() < 0.3
+    } yield (u.toLong, i.toLong, (1 + rng.nextInt(5)).toFloat))
+      .toDF("user", "item", "rating")
+    val (reg, alpha) = (0.05, 2.0)
+    val model = GraftALS(
+      rank = 4, maxIter = 4, regParam = reg,
+      implicitPrefs = true, alpha = alpha,
+      numUserBlocks = 2, numItemBlocks = 2,
+      userCol = "user", itemCol = "item", ratingCol = "rating", seed = 9L)
+      .fit(ratings)
+    val trained = model.userFactors.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    val folded = model.foldInUsersImplicit(ratings, regParam = reg, alpha = alpha)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    assert(folded.keySet == trained.keySet)
+    folded.foreach { case (u, f) =>
+      f.zip(trained(u)).foreach { case (x, t) =>
+        assert(math.abs(x - t) <= 1e-4 * (1.0 + math.abs(t)),
+          s"user $u: folded ${f.toSeq} vs trained ${trained(u).toSeq}")
+      }
+    }
+  }
 }
