@@ -152,6 +152,58 @@ object PipelineOps {
   def charClassCount(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("bigint")
 
+  /** Deterministic negative sampling for implicit/contrastive training:
+    * for every user in `positives`, draw `candidatesPerUser` pseudo-random
+    * item indices from the salted hash of (user, draw-number), map them to
+    * items, anti-join the user's positives, and keep the first `k` per
+    * user (ordered by draw number, then item for tie-stability). The
+    * standard label-construction pass for recommender / embedding
+    * training, without `rand()`: every negative is reproducible from
+    * (user, salt), invariant to partitioning and re-runs.
+    *
+    * Scale shape: candidates are `users × candidatesPerUser` rows of
+    * (user, 8-byte index) — independent of the item-universe size; the
+    * item mapping is an equi-join against the (small, dimension-sized)
+    * item table and the positives anti-join shuffles only key pairs. No
+    * cross product anywhere. `candidatesPerUser` needs slack over `k`
+    * only for draws that collide with that user's positives or repeat.
+    *
+    * `items` must carry a dense `item_idx` in [0, numItems) plus the
+    * item-id column named `itemCol`.
+    */
+  def negativeSamples(
+      positives: DataFrame,
+      items: DataFrame,
+      numItems: Long,
+      k: Int,
+      candidatesPerUser: Int,
+      userCol: String = "user_id",
+      itemCol: String = "item_id",
+      salt: String = "neg"): DataFrame = {
+    require(candidatesPerUser >= k, s"need candidatesPerUser >= k, got $candidatesPerUser < $k")
+    val users = positives.select(col(userCol)).distinct()
+    val draws = users
+      .select(col(userCol), explode(sequence(lit(1), lit(candidatesPerUser))).as("j"))
+      .withColumn("item_idx",
+        pmod(
+          TextOps.portableHash56(
+            concat_ws("|", col(userCol), col("j"), lit(salt))),
+          lit(numItems)))
+      // the same index can be drawn twice for one user: keep the earliest draw
+      .groupBy(col(userCol), col("item_idx"))
+      .agg(min(col("j")).as("j"))
+    val mapped = draws.join(items, "item_idx")
+      .select(col(userCol), col(itemCol), col("j"))
+    val negs = mapped.join(
+      positives.select(col(userCol), col(itemCol)),
+      Seq(userCol, itemCol), "left_anti")
+    val w = Window.partitionBy(userCol).orderBy(col("j"), col(itemCol))
+    negs
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(userCol), col(itemCol), col("rk").cast("bigint").as("rk"))
+  }
+
   /** Equi-width histogram of a numeric column — the distribution-audit
     * pass a pipeline runs on lengths, quality scores, and token counts
     * before choosing filter thresholds. Values below `lo` clamp into the

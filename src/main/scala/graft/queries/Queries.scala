@@ -850,6 +850,43 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Deterministic negative sampling over the ratings derivation: 4
+    * hash-drawn unrated items per user from 12 candidate draws — the
+    * implicit-training label-construction pass, reproducible without
+    * rand(). The oracle replays the salted md5 draw, the per-(user,item)
+    * earliest-draw dedup, the positives anti-join, and the ranked cut.
+    */
+  val alsNegativeSamples: QueryDef = QueryDef.withOracle(
+    """WITH pos AS (
+      |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |users AS (SELECT DISTINCT user_id FROM pos),
+      |c0 AS (
+      |  SELECT user_id, j,
+      |    ('0x'||substr(md5(concat_ws('|', user_id, j, 'neg')),1,14))::BIGINT
+      |      % (SELECT count(*) FROM part) AS item_idx
+      |  FROM users, unnest(range(1, 13)) AS t(j)),
+      |cand AS (SELECT user_id, item_idx, min(j) AS j FROM c0 GROUP BY 1, 2),
+      |neg AS (
+      |  SELECT c.user_id, c.item_idx AS item_id, c.j
+      |  FROM cand c LEFT JOIN pos p
+      |    ON p.user_id = c.user_id AND p.item_id = c.item_idx
+      |  WHERE p.user_id IS NULL),
+      |rk AS (
+      |  SELECT user_id, item_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY j, item_id) AS rk
+      |  FROM neg)
+      |SELECT user_id, item_id, CAST(rk AS BIGINT) AS rk
+      |FROM rk WHERE rk <= 4
+      |ORDER BY user_id, rk""".stripMargin) { (s, dir) =>
+    val positives = ratingsDF(s, dir).select("user_id", "item_id")
+    val items = t(s, dir, "part")
+      .select(col("p_partkey").as("item_idx"), col("p_partkey").as("item_id"))
+    PipelineOps.negativeSamples(
+      positives, items, numItems = items.count(), k = 4, candidatesPerUser = 12)
+      .orderBy("user_id", "rk")
+  }
+
   /** CSV ingestion round-trip (S2): the ratings derivation is dumped to a
     * headerless `user,item,rating` CSV (the reference's input format,
     * `ALS.py:590-592`) and read back through RatingsSource.fromCsv's typed
@@ -2234,6 +2271,7 @@ object Queries {
     "als_implicit_factors" -> alsImplicitFactors,
     "als_foldin" -> alsFoldin,
     "als_foldin_implicit" -> alsFoldinImplicit,
+    "als_negative_samples" -> alsNegativeSamples,
     "als_item_neighbors" -> alsItemNeighbors,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,

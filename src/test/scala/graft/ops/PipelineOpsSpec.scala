@@ -196,6 +196,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(doc2.toSeq == Seq((2L, 0L, 3L, "a b c")))
   }
 
+  test("negativeSamples never emits a positive, is deterministic, and fills k per user") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(7L)
+    val positives = (for {
+      u <- 0L until 50L; i <- 0L until 100L if rng.nextDouble() < 0.1
+    } yield (u, i)).toDF("user_id", "item_id")
+    val items = (0L until 100L).map(i => (i, i)).toDF("item_idx", "item_id")
+    val negs = PipelineOps.negativeSamples(
+      positives, items, numItems = 100L, k = 5, candidatesPerUser = 20)
+    val rows = negs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val posSet = positives.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall { case (u, i, _) => !posSet.contains((u, i)) },
+      "a sampled negative collided with a positive")
+    // every user gets exactly k (universe 100, positives ~10, draws 20)
+    val perUser = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perUser.values.forall(_ == 5))
+    assert(perUser.size == positives.select("user_id").distinct().count())
+    // ranks are 1..k and the draw is invariant to input partitioning
+    assert(rows.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    val again = PipelineOps.negativeSamples(
+      positives.repartition(13), items, numItems = 100L, k = 5, candidatesPerUser = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == rows.toSet)
+  }
+
   test("histogram clamps out-of-range values into edge buckets and is total") {
     val spark2 = spark
     import spark2.implicits._
