@@ -166,6 +166,38 @@ case class GraftALSModel(
       .toDF("id", "features")
   }
 
+  /** Item fold-in: factors for new items (a fresh catalog entry with its
+    * first ratings) against the FIXED user factors — [[foldInUsers]] with
+    * the roles swapped. Unlike user fold-in this is not bit-identical to
+    * the trained item factors (training's item half-step ran against the
+    * PREVIOUS user generation), but it is the exact regularized
+    * least-squares solve given today's user factors — verified against a
+    * local dense solve in GraftALSServingSpec.
+    */
+  def foldInItems(
+      ratings: DataFrame,
+      regParam: Double,
+      ratingCol: String = "rating",
+      nonnegative: Boolean = false): DataFrame =
+    copy(
+      userFactors = itemFactors, itemFactors = userFactors,
+      userCol = itemCol, itemCol = userCol)
+      .foldInUsers(ratings, regParam, ratingCol, nonnegative)
+
+  /** Implicit-feedback item fold-in ([[foldInUsersImplicit]], roles
+    * swapped: the broadcast Gramian is XᵀX over the user factors).
+    */
+  def foldInItemsImplicit(
+      ratings: DataFrame,
+      regParam: Double,
+      alpha: Double = 1.0,
+      ratingCol: String = "rating",
+      nonnegative: Boolean = false): DataFrame =
+    copy(
+      userFactors = itemFactors, itemFactors = userFactors,
+      userCol = itemCol, itemCol = userCol)
+      .foldInUsersImplicit(ratings, regParam, alpha, ratingCol, nonnegative)
+
   /** Implicit-feedback twin of [[foldInUsers]] (Hu-Koren-Volinsky): a new
     * user's normal equations are `YᵀY + Σ c₁·yᵢyᵢᵀ` over just their own
     * interactions, so the solve needs the global item Gramian — computed

@@ -778,6 +778,17 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Item fold-in twin (new catalog entries against fixed user factors),
+    * for a hash-slice of items. Rows-only: floats; spec checks the exact
+    * least-squares solve against a closed-form local oracle.
+    */
+  val alsFoldinItems: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val slice = ratingsDF(s, dir).where(pmod(col("item_id"), lit(11L)) === 5)
+    model(s, dir).foldInItems(slice, regParam = 0.1)
+      .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("id", "pos")
+  }
+
   /** Scoring join-chain + dot product over the training set (O2). */
   val alsPredictions: QueryDef = QueryDef.rowsOnly { (s, dir) =>
     model(s, dir).transform(ratingsDF(s, dir)).orderBy("user_id", "item_id")
@@ -2272,6 +2283,7 @@ object Queries {
     "als_foldin" -> alsFoldin,
     "als_foldin_implicit" -> alsFoldinImplicit,
     "als_negative_samples" -> alsNegativeSamples,
+    "als_foldin_items" -> alsFoldinItems,
     "als_item_neighbors" -> alsItemNeighbors,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,

@@ -99,6 +99,34 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     assert(model.foldInUsers(unknownOnly, regParam = reg).isEmpty)
   }
 
+  test("foldInItems solves exact regularized least squares given user factors") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hand-built model: 3 users with KNOWN factors, rank 2
+    val uf = spark.createDataFrame(Seq(
+      FactorRow(0L, Array(1.0f, 0.0f)),
+      FactorRow(1L, Array(0.0f, 1.0f)),
+      FactorRow(2L, Array(1.0f, 1.0f))))
+    val itf = spark.createDataFrame(Seq(FactorRow(100L, Array(0.5f, 0.5f))))
+    val model = GraftALSModel(rank = 2, userFactors = uf, itemFactors = itf)
+    // one new item rated by all three users
+    val ratings = Seq((0L, 7L, 4.0f), (1L, 7L, 2.0f), (2L, 7L, 5.0f))
+      .toDF("user", "item", "rating")
+    val reg = 0.1
+    val got = model.foldInItems(ratings, regParam = reg).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 7L)
+    val f = got.head.getAs[scala.collection.Seq[Float]](1).toArray
+    // local oracle: solve (AtA + lambda*n*I) x = Atb for A = user factors
+    // AtA = [[2,1],[1,2]], Atb = [4+5, 2+5] = [9, 7], n = 3, lambda*n = 0.3
+    val (a11, a12, a22) = (2.0 + 0.3, 1.0, 2.0 + 0.3)
+    val (b1, b2) = (9.0, 7.0)
+    val det = a11 * a22 - a12 * a12
+    val x1 = (b1 * a22 - b2 * a12) / det
+    val x2 = (b2 * a11 - b1 * a12) / det
+    assert(math.abs(f(0) - x1) < 1e-5, s"got ${f.toSeq}, want ($x1, $x2)")
+    assert(math.abs(f(1) - x2) < 1e-5, s"got ${f.toSeq}, want ($x1, $x2)")
+  }
+
   test("foldInUsersImplicit reproduces trained implicit user factors") {
     val spark2 = spark
     import spark2.implicits._
