@@ -152,6 +152,29 @@ object PipelineOps {
   def charClassCount(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("bigint")
 
+  /** Per-entity temporal holdout (leave-last-N-out): the newest `holdout`
+    * rows of each entity become the test set, everything earlier trains —
+    * the split that respects causality for recommender/forecast
+    * evaluation, where a RANDOM split leaks the future into training.
+    * Ties on the timestamp break by `tieBreakCol` so the assignment is
+    * deterministic. One ranking window per entity; only (entity, ts, id)
+    * ordering state is involved, no global sort.
+    */
+  def temporalSplit(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieBreakCol: String,
+      holdout: Int = 1): DataFrame = {
+    require(holdout > 0, s"holdout must be positive, got $holdout")
+    val w = Window.partitionBy(entityCol)
+      .orderBy(col(tsCol).desc, col(tieBreakCol).desc)
+    df.withColumn("__recency", row_number().over(w))
+      .withColumn("split",
+        when(col("__recency") <= holdout, lit("test")).otherwise(lit("train")))
+      .drop("__recency")
+  }
+
   /** Deterministic negative sampling for implicit/contrastive training:
     * for every user in `positives`, draw `candidatesPerUser` pseudo-random
     * item indices from the salted hash of (user, draw-number), map them to

@@ -861,6 +861,26 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Per-user temporal holdout over events (leave-last-2-out by event
+    * time, event_id tie-break): the causality-respecting eval split.
+    * Oracle replays the descending rank and the cut.
+    */
+  val temporalSplitQ: QueryDef = QueryDef.withOracle(
+    """SELECT event_id, user_id,
+      |  CASE WHEN rk <= 2 THEN 'test' ELSE 'train' END AS split
+      |FROM (
+      |  SELECT event_id, user_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events) x
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    PipelineOps.temporalSplit(
+      t(s, dir, "events"), entityCol = "user_id", tsCol = "ts",
+      tieBreakCol = "event_id", holdout = 2)
+      .select("event_id", "user_id", "split")
+      .orderBy("event_id")
+  }
+
   /** Deterministic negative sampling over the ratings derivation: 4
     * hash-drawn unrated items per user from 12 candidate draws — the
     * implicit-training label-construction pass, reproducible without
@@ -2302,6 +2322,7 @@ object Queries {
     "text_redact" -> textRedact,
     "quality_filter" -> qualityFilter,
     "pipeline_split" -> pipelineSplit,
+    "temporal_split" -> temporalSplitQ,
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,

@@ -196,6 +196,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(doc2.toSeq == Seq((2L, 0L, 3L, "a b c")))
   }
 
+  test("temporalSplit holds out the newest rows per entity with stable ties") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, 10L, 100L), (2L, 10L, 300L), (3L, 10L, 200L),
+      (4L, 20L, 500L), (5L, 20L, 500L), // timestamp tie -> higher id is newer
+      (6L, 30L, 700L))                  // single-row entity: all test
+    val d = rows.toDF("event_id", "user_id", "ts")
+    val got = PipelineOps.temporalSplit(d, "user_id", "ts", "event_id", holdout = 1)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("split")).toMap
+    assert(got == Map(
+      1L -> "train", 2L -> "test", 3L -> "train",
+      4L -> "train", 5L -> "test",
+      6L -> "test"))
+  }
+
   test("negativeSamples never emits a positive, is deterministic, and fills k per user") {
     val spark2 = spark
     import spark2.implicits._
