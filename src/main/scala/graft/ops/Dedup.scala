@@ -643,7 +643,11 @@ object Dedup {
       idCol: String = "doc_id",
       chunkSize: Int = 8,
       minDocs: Int = 2): DataFrame = {
-    val chunks = chunkify(documents, textCol, idCol, chunkSize)
+    // persisted: feeds both the frequency gate and the anti-join — without
+    // it the corpus is re-scanned and re-chunked per consumer (released by
+    // the harness's per-query clearCache, as with the other persisted
+    // dedup intermediates)
+    val chunks = chunkify(documents, textCol, idCol, chunkSize).persist()
     val frequent = chunks
       .groupBy("chunk")
       .agg(countDistinct(col("id")).as("n_docs"))
