@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkFixture
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class RatingsSourceSpec extends AnyFunSuite with SparkFixture {
@@ -38,6 +39,33 @@ class RatingsSourceSpec extends AnyFunSuite with SparkFixture {
     val items = df.select("item_id").distinct().collect().map(_.getLong(0)).sorted
     assert(items.toSeq == (1L to items.length)) // dense-rank ids
     assert(df.where("rating <= 0").count() == 0)
+  }
+
+  test("JSONL ingest tolerates corrupt lines and surfaces them for audit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-0.jsonl"),
+      """{"doc_id": 1, "text": "good one"}
+        |not json at all {{{
+        |{"doc_id": 2, "text": "also fine"}
+        |{"doc_id": "not-a-number", "text": "type mismatch"}
+        |""".stripMargin)
+    // crawl-scale ingest contract: PERMISSIVE + explicit corrupt column —
+    // good rows parse, bad rows land in _corrupt_record instead of failing
+    // the job (FAILFAST would kill a 100 TB read for one bad shard)
+    val df = spark.read
+      .schema("doc_id BIGINT, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // required before filtering on the corrupt column (SPARK-21610)
+    val good = df.where(col("_corrupt_record").isNull)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(good == Map(1L -> "good one", 2L -> "also fine"))
+    val bad = df.where(col("_corrupt_record").isNotNull).count()
+    assert(bad == 2, "both malformed lines must be quarantined, not dropped")
+    df.unpersist()
+    graft.streaming.EventsStream.deleteRecursively(new java.io.File(dir))
   }
 
   test("HashPartitioner semantics: nonNegativeMod over raw key hashCode (P1)") {
