@@ -861,6 +861,35 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Semi-structured ingestion through Spark 4's VARIANT type: event
+    * `props` JSON parsed once with `parse_json`, a typed field extracted
+    * with `variant_get`, aggregated per event type. The shredded-once
+    * VARIANT beats per-field `get_json_object` re-parsing when many
+    * fields are pulled from crawl metadata at scale. Oracle extracts the
+    * same path with DuckDB's JSON operators.
+    */
+  val eventsJsonVariant: QueryDef = QueryDef.withOracle(
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(
+        col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).cast("bigint").as("min_k"),
+        max(col("k")).cast("bigint").as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Per-user temporal holdout over events (leave-last-2-out by event
     * time, event_id tie-break): the causality-respecting eval split.
     * Oracle replays the descending rank and the cut.
@@ -2323,6 +2352,7 @@ object Queries {
     "quality_filter" -> qualityFilter,
     "pipeline_split" -> pipelineSplit,
     "temporal_split" -> temporalSplitQ,
+    "events_json_variant" -> eventsJsonVariant,
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,
