@@ -861,6 +861,28 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Custom DataSource V2 scan: the synthetic-docs connector read with a
+    * pushed doc_id range (narrows partition planning inside the source)
+    * and row-level projection. Content is pure md5 arithmetic on doc_id,
+    * so DuckDB replays the entire table from range() — hash-checking a
+    * source that owns its own data, plus its pushdown and pruning paths.
+    */
+  val syntheticSourceScan: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT r AS doc_id,
+      |    md5(r || '|syn') AS body_hash,
+      |    10 + ('0x'||substr(md5(r || '|syn'),1,14))::BIGINT % 90 AS n_tokens
+      |  FROM range(0, 5000) t(r)
+      |  WHERE r BETWEEN 1000 AND 3999)
+      |SELECT doc_id, body_hash, CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, _) =>
+    s.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "5000").option("partitions", "8").option("salt", "syn")
+      .load()
+      .where(col("doc_id").between(1000L, 3999L))
+      .orderBy("doc_id")
+  }
+
   /** Semi-structured ingestion through Spark 4's VARIANT type: event
     * `props` JSON parsed once with `parse_json`, a typed field extracted
     * with `variant_get`, aggregated per event type. The shredded-once
@@ -2353,6 +2375,7 @@ object Queries {
     "pipeline_split" -> pipelineSplit,
     "temporal_split" -> temporalSplitQ,
     "events_json_variant" -> eventsJsonVariant,
+    "synthetic_source_scan" -> syntheticSourceScan,
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,

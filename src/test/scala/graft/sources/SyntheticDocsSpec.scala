@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SyntheticDocsSpec extends AnyFunSuite with SparkFixture {
+
+  private def read(opts: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft.sources.SyntheticDocs")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("content matches the arithmetic model and splits into the requested partitions") {
+    val df = read("rows" -> "100", "partitions" -> "5", "salt" -> "t1")
+    assert(df.rdd.getNumPartitions == 5)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 100)
+    got.foreach { case (id, h, n) =>
+      assert(h == SyntheticDocs.bodyHash(id, "t1"))
+      assert(n == SyntheticDocs.nTokens(id, "t1") && n >= 10 && n < 100)
+    }
+    assert(got.map(_._1).sorted.toSeq == (0L until 100L))
+  }
+
+  test("doc_id range filters push into partition planning") {
+    val df = read("rows" -> "1000", "partitions" -> "4")
+      .where(col("doc_id") >= 800L && col("doc_id") < 850L)
+    // pushed bounds narrow the generated ranges BEFORE readers run: the
+    // scan plans over [800,850), not [0,1000) — visible in its description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[800,850)"), s"bounds not pushed:\n$plan")
+    assert(df.count() == 50)
+    // non-pushable predicates are still applied by Spark above the scan
+    val odd = read("rows" -> "100").where(col("doc_id") % 2 === 1)
+    assert(odd.count() == 50)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = read("rows" -> "10").select("n_tokens")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=n_tokens"), s"pruned schema not pushed:\n$plan")
+    assert(df.collect().map(_.getLong(0)).forall(n => n >= 10 && n < 100))
+  }
+
+  test("empty pushdown range plans zero partitions") {
+    val df = read("rows" -> "100").where(col("doc_id") >= 500L)
+    assert(df.count() == 0)
+  }
+}
