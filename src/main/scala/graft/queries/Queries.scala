@@ -861,6 +861,38 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Dynamic partition overwrite — the incremental corpus-refresh write:
+    * a lang-partitioned layout gets ONE partition's documents replaced
+    * (re-crawled text, uppercased here as the stand-in) while every other
+    * partition's files stay untouched, via
+    * `partitionOverwriteMode=dynamic` (STATIC would drop them all). The
+    * oracle replays the merge: lang='de' rows transformed, others as
+    * ingested.
+    */
+  val docsPartitionOverwrite: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id, lang,
+      |  md5(CASE WHEN lang = 'de' THEN upper(text) ELSE text END) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val root = s"/tmp/graft_docs_dpo_${dirKey(dir)}"
+    if (!csvWritten.contains(root)) {
+      EventsStream.deleteRecursively(new java.io.File(root))
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      docs.write.partitionBy("lang").parquet(root)
+      // the "re-crawl" of one partition: only lang=de is rewritten
+      val refreshed = docs.where(col("lang") === "de")
+        .withColumn("text", upper(col("text")))
+      refreshed.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(root)
+      csvWritten.add(root)
+    }
+    s.read.parquet(root)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Custom DataSource V2 scan: the synthetic-docs connector read with a
     * pushed doc_id range (narrows partition planning inside the source)
     * and row-level projection. Content is pure md5 arithmetic on doc_id,
@@ -2376,6 +2408,7 @@ object Queries {
     "temporal_split" -> temporalSplitQ,
     "events_json_variant" -> eventsJsonVariant,
     "synthetic_source_scan" -> syntheticSourceScan,
+    "docs_partition_overwrite" -> docsPartitionOverwrite,
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,
