@@ -915,6 +915,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DataSource V2 WRITE path: documents written through the audit sink
+    * (per-partition DataWriters → commit messages → driver-side commit),
+    * surfaced as the committed audit. The oracle knows what a correct
+    * two-phase commit must report: one message per partition and every
+    * input row accounted for.
+    */
+  val sinkWriteAudit: QueryDef = QueryDef.withOracle(
+    """SELECT true AS committed, CAST(8 AS BIGINT) AS num_partitions,
+      |  count(*) AS total_rows
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val runId = s"gate_${dirKey(dir)}"
+    t(s, dir, "documents").repartition(8)
+      .write.format("graft.sources.AuditSink")
+      .option("runId", runId).mode("append").save()
+    val audit = graft.sources.AuditSink.results(runId)
+    val spark = s
+    import spark.implicits._
+    Seq((audit.committed, audit.partitionRows.size.toLong, audit.totalRows))
+      .toDF("committed", "num_partitions", "total_rows")
+  }
+
   /** Semi-structured ingestion through Spark 4's VARIANT type: event
     * `props` JSON parsed once with `parse_json`, a typed field extracted
     * with `variant_get`, aggregated per event type. The shredded-once
@@ -2409,6 +2430,7 @@ object Queries {
     "events_json_variant" -> eventsJsonVariant,
     "synthetic_source_scan" -> syntheticSourceScan,
     "docs_partition_overwrite" -> docsPartitionOverwrite,
+    "sink_write_audit" -> sinkWriteAudit,
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,
