@@ -83,7 +83,8 @@ private class SyntheticDocsTable(rows: Long, partitions: Int, salt: String)
 private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, salt: String)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var lo = 0L
   private var hi = rows // exclusive
@@ -116,6 +117,16 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, salt: String
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT n over a synthetic range is just a tighter upper bound — a
+    * `limit 5` over a billion-row source plans 5 ids, not the corpus.
+    * Filters push before limits in Spark's pushdown order, so shrinking
+    * `hi` after the bounds is exact.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true // fully handled: Spark may still re-apply a residual limit
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

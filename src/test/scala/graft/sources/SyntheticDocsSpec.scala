@@ -44,6 +44,19 @@ class SyntheticDocsSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().map(_.getLong(0)).forall(n => n >= 10 && n < 100))
   }
 
+  test("limit pushdown keeps a huge source from being scanned") {
+    // a trillion-row table: only a pushed limit makes this tractable
+    val df = read("rows" -> "1000000000000", "partitions" -> "4").limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[0,5)"), s"limit not pushed:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // composed with a pushed filter: bounds narrow first, then the limit
+    val both = read("rows" -> "1000000000000")
+      .where(col("doc_id") >= 777L).limit(3)
+    assert(both.queryExecution.executedPlan.toString.contains("bounds=[777,780)"))
+    assert(both.collect().map(_.getLong(0)).toSeq == Seq(777L, 778L, 779L))
+  }
+
   test("empty pushdown range plans zero partitions") {
     val df = read("rows" -> "100").where(col("doc_id") >= 500L)
     assert(df.count() == 0)
