@@ -915,6 +915,61 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The pretraining pipeline composed end-to-end — quality rule gate →
+    * cross-document boilerplate removal (frequency counted over the
+    * quality-kept corpus) → exact dedup on the CLEANED text → salted-hash
+    * split assignment — as one oracle-checked query. Every stage is
+    * individually oracled elsewhere; this row proves they COMPOSE: the
+    * DuckDB CTE chain replays the whole pipeline and must hash-match.
+    */
+  val pipelineEndToEnd: QueryDef = QueryDef.withOracle(
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
+      |    str_split(text, ' ') AS toks
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, text FROM base
+      |  WHERE NOT (n < 10 OR n > 1000)
+      |    AND NOT (CAST(length(text) - n + 1 AS DOUBLE) / n < 2.0
+      |             OR CAST(length(text) - n + 1 AS DOUBLE) / n > 12.0)
+      |    AND list_max(list_transform(toks, x -> length(x))) <= 30
+      |    AND CAST(len(list_filter(toks,
+      |        x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS DOUBLE)
+      |      / n >= 0.02),
+      |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM q),
+      |c AS (
+      |  SELECT doc_id, i AS idx, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      |  FROM w, unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)),
+      |freq AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+      |keptc AS (SELECT doc_id, idx, chunk FROM c WHERE chunk NOT IN (SELECT chunk FROM freq)),
+      |cleaned AS (
+      |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean
+      |  FROM keptc GROUP BY doc_id),
+      |keepers AS (
+      |  SELECT md5(clean) AS clean_md5, min(doc_id) AS doc_id
+      |  FROM cleaned GROUP BY 1)
+      |SELECT doc_id, clean_md5,
+      |  CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'|split'),1,14))::BIGINT % 100 < 90
+      |         THEN 'train'
+      |       WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'|split'),1,14))::BIGINT % 100 < 95
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM keepers ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val quality = TextOps.qualityFlags(docs).where(col("keep")).select("doc_id")
+    val kept = docs.join(quality, "doc_id")
+    val cleaned = Dedup.removeBoilerplate(kept, chunkSize = 8, minDocs = 2)
+      .where(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("clean_text"))
+    val keepers = cleaned
+      .groupBy(md5(col("clean_text")).as("clean_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    PipelineOps.splitAssignments(keepers)
+      .select("doc_id", "clean_md5", "split")
+      .orderBy("doc_id")
+  }
+
   /** DataSource V2 WRITE path: documents written through the audit sink
     * (per-partition DataWriters → commit messages → driver-side commit),
     * surfaced as the committed audit. The oracle knows what a correct
@@ -2431,6 +2486,7 @@ object Queries {
     "synthetic_source_scan" -> syntheticSourceScan,
     "docs_partition_overwrite" -> docsPartitionOverwrite,
     "sink_write_audit" -> sinkWriteAudit,
+    "pipeline_end_to_end" -> pipelineEndToEnd,
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,
