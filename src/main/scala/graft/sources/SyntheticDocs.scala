@@ -5,6 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -84,7 +86,8 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, salt: String
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows // exclusive
@@ -131,8 +134,80 @@ private class SyntheticDocsScanBuilder(rows: Long, partitions: Int, salt: String
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SyntheticDocsScan(lo, math.max(lo, hi), partitions, salt, required)
+  private var aggs: Option[Seq[String]] = None
+
+  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) over an id range are closed
+    * forms — COMPLETE pushdown: `count(*)` over a trillion-row table is
+    * O(1) arithmetic on the (filter-narrowed) bounds, no reader runs per
+    * id. Anything else is declined and Spark aggregates above the scan.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translate(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    translate(aggregation) match {
+      case some @ Some(_) => aggs = some; true
+      case None => false
+    }
+
+  private def translate(a: Aggregation): Option[Seq[String]] = {
+    if (a.groupByExpressions.nonEmpty) return None
+    def isDocId(e: Any): Boolean = e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+    val onDocId: PartialFunction[Any, String] = {
+      case _: CountStar => "count"
+      case m: Min if isDocId(m.column) => "min"
+      case m: Max if isDocId(m.column) => "max"
+      case c: Count if !c.isDistinct && isDocId(c.column) => "count"
+    }
+    val kinds = a.aggregateExpressions.toSeq.map(e => onDocId.lift(e))
+    if (kinds.forall(_.isDefined)) Some(kinds.flatten) else None
+  }
+
+  override def build(): Scan = aggs match {
+    case Some(kinds) =>
+      new SyntheticDocsAggScan(lo, math.max(lo, hi), kinds)
+    case None =>
+      new SyntheticDocsScan(lo, math.max(lo, hi), partitions, salt, required)
+  }
+}
+
+/** Completely-pushed-down aggregate: one partition, one closed-form row. */
+private class SyntheticDocsAggScan(lo: Long, hi: Long, kinds: Seq[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"${k}_$i", LongType, nullable = false)
+    })
+
+  override def description(): String =
+    s"SyntheticDocs bounds=[$lo,$hi) agg=${kinds.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocRange(0, 1))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticDocsAggReaderFactory(kinds.map {
+      case "count" => math.max(0L, hi - lo)
+      case "min"   => lo
+      case "max"   => hi - 1
+    })
+}
+
+private class SyntheticDocsAggReaderFactory(values: Seq[Long])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
 }
 
 private case class DocRange(from: Long, until: Long) extends InputPartition

@@ -57,6 +57,22 @@ class SyntheticDocsSpec extends AnyFunSuite with SparkFixture {
     assert(both.collect().map(_.getLong(0)).toSeq == Seq(777L, 778L, 779L))
   }
 
+  test("count/min/max push down completely — O(1) over a trillion rows") {
+    val big = read("rows" -> "1000000000000", "partitions" -> "4")
+    val agg = big.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+    assert(agg.queryExecution.executedPlan.toString.contains("agg=count,min,max"))
+    val r = agg.head()
+    assert(r.getLong(0) == 1000000000000L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 999999999999L)
+    // composes with pushed filters: bounds narrow before the closed form
+    val bounded = big.where(col("doc_id") >= 100L && col("doc_id") < 200L)
+      .agg(count(lit(1))).head()
+    assert(bounded.getLong(0) == 100L)
+    // an unsupported aggregate is declined and still computed correctly
+    val sum = read("rows" -> "100").agg(org.apache.spark.sql.functions.sum("doc_id")).head()
+    assert(sum.getLong(0) == 4950L)
+  }
+
   test("empty pushdown range plans zero partitions") {
     val df = read("rows" -> "100").where(col("doc_id") >= 500L)
     assert(df.count() == 0)
