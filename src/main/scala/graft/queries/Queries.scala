@@ -915,6 +915,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Dynamic partition pruning: the lang-partitioned corpus joined to a
+    * tiny script dimension filtered AT RUNTIME — the partition filter is
+    * not known statically (it comes out of the dim's broadcast), so the
+    * planner injects a `dynamicpruning` subquery into the scan's
+    * PartitionFilters and only the matching lang directories are read
+    * (asserted in DppSpec). At 100 TB this is the difference between
+    * scanning the corpus and scanning two partitions when the dim filter
+    * is only decidable at run time. Oracle replays the join statically.
+    */
+  val docsDppJoin: QueryDef = QueryDef.withOracle(
+    """WITH dim(lang, script) AS (VALUES
+      |  ('en','latin'), ('es','latin'), ('fr','latin'),
+      |  ('de','latin'), ('zh','han'))
+      |SELECT d.doc_id, d.lang, dim.script
+      |FROM documents d JOIN dim ON d.lang = dim.lang
+      |WHERE dim.script = 'han'
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_docs_part_${dirKey(dir)}"
+    if (!csvWritten.contains(path)) {
+      t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(path)
+      csvWritten.add(path)
+    }
+    val spark = s
+    import spark.implicits._
+    val dim = Seq(
+      ("en", "latin"), ("es", "latin"), ("fr", "latin"),
+      ("de", "latin"), ("zh", "han")).toDF("lang", "script")
+    s.read.parquet(path)
+      .join(dim.where(col("script") === "han"), "lang")
+      .select(col("doc_id"), col("lang"), col("script"))
+      .orderBy("doc_id")
+  }
+
   /** The pretraining pipeline composed end-to-end — quality rule gate →
     * cross-document boilerplate removal (frequency counted over the
     * quality-kept corpus) → exact dedup on the CLEANED text → salted-hash
@@ -2514,6 +2547,7 @@ object Queries {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "docs_partitioned_scan" -> docsPartitionedScan,
+    "docs_dpp_join" -> docsDppJoin,
     "docs_sorted_scan" -> docsSortedScan,
     "docs_length_histogram" -> docsLengthHistogram,
     "docs_schema_evolution" -> docsSchemaEvolution,
