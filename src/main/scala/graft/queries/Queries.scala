@@ -778,6 +778,34 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** Online user-factor refresh: the ratings derivation re-played as a
+    * file stream (4 parquet shards, one micro-batch each) folds its users
+    * into the trained model incrementally — last micro-batch wins per
+    * user; the final table equals a batch fold-in because each user's
+    * ratings live in exactly one hash shard. Rows-only: trained floats;
+    * StreamingSpec asserts the last-writer-wins semantics directly.
+    */
+  val alsOnlineRefresh: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val root = s"/tmp/graft_online_refresh_${dirKey(dir)}"
+    if (!csvWritten.contains(root)) {
+      EventsStream.deleteRecursively(new java.io.File(root))
+      // shard by user hash so a user's ratings arrive in ONE micro-batch
+      ratingsDF(s, dir)
+        .withColumn("shard", pmod(xxhash64(col("user_id")), lit(4L)))
+        .write.partitionBy("shard").parquet(s"$root/src")
+      val stream = s.readStream
+        .schema("user_id BIGINT, item_id BIGINT, rating DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/src/*")
+      EventsStream.onlineUserRefresh(stream, model(s, dir), regParam = 0.1,
+        s"$root/factors", s"$root/ck")
+      csvWritten.add(root)
+    }
+    EventsStream.latestIndex(s, s"$root/factors")
+      .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("id", "pos")
+  }
+
   /** Item fold-in twin (new catalog entries against fixed user factors),
     * for a hash-slice of items. Rows-only: floats; spec checks the exact
     * least-squares solve against a closed-form local oracle.
@@ -2496,6 +2524,7 @@ object Queries {
     "als_foldin_implicit" -> alsFoldinImplicit,
     "als_negative_samples" -> alsNegativeSamples,
     "als_foldin_items" -> alsFoldinItems,
+    "als_online_refresh" -> alsOnlineRefresh,
     "als_item_neighbors" -> alsItemNeighbors,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,

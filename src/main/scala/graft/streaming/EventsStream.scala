@@ -238,6 +238,51 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Online user-factor refresh: every micro-batch of ratings folds its
+    * users into the model (one exact ALS-WR half-step against the FIXED
+    * item factors — [[graft.als.GraftALSModel.foldInUsers]]) and merges
+    * them into a versioned factor table, newest fold-in winning per user.
+    * Continuous personalization without retraining: a user's factor
+    * refreshes within one micro-batch of their new ratings, while the
+    * item side stays the (periodically retrained) batch model.
+    *
+    * The merge keys on (user id, version) — last writer wins — so a
+    * checkpoint-replayed batch converges to the same table. Same
+    * versioned-dir commit discipline as [[firstSeenIndex]].
+    */
+  def onlineUserRefresh(
+      ratings: DataFrame,
+      model: graft.als.GraftALSModel,
+      regParam: Double,
+      factorsDir: String,
+      checkpointDir: String): Unit = {
+    val spark = ratings.sparkSession
+    def versions: Seq[Long] =
+      Option(new java.io.File(factorsDir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName.stripPrefix("v").toLong).sorted
+    val q = ratings.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val folded = model.foldInUsers(batch, regParam)
+          .withColumn("updated_batch", lit(batchId))
+        val prior = versions
+        val merged = prior.lastOption match {
+          case Some(v) =>
+            val old = spark.read.parquet(s"$factorsDir/v$v")
+            // newest fold-in wins per user; untouched users carry forward
+            old.join(folded.select("id"), Seq("id"), "left_anti")
+              .unionByName(folded)
+          case None => folded
+        }
+        merged.write.mode("overwrite").parquet(s"$factorsDir/v$batchId")
+        prior.foreach(v => deleteRecursively(new java.io.File(s"$factorsDir/v$v")))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The current contents of a [[firstSeenIndex]] directory (its latest
     * committed version).
     */

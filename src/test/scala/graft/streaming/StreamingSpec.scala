@@ -156,6 +156,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(scored.where(isnan(col("prediction"))).count() == 0)
   }
 
+  test("onlineUserRefresh folds streamed ratings into per-user factors incrementally") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a small trained model to fold against
+    val rng = new scala.util.Random(31L)
+    val train = (for { u <- 0 until 20; i <- 0 until 15 if rng.nextDouble() < 0.5 }
+      yield (u.toLong, i.toLong, (1.0 + 4.0 * rng.nextDouble()).toFloat))
+      .toDF("user", "item", "rating")
+    val model = graft.als.GraftALS(
+      rank = 4, maxIter = 3, regParam = 0.1,
+      numUserBlocks = 2, numItemBlocks = 2,
+      userCol = "user", itemCol = "item", ratingCol = "rating", seed = 7L)
+      .fit(train)
+    val root = java.nio.file.Files.createTempDirectory("graft_our").toString
+    // batch 1 introduces users 100,101; batch 2 re-rates 100 (must win)
+    Seq((100L, 0L, 5.0f), (100L, 1L, 4.0f), (101L, 2L, 3.0f))
+      .toDF("user", "item", "rating").coalesce(1).write.parquet(s"$root/src/f1")
+    Seq((100L, 0L, 1.0f), (100L, 3L, 2.0f))
+      .toDF("user", "item", "rating").coalesce(1).write.parquet(s"$root/src/f2")
+    val stream = spark.readStream
+      .schema("user BIGINT, item BIGINT, rating FLOAT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src/*")
+    EventsStream.onlineUserRefresh(stream, model, regParam = 0.1,
+      s"$root/factors", s"$root/ck")
+    val got = EventsStream.latestIndex(spark, s"$root/factors")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[scala.collection.Seq[Float]](1).toArray, r.getAs[Long]("updated_batch"))))
+      .toMap
+    assert(got.keySet == Set(100L, 101L))
+    // user 100's factor reflects the LATEST batch: equal to a direct
+    // fold-in of only the second batch's ratings
+    val direct = model.foldInUsers(
+      Seq((100L, 0L, 1.0f), (100L, 3L, 2.0f)).toDF("user", "item", "rating"),
+      regParam = 0.1).collect().head.getAs[scala.collection.Seq[Float]](1).toArray
+    assert(got(100L)._1.zip(direct).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    // file order maps f1 -> batch 0, f2 -> batch 1
+    assert(got(100L)._2 > got(101L)._2)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
   test("firstSeenIndex merges across micro-batches to the global minimum") {
     val spark2 = spark
     import spark2.implicits._
