@@ -74,26 +74,38 @@ object Bench {
     graft.queries.Queries.clearModels()
     spark.catalog.clearCache()
     System.gc()
+    var graftModel: graft.als.GraftALSModel = null
     timed("als_train_graft") {
-      graft.als.GraftALS(
+      graftModel = graft.als.GraftALS(
         rank = 8, maxIter = 5, regParam = 0.1,
         numUserBlocks = 8, numItemBlocks = 8,
         userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
         seed = 7L)
         .fit(graft.queries.Queries.ratingsDF(spark, sfDir))
-        .userFactors.write.format("noop").mode("overwrite").save()
+      graftModel.userFactors.write.format("noop").mode("overwrite").save()
     }
     spark.catalog.clearCache()
     System.gc()
+    var mllibModel: org.apache.spark.ml.recommendation.ALSModel = null
     timed("als_train_mllib") {
       import org.apache.spark.ml.recommendation.ALS
-      new ALS()
+      mllibModel = new ALS()
         .setRank(8).setMaxIter(5).setRegParam(0.1)
         .setNumUserBlocks(8).setNumItemBlocks(8)
         .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
         .setSeed(7L)
         .fit(graft.queries.Queries.ratingsDF(spark, sfDir))
-        .userFactors.write.format("noop").mode("overwrite").save()
+      mllibModel.userFactors.write.format("noop").mode("overwrite").save()
+    }
+    // BASELINE.md protocol row 3: scoring (transform) wall-clock head-to-head
+    // — same fitted models, same full ratings input, same noop sink
+    if (graftModel != null) timed("als_transform_graft") {
+      graftModel.transform(graft.queries.Queries.ratingsDF(spark, sfDir))
+        .write.format("noop").mode("overwrite").save()
+    }
+    if (mllibModel != null) timed("als_transform_mllib") {
+      mllibModel.transform(graft.queries.Queries.ratingsDF(spark, sfDir))
+        .write.format("noop").mode("overwrite").save()
     }
 
     def jstr(s: String): String =
@@ -123,7 +135,9 @@ object Bench {
     // the budget; anything cut is summed into "_rest" (with its count), so
     // value == sum(queries.values) still holds.
     val budget = 1700
-    val headline = Seq("als_train_graft", "als_train_mllib").filter(timings.contains)
+    val headline = Seq(
+      "als_train_graft", "als_train_mllib",
+      "als_transform_graft", "als_transform_mllib").filter(timings.contains)
     val rest = timings.toSeq.filterNot { case (k, _) => headline.contains(k) }.sortBy(-_._2)
     val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{"""
     val suffix = s"""},"errors":$es,"sf":${jstr(sfDir)}}"""
