@@ -1,6 +1,6 @@
 package graft.als
 
-import org.apache.spark.HashPartitioner
+import org.apache.spark.{HashPartitioner, Partitioner}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.storage.StorageLevel
 
@@ -50,7 +50,15 @@ object BlockedALS {
       intermediateStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
       finalStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
       checkpointInterval: Int = 10,
-      seed: Long = 0L)
+      seed: Long = 0L,
+      /** id→block partitioner factory (reference `util/partitioner.py:4-11`
+        * exposes a Partitioner ABC callers can substitute). Given the block
+        * count, returns the Partitioner mapping raw user/item ids to
+        * blocks — the hook for locality-aware or skew-aware placement. The
+        * block-id→task placement stays HashPartitioner (identity on
+        * 0..n-1) regardless: only the id→block mapping is policy.
+        */
+      partitioner: Int => Partitioner = n => new HashPartitioner(n))
 
   /** Spill threshold for partial rating blocks during blockify — bounds
     * mapper memory and pre-shuffles partial tiles (`ALS.py:226-229`).
@@ -66,8 +74,11 @@ object BlockedALS {
   def train(ratings: RDD[Rating], cfg: Config): (RDD[(Long, Array[Float])], RDD[(Long, Array[Float])]) = {
     require(cfg.rank > 0 && cfg.maxIter >= 0 && cfg.regParam >= 0)
     val sc = ratings.sparkContext
-    val userPart = new HashPartitioner(cfg.numUserBlocks)
-    val itemPart = new HashPartitioner(cfg.numItemBlocks)
+    val userPart = cfg.partitioner(cfg.numUserBlocks)
+    val itemPart = cfg.partitioner(cfg.numItemBlocks)
+    require(userPart.numPartitions == cfg.numUserBlocks &&
+      itemPart.numPartitions == cfg.numItemBlocks,
+      "cfg.partitioner must honor the requested block count")
 
     val blockRatings = partitionRatings(ratings, userPart, itemPart)
       .persist(cfg.intermediateStorageLevel)
@@ -183,8 +194,8 @@ object BlockedALS {
     */
   def partitionRatings(
       ratings: RDD[Rating],
-      srcPart: HashPartitioner,
-      dstPart: HashPartitioner): RDD[((Int, Int), RatingBlock)] = {
+      srcPart: Partitioner,
+      dstPart: Partitioner): RDD[((Int, Int), RatingBlock)] = {
     val numSrc = srcPart.numPartitions
     val numDst = dstPart.numPartitions
     val gridSize = numSrc * numDst
@@ -221,8 +232,8 @@ object BlockedALS {
     */
   def makeBlocks(
       ratingBlocks: RDD[((Int, Int), RatingBlock)],
-      srcPart: HashPartitioner,
-      dstPart: HashPartitioner,
+      srcPart: Partitioner,
+      dstPart: Partitioner,
       storageLevel: StorageLevel): (RDD[(Int, InBlock)], OutBlocks) = {
 
     val numDstBlocks = dstPart.numPartitions

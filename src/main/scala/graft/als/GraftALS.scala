@@ -429,6 +429,30 @@ case class GraftALSModel(
       normalize = true, excludeSelf = true)
       .toDF("item_id", "neighbor_item_id", "rank", "cosine")
 
+  /** Approximate item neighbors routed through the IVF ANN tier — the
+    * 100× escape hatch from the exact kernel's inherent O(items²·rank):
+    * a k-means codebook is trained on the item factors themselves, each
+    * item probes only its `nProbe` nearest cells, and candidate scoring
+    * touches ~(nProbe/numCells) of all pairs. Recall vs the exact kernel
+    * is asserted in GraftALSServingSpec (and measured driver-side by
+    * `als_item_neighbors_approx`'s shape); tune numCells ~ sqrt(items) at
+    * scale, same as the embedding index ([[graft.ops.Similarity.ivfTopK]]).
+    */
+  def itemNeighborsApprox(
+      k: Int,
+      nProbe: Int = 4,
+      numCells: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val cells = graft.ops.Similarity.trainCodebook(
+      itemFactors, vecCol = "features", dim = rank, numCells = numCells,
+      seed = seed)
+    graft.ops.Similarity.ivfTopK(
+      itemFactors, itemFactors, k = k, nProbe = nProbe, numCells = numCells,
+      idCol = "id", vecCol = "features", dim = rank, seed = seed,
+      trainedCodebook = Some(cells))
+      .toDF("item_id", "neighbor_item_id", "rank", "cosine")
+  }
+
   /** Saves the factor tables BUCKETED by id into the session catalog
     * (`<name>_user_factors` / `<name>_item_factors`). Repeated scoring joins
     * against bucketed factor tables skip the factor-side shuffle AND its

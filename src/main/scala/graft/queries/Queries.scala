@@ -878,6 +878,14 @@ object Queries {
     model(s, dir).itemNeighbors(3).orderBy("item_id", "rank")
   }
 
+  /** Related-items via the IVF ANN route — the serving path that stays
+    * sub-quadratic at catalog scale (rows-only: trained-factor floats;
+    * recall vs the exact kernel is spec-asserted in GraftALSServingSpec).
+    */
+  val alsItemNeighborsApprox: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    model(s, dir).itemNeighborsApprox(3).orderBy("item_id", "rank")
+  }
+
   /** Implicit-feedback training (M4/M7/M8): event-count confidences through
     * the Hu-Koren-Volinsky path, NNLS-free. Factors are rows-only; the
     * derivation itself is oracle-checked via als_implicit_ratings.
@@ -1438,6 +1446,15 @@ object Queries {
     * ([[Dedup.connectedComponents]]); the oracle replays the identical
     * pair generation and closes it with a recursive CTE — small-data
     * equivalent of the O(log²n)-round distributed algorithm.
+    *
+    * ORACLE CTE SHAPE IS LOAD-BEARING (characterized in RecursiveCteSpec /
+    * commit c01e93a): the `reach` closure below MUST be the frontier-dedup
+    * `UNION` form, because the doubled edge set `e` is cyclic (u→v and
+    * v→u) and only UNION's dedup terminates the fixpoint. DuckDB accepts
+    * it; Spark 4.1's WITH RECURSIVE rejects exactly this UNION form at
+    * analysis (UNION ALL only, which on a cyclic edge set never
+    * terminates) — that asymmetry is WHY the Spark side runs
+    * large-star/small-star instead of a recursive CTE.
     */
   val dedupClusters: QueryDef = QueryDef.withOracle(
     s"""WITH RECURSIVE $duckShingleCtes,
@@ -2494,6 +2511,46 @@ object Queries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Multimodal REAL decode (round 6, non-stub): per document an actual
+    * 24-bit BMP or RIFF/WAVE file is generated (pixel/sample content a
+    * closed-form function of doc_id), then decoded by the JDK's genuine
+    * codecs — ImageIO's BMP reader, javax.sound's WAV parser — and reduced
+    * to pixel/sample statistics ([[Multimodal.realAssets]] /
+    * [[Multimodal.decodeReal]]). Because the content is closed-form, the
+    * DuckDB oracle re-derives every decoded statistic arithmetically: a
+    * hash match proves the full encode→real-decode round trip (stride
+    * padding, bottom-up rows, BGR order, PCM endianness) bit-for-bit.
+    * Mean formulas are written with the same operands the decoder divides
+    * (pixel sum / pixel count) so both sides round identically.
+    */
+  val multimodalRealDecode: QueryDef = QueryDef.withOracle(
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CAST(8 + (doc_id % 8) * 4 AS INTEGER) AS w,
+      |    CAST(8 + (doc_id % 6) * 4 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |aud AS (
+      |  SELECT doc_id,
+      |    CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sr,
+      |    CAST(200 + (doc_id % 100) AS BIGINT) AS n,
+      |    CAST((doc_id % 1000) + 1 AS DOUBLE) AS amp
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT doc_id AS asset_id, 'image' AS modality, w AS width, h AS height,
+      |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+      |  CAST(h * (w * (w - 1) / 2) AS DOUBLE) / (CAST(w AS BIGINT) * h) AS mean_g,
+      |  CAST(w * (h * (h - 1) / 2) AS DOUBLE) / (CAST(w AS BIGINT) * h) AS mean_b,
+      |  CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+      |  CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS duration_ms
+      |FROM img
+      |UNION ALL
+      |SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, NULL,
+      |  sr, n, amp, n * 1000.0 / sr
+      |FROM aud
+      |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    Multimodal.decodeReal(Multimodal.realAssets(t(s, dir, "documents")))
+      .orderBy("asset_id")
+  }
+
   /** Structured-Streaming windowed aggregation run to completion over the
     * fixture files (real streaming machinery; emitted windows only — append
     * mode emits a window once the watermark passes its end, so the trailing
@@ -2603,6 +2660,7 @@ object Queries {
     "als_foldin_items" -> alsFoldinItems,
     "als_online_refresh" -> alsOnlineRefresh,
     "als_item_neighbors" -> alsItemNeighbors,
+    "als_item_neighbors_approx" -> alsItemNeighborsApprox,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -2652,6 +2710,7 @@ object Queries {
     "token_bpe_estimate" -> tokenBpeEstimate,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_real_decode" -> multimodalRealDecode,
     "docs_partitioned_scan" -> docsPartitionedScan,
     "docs_dpp_join" -> docsDppJoin,
     "docs_sorted_scan" -> docsSortedScan,

@@ -66,6 +66,40 @@ class ALSSpec extends AnyFunSuite with SparkFixture {
     assert(maxPredDiff < 0.05, s"maxPredDiff=$maxPredDiff (block-count sensitivity too high)")
   }
 
+  test("custom partitioner injection: placement is policy, predictions are not") {
+    // reference util/partitioner.py exposes a Partitioner ABC callers can
+    // substitute; the Config.partitioner hook is our equivalent. A reversed
+    // mapping reshuffles every id into a different block — raw factors then
+    // differ (init is per-block) but the model must not.
+    class ReversedPartitioner(n: Int) extends org.apache.spark.Partitioner {
+      def numPartitions: Int = n
+      def getPartition(key: Any): Int = {
+        val m = key.hashCode % n
+        n - 1 - (if (m < 0) m + n else m)
+      }
+    }
+    val ratings = lowRankRatings(rank = 2, seed = 29)
+    val rdd = spark.sparkContext.parallelize(ratings, 4)
+    def run(p: Int => org.apache.spark.Partitioner): (Map[Long, Seq[Float]], Map[Long, Seq[Float]]) = {
+      val (uf, itf) = BlockedALS.train(rdd, BlockedALS.Config(
+        rank = 2, numUserBlocks = 3, numItemBlocks = 3,
+        maxIter = 15, regParam = 0.01, seed = 17, partitioner = p))
+      (uf.collect().toMap.map { case (k, v) => k -> v.toSeq },
+        itf.collect().toMap.map { case (k, v) => k -> v.toSeq })
+    }
+    val (uh, ih) = run(n => new org.apache.spark.HashPartitioner(n))
+    val (ur, ir) = run(n => new ReversedPartitioner(n))
+    val (ur2, ir2) = run(n => new ReversedPartitioner(n))
+    assert(ur == ur2 && ir == ir2, "custom partitioner must stay deterministic")
+    assert(uh.keySet == ur.keySet && ih.keySet == ir.keySet)
+    def pred(u: Map[Long, Seq[Float]], v: Map[Long, Seq[Float]])(r: Rating): Double =
+      u(r.user).zip(v(r.item)).map { case (a, b) => a.toDouble * b }.sum
+    val maxPredDiff = ratings.map { r =>
+      math.abs(pred(uh, ih)(r) - pred(ur, ir)(r))
+    }.max
+    assert(maxPredDiff < 0.05, s"maxPredDiff=$maxPredDiff (partitioner changed the model)")
+  }
+
   test("implicit path converges and ranks positive interactions above unobserved") {
     val rng = new scala.util.Random(3)
     // two user groups × two item groups with strong co-preference

@@ -55,6 +55,25 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     assert(blocked.count() == brute.count())
   }
 
+  test("IVF-routed itemNeighborsApprox reaches >=0.8 recall@10 vs the exact kernel") {
+    val dim = 8
+    val factors = syntheticFactors(n = 400, dim = dim, seed = 11L)
+      .where(col("id") =!= 7) // keep the zero vector out of a recall metric
+    val model = GraftALSModel(rank = dim, userFactors = factors, itemFactors = factors)
+    val k = 10
+    def truth = model.itemNeighbors(k, blockSize = 64)
+    def approx = model.itemNeighborsApprox(k, nProbe = 6, numCells = 16)
+    val exactSet = truth.select("item_id", "neighbor_item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxPairs = approx.select("item_id", "neighbor_item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hit = approxPairs.count(exactSet.contains)
+    val recall = hit.toDouble / exactSet.size
+    assert(recall >= 0.8, s"recall@$k=$recall (${hit}/${exactSet.size})")
+    // sub-quadratic candidate generation: every emitted rank is within k
+    assert(approx.agg(max("rank")).head().getInt(0) <= k)
+  }
+
   test("foldInUsers reproduces trained user factors from the training ratings") {
     val spark2 = spark
     import spark2.implicits._
