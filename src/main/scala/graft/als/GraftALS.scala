@@ -285,6 +285,24 @@ case class GraftALSModel(
       normalize = false, excludeSelf = false)
       .toDF("user_id", "item_id", "rank", "score")
 
+  /** Approximate recommendations through the IVF router — the
+    * sub-quadratic twin of [[recommendForAllUsers]]. Predicted rating is a
+    * raw dot product, so routing goes through the MIPS→cosine reduction
+    * ([[graft.ops.Similarity.mipsIvfTopK]]): item vectors augmented to a
+    * common norm, users probe `nProbe` cells, candidates ranked by the
+    * true dot. Recall vs the exact kernel asserted in GraftALSServingSpec.
+    */
+  def recommendForAllUsersApprox(
+      k: Int,
+      nProbe: Int = 4,
+      numCells: Int = 16,
+      seed: Long = 42L): DataFrame =
+    graft.ops.Similarity.mipsIvfTopK(
+      userFactors, itemFactors, k = k, nProbe = nProbe, numCells = numCells,
+      queryIdCol = "id", corpusIdCol = "id", vecCol = "features", dim = rank,
+      seed = seed)
+      .toDF("user_id", "item_id", "rank", "score")
+
   /** Blocked cross-score top-k kernel shared by [[recommendForAllUsers]] and
     * [[itemNeighbors]]: factors are chunked into (ids, row-major matrix)
     * blocks, block pairs meet in an RDD cartesian, and each pair runs a

@@ -181,7 +181,15 @@ object Similarity {
 
   /** `ARRAY<STRUCT<cell, centroid>>` literal column for a codebook. */
   private def cellArrayCol(cells: Array[Array[Float]]): Column =
-    array(cells.zipWithIndex.map { case (cv, i) =>
+    cellArrayColIndexed(cells.zipWithIndex.map(_.swap))
+
+  /** Same literal but over an explicit (cellId, centroid) subset — used to
+    * probe only OCCUPIED cells (a centroid that lost every member during
+    * k-means has no inverted list; probing it wastes one of the query's
+    * nProbe slots and can strand a query with zero candidates).
+    */
+  private def cellArrayColIndexed(cells: Seq[(Int, Array[Float])]): Column =
+    array(cells.map { case (i, cv) =>
       struct(lit(i).as("cell"), array(cv.map(lit): _*).as("centroid"))
     }: _*)
 
@@ -575,6 +583,68 @@ object Similarity {
     * pruning key at scale — a 100 TB corpus stored partitioned by cell only
     * scans `nProbe/numCells` of the data per query batch.
     */
+  /** Approximate maximum-inner-product top-k (MIPS) through the IVF
+    * router, for scoring-shaped serving (recommendations rank by raw dot,
+    * where a longer corpus vector legitimately outranks a more-aligned
+    * short one — cosine routing alone would mis-route). Uses the standard
+    * order-preserving reduction (Bachrach et al., RecSys 2014; public
+    * technique): corpus vectors are augmented with one extra coordinate
+    * `sqrt(maxNorm² − ‖v‖²)` so every augmented vector has identical norm,
+    * and queries are padded with 0 — cosine ordering in the augmented
+    * space then equals dot ordering in the original space, so the
+    * spherical-k-means codebook and cell probing machinery route MIPS
+    * correctly. Candidates are finally ranked by the TRUE dot product.
+    * Query and corpus ids live in different entity spaces, so (unlike
+    * [[ivfTopK]]) no self-exclusion applies.
+    */
+  def mipsIvfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 4,
+      numCells: Int = 16,
+      queryIdCol: String = "query_id",
+      corpusIdCol: String = "item_id",
+      vecCol: String = "features",
+      dim: Int = 8,
+      seed: Long = 42L,
+      scoreName: String = "score"): DataFrame = {
+    val selfDot = VectorFunctions.dot(col(vecCol), col(vecCol))
+    // one tiny driver scalar — the augmentation bound
+    val maxSq = corpus.agg(max(selfDot)).head().getDouble(0)
+    val augCorpus = corpus.select(
+      col(corpusIdCol).as("__mips_id"),
+      col(vecCol).as("cv"),
+      concat(col(vecCol),
+        array(sqrt(greatest(lit(maxSq) - selfDot, lit(0.0))).cast("float")))
+        .as("acv"))
+    val cells = trainCodebook(augCorpus, vecCol = "acv", dim = dim + 1,
+      numCells = numCells, seed = seed)
+    val cellArr = cellArrayCol(cells)
+    val assigned = Parallelism.widen(augCorpus)
+      .withColumn("cell", topCellsCol(cellArr, col("acv"), 1).getItem(0))
+      .drop("acv")
+      .persist()
+    // queries probe only cells whose inverted list is non-empty (k-means
+    // cells that lost all members would strand queries candidate-less);
+    // the occupancy table is ≤ numCells ints — a driver scalar, not data
+    val occupied = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val probeArr = cellArrayColIndexed(
+      cells.zipWithIndex.collect { case (cv, i) if occupied(i) => (i, cv) })
+    val probed = Parallelism.widen(queries)
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(topCellsCol(probeArr, concat(col("qv"), array(lit(0.0f))), nProbe)))
+    val w = Window.partitionBy("query_id").orderBy(desc(scoreName), asc("__mips_id"))
+    probed.join(assigned, Seq("cell"))
+      .withColumn(scoreName, VectorFunctions.dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id").as(queryIdCol), col("__mips_id").as(corpusIdCol),
+        col("rank"), col(scoreName))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,

@@ -886,6 +886,14 @@ object Queries {
     model(s, dir).itemNeighborsApprox(3).orderBy("item_id", "rank")
   }
 
+  /** Recommendations via MIPS-routed IVF — the sub-quadratic twin of
+    * als_recommend (rows-only: trained-factor floats; recall vs the exact
+    * kernel is spec-asserted in GraftALSServingSpec).
+    */
+  val alsRecommendApprox: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    model(s, dir).recommendForAllUsersApprox(3).orderBy("user_id", "rank")
+  }
+
   /** Implicit-feedback training (M4/M7/M8): event-count confidences through
     * the Hu-Koren-Volinsky path, NNLS-free. Factors are rows-only; the
     * derivation itself is oracle-checked via als_implicit_ratings.
@@ -2661,6 +2669,7 @@ object Queries {
     "als_online_refresh" -> alsOnlineRefresh,
     "als_item_neighbors" -> alsItemNeighbors,
     "als_item_neighbors_approx" -> alsItemNeighborsApprox,
+    "als_recommend_approx" -> alsRecommendApprox,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

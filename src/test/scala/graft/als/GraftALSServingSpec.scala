@@ -74,6 +74,30 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     assert(approx.agg(max("rank")).head().getInt(0) <= k)
   }
 
+  test("MIPS-routed recommendForAllUsersApprox reaches >=0.8 recall@10 vs exact") {
+    val dim = 8
+    // distinct seeds: users and items are different entity spaces; keep the
+    // zero vector on the item side so the augmented norm path sees it
+    val users = syntheticFactors(n = 150, dim = dim, seed = 21L)
+    val items = syntheticFactors(n = 300, dim = dim, seed = 22L)
+    val model = GraftALSModel(rank = dim, userFactors = users, itemFactors = items)
+    val k = 10
+    val exactSet = model.recommendForAllUsers(k, blockSize = 64)
+      .select("user_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = model.recommendForAllUsersApprox(k, nProbe = 6, numCells = 16)
+    val approxPairs = approx.select("user_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val recall = approxPairs.count(exactSet.contains).toDouble / exactSet.size
+    assert(recall >= 0.8, s"recall@$k=$recall")
+    // scores must be true dot products, not cosines: spot-check one row
+    val row = approx.orderBy("user_id", "rank").head()
+    val uf = users.where(col("id") === row.getLong(0)).head().getSeq[Float](1)
+    val vf = items.where(col("id") === row.getLong(1)).head().getSeq[Float](1)
+    val expected = uf.zip(vf).map { case (a, b) => a.toDouble * b }.sum
+    assert(math.abs(row.getDouble(3) - expected) < 1e-6)
+  }
+
   test("foldInUsers reproduces trained user factors from the training ratings") {
     val spark2 = spark
     import spark2.implicits._
