@@ -294,14 +294,17 @@ case class GraftALSModel(
     */
   def recommendForAllUsersApprox(
       k: Int,
-      nProbe: Int = 4,
-      numCells: Int = 16,
-      seed: Long = 42L): DataFrame =
+      nProbe: Int = 0,
+      numCells: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    val items = itemFactors.cache()
+    val (probes, cells) = ivfSizing(items.count(), nProbe, numCells)
     graft.ops.Similarity.mipsIvfTopK(
-      userFactors, itemFactors, k = k, nProbe = nProbe, numCells = numCells,
+      userFactors, items, k = k, nProbe = probes, numCells = cells,
       queryIdCol = "id", corpusIdCol = "id", vecCol = "features", dim = rank,
       seed = seed)
       .toDF("user_id", "item_id", "rank", "score")
+  }
 
   /** Blocked cross-score top-k kernel shared by [[recommendForAllUsers]] and
     * [[itemNeighbors]]: factors are chunked into (ids, row-major matrix)
@@ -456,16 +459,36 @@ case class GraftALSModel(
     * `als_item_neighbors_approx`'s shape); tune numCells ~ sqrt(items) at
     * scale, same as the embedding index ([[graft.ops.Similarity.ivfTopK]]).
     */
+  /** IVF sizing for a corpus of `n`: cells ≈ √n (the standard inverted-
+    * list rule — per-cell list length and cell count grow together, so
+    * per-query candidate volume is O(nProbe·√n), not O(n)), probes a
+    * fixed fraction of the cells with a floor for recall at small n.
+    * Passing explicit nProbe/numCells (> 0) overrides.
+    */
+  private def ivfSizing(n: Long, nProbe: Int, numCells: Int): (Int, Int) = {
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val probes =
+      if (nProbe > 0) nProbe
+      else math.max(4, cells / 16)
+    (probes, cells)
+  }
+
   def itemNeighborsApprox(
       k: Int,
-      nProbe: Int = 4,
-      numCells: Int = 16,
+      nProbe: Int = 0,
+      numCells: Int = 0,
       seed: Long = 42L): DataFrame = {
+    // cache the factor table: repeated k-means passes reuse it, and the
+    // size stats let the planner broadcast the cell join
+    val items = itemFactors.cache()
+    val (probes, cells0) = ivfSizing(items.count(), nProbe, numCells)
     val cells = graft.ops.Similarity.trainCodebook(
-      itemFactors, vecCol = "features", dim = rank, numCells = numCells,
+      items, vecCol = "features", dim = rank, numCells = cells0,
       seed = seed)
     graft.ops.Similarity.ivfTopK(
-      itemFactors, itemFactors, k = k, nProbe = nProbe, numCells = numCells,
+      items, items, k = k, nProbe = probes, numCells = cells0,
       idCol = "id", vecCol = "features", dim = rank, seed = seed,
       trainedCodebook = Some(cells))
       .toDF("item_id", "neighbor_item_id", "rank", "cosine")
