@@ -98,6 +98,23 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row.getDouble(3) - expected) < 1e-6)
   }
 
+  test("auto IVF sizing scales cells as sqrt(n) and respects explicit overrides") {
+    val dim = 4
+    val factors = syntheticFactors(n = 300, dim = dim, seed = 31L)
+    val model = GraftALSModel(rank = dim, userFactors = factors, itemFactors = factors)
+    // auto path must produce full k rows per query (no stranded queries)
+    // and stay deterministic across invocations
+    val a = model.itemNeighborsApprox(3).collect()
+    val b = model.itemNeighborsApprox(3).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // 299 non-zero vectors + the zero vector (cosine 0 to everything) all
+    // emit exactly k rows
+    assert(a.length == 300 * 3, s"got ${a.length}")
+    // explicit override still honored (16 cells -> same result shape)
+    val c = model.itemNeighborsApprox(3, nProbe = 6, numCells = 16)
+    assert(c.count() == 300 * 3)
+  }
+
   test("foldInUsers reproduces trained user factors from the training ratings") {
     val spark2 = spark
     import spark2.implicits._
