@@ -1410,16 +1410,78 @@ object Queries {
     * recall is probabilistic by design; the exact side is itself
     * oracle-checked via dedup_ngram_jaccard.
     */
-  val dedupRecall: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** LSH recall meter, hash-checked as of round 6: both sides of the
+    * metric already have full DuckDB replays (the minhash-LSH pipeline
+    * from dedup_minhash_keepers, the df-capped exact-Jaccard pipeline from
+    * dedup_ngram_jaccard), so the composed recall is oracle-derivable.
+    * The LSH side runs the portable md5 hash family (same algorithm as
+    * production xxhash64 — the sibling queries set the precedent).
+    *
+    * Exact side at the PRODUCTION operating point (df-cap 20, shared≥2 —
+    * same as dedup_ngram_jaccard): a pair at Jaccard ≥ 0.5 shares many
+    * shingles, so the pruning loses ~nothing while keeping the candidate
+    * set bounded (df-cap 100 + shared≥1 measured 36s vs ~6s at sf0.1 on
+    * the low-entropy fixture corpus).
+    */
+  val dedupRecall: QueryDef = QueryDef.withOracle {
+    val P = Dedup.PortableMinhashModulus
+    val mins = (1 to 64).map(i => s"MIN((h1 + ${i - 1} * h2) % $P) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until 16).map { b =>
+      val cols = (1 to 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT id, $b AS band, concat_ws('|', $cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $duckShingleCtes,
+       |shd AS (SELECT id, list_distinct(list(s)) AS sh FROM sh0 GROUP BY id),
+       |hs AS (
+       |  SELECT id,
+       |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |    ('0x' || substr(md5(s || '#'), 1, 14))::BIGINT AS h2
+       |  FROM sh0),
+       |sigs AS (SELECT id,
+       |  $mins
+       |  FROM hs GROUP BY id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |lsh AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+       |    FROM cands c JOIN shd a ON a.id = c.id_a JOIN shd b ON b.id = c.id_b) z
+       |  WHERE j >= 0.5),
+       |inv AS (SELECT DISTINCT id, s FROM sh0),
+       |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 20),
+       |posts AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+       |ecand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |exact AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+       |    FROM ecand c JOIN shd a ON a.id = c.id_a JOIN shd b ON b.id = c.id_b) z
+       |  WHERE j >= 0.5),
+       |m AS (
+       |  SELECT
+       |    (SELECT count(*) FROM exact) AS n_exact,
+       |    (SELECT count(*) FROM exact e JOIN lsh l
+       |       ON e.id_a = l.id_a AND e.id_b = l.id_b) AS n_hits)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact_pairs,
+       |  CAST(n_hits AS BIGINT) AS n_lsh_hits,
+       |  CASE WHEN n_exact = 0 THEN 1.0
+       |       ELSE n_hits::DOUBLE / n_exact END AS lsh_pair_recall
+       |FROM m""".stripMargin
+  } { (s, dir) =>
     val docs = t(s, dir, "documents")
-    // exact side at the PRODUCTION operating point (df-cap 20, shared≥2 —
-    // same as dedup_ngram_jaccard): a pair at Jaccard ≥ 0.5 shares many
-    // shingles, so the pruning loses ~nothing while keeping the candidate
-    // set bounded (df-cap 100 + shared≥1 measured 36s vs ~6s at sf0.1 on
-    // the low-entropy fixture corpus)
     val exactPairs = Dedup.ngramJaccardPairs(
       docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2)
-    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5, portableHashes = true)
     val exact = exactPairs.select("id_a", "id_b")
     val lsh = lshPairs.select("id_a", "id_b")
     val nExact = exact.count()
