@@ -2309,6 +2309,24 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Maximum-inner-product ANN over raw (unnormalized) embeddings —
+    * completes the ANN matrix: the cosine tiers (brute/LSH/IVF/IVF-PQ)
+    * rank by angle; this one ranks by raw dot through the augmented-norm
+    * MIPS→cosine reduction ([[Similarity.mipsIvfTopK]]), the retrieval
+    * mode of recommendation/scoring workloads. Self-matches are included
+    * by MIPS-serving semantics (a catalog lookup has no self notion);
+    * rows-only: float scores over a trained codebook. Recall vs a
+    * brute-dot baseline is spec-asserted in SimilaritySpec.
+    */
+  val simTopkMips: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    Similarity.mipsIvfTopK(e, e, k = 5, nProbe = 4, numCells = 64,
+      queryIdCol = "vec_id", corpusIdCol = "vec_id", vecCol = "embedding",
+      dim = 64)
+      .toDF("query_id", "neighbor_id", "rank", "score")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ ANN (rows-only: float scores) — the composed compressed-index
     * tier: IVF cells prune the probe set, residual PQ codes (M bytes per
     * vector) carry the ADC scan, raw vectors only re-attach for the exact
@@ -2775,6 +2793,7 @@ object Queries {
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
+    "sim_topk_mips" -> simTopkMips,
     "sim_topk_ivfpq" -> simTopkIvfPq,
     "sim_ivf_serve" -> simIvfServe,
     "sim_recall" -> simRecall,
