@@ -179,39 +179,29 @@ object Similarity {
   private[ops] def codebook(dim: Int, numCells: Int, seed: Long): Array[Array[Float]] =
     hyperplanes(dim, numCells, seed * 7919L)
 
-  /** `ARRAY<STRUCT<cell, centroid>>` literal column for a codebook. */
-  private def cellArrayCol(cells: Array[Array[Float]]): Column =
-    cellArrayColIndexed(cells.zipWithIndex.map(_.swap))
-
-  /** Same literal but over an explicit (cellId, centroid) subset — used to
-    * probe only OCCUPIED cells (a centroid that lost every member during
-    * k-means has no inverted list; probing it wastes one of the query's
-    * nProbe slots and can strand a query with zero candidates).
+  /** Top-`n` cells of `v` by dot score, as the native codegen expression
+    * [[graft.functions.TopCellsExpr]] (round 6 — was a `transform` +
+    * `array_sort`(lambda) + `slice` HOF chain, evaluated interpreted with
+    * O(cells·log cells) lambda comparator frames per ROW; under √n-sized
+    * codebooks that interpreted island dominated every IVF stage). Ties
+    * break toward the LOWEST cell id — the SAME rule [[probeCells]]
+    * applies driver-side, so index assignment and probe selection can
+    * never diverge on a near-tie; parity with the HOF form is pinned in
+    * TopCellsExprSpec.
+    *
+    * The `Seq[(Int, Array[Float])]` overload carries explicit cell ids —
+    * used to probe only OCCUPIED cells (a centroid that lost every member
+    * during k-means has no inverted list; probing it wastes one of the
+    * query's nProbe slots and can strand a query with zero candidates).
     */
-  private def cellArrayColIndexed(cells: Seq[(Int, Array[Float])]): Column =
-    array(cells.map { case (i, cv) =>
-      struct(lit(i).as("cell"), array(cv.map(lit): _*).as("centroid"))
-    }: _*)
+  private def topCellsCol(cells: Seq[(Int, Array[Float])], v: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.TopCellsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(v),
+        cells.map(_._2).toArray, cells.map(_._1).toArray, n))
 
-  /** Top-`n` cells of `v` by dot score against the codebook literal.
-    * Ties break toward the LOWEST cell index (after the `reverse`, the
-    * comparator's descending-cell order becomes ascending) — the SAME rule
-    * [[probeCells]] applies driver-side, so index assignment and probe
-    * selection can never diverge on a near-tie.
-    */
-  private def topCellsCol(cellArr: Column, v: Column, n: Int): Column = {
-    val scored = transform(
-      cellArr,
-      c => struct(
-        c.getField("cell").as("cell"),
-        VectorFunctions.dot(v, c.getField("centroid")).as("score")))
-    slice(reverse(array_sort(scored, (a, b) =>
-      when(a.getField("score") < b.getField("score"), -1)
-        .when(a.getField("score") > b.getField("score"), 1)
-        .when(a.getField("cell") > b.getField("cell"), -1)
-        .when(a.getField("cell") < b.getField("cell"), 1)
-        .otherwise(0))), 1, n).getField("cell")
-  }
+  private def topCellsCol(cells: Array[Array[Float]], v: Column, n: Int): Column =
+    topCellsCol(cells.zipWithIndex.map(_.swap).toSeq, v, n)
 
   /** Spherical-k-means refinement of the IVF codebook: assign every vector
     * to its max-dot centroid (the SAME rule `ivfTopK` probes with; with
@@ -254,9 +244,8 @@ object Similarity {
       if (dataInit.length == numCells) dataInit
       else codebook(dim, numCells, seed).map(normalized)
     for (_ <- 0 until iterations) {
-      val cellArr = cellArrayCol(centroids)
       val means = base
-        .withColumn("cell", topCellsCol(cellArr, col("v"), 1).getItem(0))
+        .withColumn("cell", topCellsCol(centroids, col("v"), 1).getItem(0))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg(col("x")).as("m"))
@@ -281,7 +270,7 @@ object Similarity {
       corpus: DataFrame,
       cells: Array[Array[Float]],
       vecCol: String = "embedding"): DataFrame =
-    corpus.withColumn("cell", topCellsCol(cellArrayCol(cells), col(vecCol), 1).getItem(0))
+    corpus.withColumn("cell", topCellsCol(cells, col(vecCol), 1).getItem(0))
 
   /** Materializes the IVF index: corpus written partitioned by `cell`, so
     * each cell is its own directory and a probe-limited serve reads ONLY
@@ -504,8 +493,7 @@ object Similarity {
       vecCol: String = "embedding",
       outCol: String = "residual"): DataFrame = {
     val centLit = typedLit(cells.map(_.toSeq).toSeq)
-    val cellArr = cellArrayCol(cells)
-    df.withColumn("cell", topCellsCol(cellArr, col(vecCol), 1).getItem(0))
+    df.withColumn("cell", topCellsCol(cells, col(vecCol), 1).getItem(0))
       .withColumn(outCol,
         zip_with(col(vecCol), element_at(centLit, col("cell") + 1), (a, b) => a - b))
   }
@@ -540,7 +528,6 @@ object Similarity {
     val cells = trainedCells.getOrElse(codebook(dim, numCells, seed))
     val pq = trainedPq.getOrElse(pqInit(dim, numSubspaces, numCentroids, seed))
     val subDim = dim / numSubspaces
-    val cellArr = cellArrayCol(cells)
     val (cbLit, _) = pqLiterals(pq)
 
     val centLit = typedLit(cells.map(_.toSeq).toSeq)
@@ -565,7 +552,7 @@ object Similarity {
             element_at(col("__subs"), m.cast("int") + 1),
             element_at(element_at(cbLit, m.cast("int") + 1), kk.cast("int") + 1)))))
       .drop("__subs")
-      .withColumn("cell", explode(topCellsCol(cellArr, col("qv"), nProbe)))
+      .withColumn("cell", explode(topCellsCol(cells, col("qv"), nProbe)))
       // q·c_cell: one dot per (query, probed cell) row, BEFORE the candidate
       // join — makes ADC scores comparable across a query's nProbe cells
       // (q·x̂ = q·c_cell + q·PQ(r)) at zero per-candidate cost
@@ -636,9 +623,8 @@ object Similarity {
         .as("acv"))
     val cells = trainCodebook(augCorpus, vecCol = "acv", dim = dim + 1,
       numCells = numCells, seed = seed)
-    val cellArr = cellArrayCol(cells)
     val assigned = Parallelism.widen(augCorpus)
-      .withColumn("cell", topCellsCol(cellArr, col("acv"), 1).getItem(0))
+      .withColumn("cell", topCellsCol(cells, col("acv"), 1).getItem(0))
       .drop("acv")
       .persist()
     // queries probe only cells whose inverted list is non-empty (k-means
@@ -646,12 +632,12 @@ object Similarity {
     // the occupancy table is ≤ numCells ints — a driver scalar, not data
     val occupied = assigned.select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
-    val probeArr = cellArrayColIndexed(
-      cells.zipWithIndex.collect { case (cv, i) if occupied(i) => (i, cv) })
+    val probeCellSubset: Seq[(Int, Array[Float])] =
+      cells.zipWithIndex.collect { case (cv, i) if occupied(i) => (i, cv) }.toSeq
     val probed = Parallelism.widen(queries)
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell",
-        explode(topCellsCol(probeArr, concat(col("qv"), array(lit(0.0f))), nProbe)))
+        explode(topCellsCol(probeCellSubset, concat(col("qv"), array(lit(0.0f))), nProbe)))
     // bounded top-k aggregation, NOT a rank window: the window form sorts
     // the full candidate set (nProbe·√n rows per query); the O(k)-buffer
     // aggregator rejects non-contenders in O(1) and map-side-combines, so
@@ -680,9 +666,8 @@ object Similarity {
       seed: Long = 42L,
       trainedCodebook: Option[Array[Array[Float]]] = None): DataFrame = {
     val cells = trainedCodebook.getOrElse(codebook(dim, numCells, seed))
-    val cellArr = cellArrayCol(cells)
 
-    def topCells(v: Column, n: Int): Column = topCellsCol(cellArr, v, n)
+    def topCells(v: Column, n: Int): Column = topCellsCol(cells, v, n)
 
     val assignedCorpus = Parallelism.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
