@@ -669,10 +669,16 @@ object Similarity {
 
     def topCells(v: Column, n: Int): Column = topCellsCol(cells, v, n)
 
+    // persisted like mipsIvfTopK's corpus: the cache gives the planner
+    // real size stats (RDD-backed factor frames otherwise plan a stat-less
+    // SortMergeJoin) so small corpora broadcast into the cell join; the
+    // at-catalog-scale path materializes the assignment anyway
+    // (writeCellIndex), so the in-memory cache is its batch-search twin
     val assignedCorpus = Parallelism.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         VectorFunctions.norm(col(vecCol)).as("cn"))
       .withColumn("cell", topCells(col("cv"), 1).getItem(0))
+      .persist()
 
     val probedQueries = Parallelism.widen(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
