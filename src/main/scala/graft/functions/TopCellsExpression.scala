@@ -33,6 +33,11 @@ case class TopCellsExpr(
 
   require(cells.nonEmpty && cells.length == cellIds.length && n > 0)
   require(cells.forall(_.length == cells(0).length))
+  // the tie-break contract (equal scores → LOWEST cell id) relies on the
+  // iteration order: ids must arrive ascending (zipWithIndex and the
+  // occupancy filter both preserve this)
+  require(cellIds.iterator.sliding(2).withPartial(false).forall(p => p(0) < p(1)),
+    "cellIds must be strictly ascending")
 
   private def dim: Int = cells(0).length
   private def m: Int = math.min(n, cells.length)
