@@ -297,10 +297,30 @@ object Similarity {
   def probeCells(v: Array[Float], cells: Array[Array[Float]], nProbe: Int): Seq[Int] =
     cells.zipWithIndex
       .map { case (c, i) => (i, c.zip(v).map { case (a, b) => a.toDouble * b }.sum) }
-      .sortBy { case (i, d) => (-d, i) }
+      // `+ 0.0` collapses -0.0 to +0.0: SQL comparisons treat signed zeros
+      // as equal (so TopCellsExpr tie-breaks by cell id) while Scala's
+      // total ordering would rank -0.0-keyed cells first — found by the
+      // AggregationPropertySpec zero-vector case
+      .sortBy { case (i, d) => (-(d + 0.0), i) }
       .take(nProbe)
       .map(_._1)
       .toSeq
+
+  /** Incremental index maintenance: appends NEW vectors to an existing
+    * cell-partitioned index under the SAME codebook — assignment-only, the
+    * add-without-train operation a serving index needs between codebook
+    * retrains (retraining cadence is policy above this operator; drift is
+    * what the recall meters measure). Each batch writes only its own files
+    * into the cell directories it touches, so an append is O(batch), not
+    * O(index), and readers see the union immediately.
+    */
+  def appendToCellIndex(
+      newVectors: DataFrame,
+      cells: Array[Array[Float]],
+      path: String,
+      vecCol: String = "embedding"): Unit =
+    withCellAssignment(Parallelism.widen(newVectors), cells, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Point-lookup serving over a [[writeCellIndex]] layout: scan only the
     * query's probe cells (partition-pruned), exact cosine re-rank inside

@@ -2367,6 +2367,31 @@ object Queries {
     Similarity.servePrunedTopK(s.read.parquet(path), queryId = qid, queryVec = q, cells = cb, k = 10)
   }
 
+  /** Incremental ANN index maintenance: HALF the corpus is indexed
+    * ([[Similarity.writeCellIndex]]), the other half APPENDED later under
+    * the same codebook ([[Similarity.appendToCellIndex]] — assignment-only,
+    * no retrain), then a pruned serve runs over the combined index. The
+    * equivalence append-then-serve == full-build-serve is spec-asserted in
+    * SimilaritySpec; rows-only here (float cosines). This is the ANN twin
+    * of stream_index_maintenance's merge-on-write exact index.
+    */
+  val simIvfAppend: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val cb = trainedCodebook(s, dir)
+    val path = s"/tmp/graft_ivf_append_${dirKey(dir)}"
+    val e = t(s, dir, "embeddings")
+    if (!csvWritten.contains(path)) {
+      Similarity.writeCellIndex(e.where(col("vec_id") % 2 === 0), cb, path)
+      Similarity.appendToCellIndex(e.where(col("vec_id") % 2 === 1), cb, path)
+      csvWritten.add(path)
+    }
+    val qRow = e.orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .head(1).headOption
+      .getOrElse(sys.error(s"sim_ivf_append: embeddings table at $dir is empty"))
+    Similarity.servePrunedTopK(s.read.parquet(path),
+      queryId = qRow.getLong(0), queryVec = qRow.getSeq[Float](1).toArray,
+      cells = cb, k = 10)
+  }
+
   /** BPE-ish subword-count estimate (long words cost ≈ len/4 extra
     * tokens), hash-checked: DuckDB replays the identical per-token
     * greatest/ceil arithmetic. Complements q15's whitespace token count —
@@ -2796,6 +2821,7 @@ object Queries {
     "sim_topk_mips" -> simTopkMips,
     "sim_topk_ivfpq" -> simTopkIvfPq,
     "sim_ivf_serve" -> simIvfServe,
+    "sim_ivf_append" -> simIvfAppend,
     "sim_recall" -> simRecall,
     "token_bpe_estimate" -> tokenBpeEstimate,
     "multimodal_features" -> multimodalFeatures,

@@ -157,6 +157,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(sample.getDouble(3) - expected) < 1e-6)
   }
 
+  test("append-without-retrain serve equals a full index build") {
+    val vs = randomVecs(90, 23)
+    val df = embDF(vs)
+    val cb = Similarity.trainCodebook(df, dim = dim, numCells = 8, iterations = 2)
+    val full = java.nio.file.Files.createTempDirectory("ivf_full_").toString
+    val incr = java.nio.file.Files.createTempDirectory("ivf_incr_").toString
+    Similarity.writeCellIndex(df, cb, full)
+    Similarity.writeCellIndex(df.where(col("vec_id") % 2 === 0), cb, incr)
+    Similarity.appendToCellIndex(df.where(col("vec_id") % 2 === 1), cb, incr)
+    for (qid <- Seq(0L, 7L, 41L)) {
+      val qv = vs.find(_._1 == qid).get._2
+      def serve(path: String) = Similarity.servePrunedTopK(
+        spark.read.parquet(path), qid, qv, cb, k = 5, nProbe = 3)
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSeq
+      assert(serve(incr) == serve(full), s"query $qid")
+    }
+  }
+
   test("results are deterministic across runs") {
     val df = embDF(randomVecs(40, 13))
     val a = Similarity.lshTopK(df, k = 3, dim = dim).collect().map(_.toString).sorted
