@@ -49,6 +49,30 @@ class AggregationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NormalEquation: any partition split + merge order equals single-pass accumulation") {
+    // the fold-in aggregateByKey partially accumulates per partition and
+    // merges buffers — Spark guarantees nothing about split or merge order
+    val rng = new scala.util.Random(2024)
+    for (trial <- 0 until 100) {
+      val k = 1 + rng.nextInt(6)
+      val rows = Seq.fill(1 + rng.nextInt(30))(
+        (Array.fill(k)(rng.nextFloat() * 2 - 1), rng.nextDouble() * 4 - 2))
+      val single = new graft.als.NormalEquation(k)
+      rows.foreach { case (a, b) => single.add(a, b) }
+      val parts = rng.shuffle(rows).grouped(1 + rng.nextInt(rows.size)).toSeq
+      val partials = parts.map { p =>
+        val ne = new graft.als.NormalEquation(k)
+        p.foreach { case (a, b) => ne.add(a, b) }
+        ne
+      }
+      val merged = rng.shuffle(partials).reduceLeft((x, y) => x.merge(y))
+      def close(x: Array[Double], y: Array[Double]) =
+        x.zip(y).forall { case (p, q) => math.abs(p - q) <= 1e-9 * (1 + math.abs(q)) }
+      assert(close(merged.ata, single.ata) && close(merged.atb, single.atb),
+        s"trial $trial k=$k parts=${parts.map(_.size)}")
+    }
+  }
+
   test("TopCellsExpr eval: equals the naive full-sort reference on random inputs") {
     val rng = new scala.util.Random(777)
     for (trial <- 0 until 200) {
