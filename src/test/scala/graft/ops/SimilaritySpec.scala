@@ -151,10 +151,69 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // short ones — verify the scores are dots, not cosines, on one row
     val sample = Similarity.mipsIvfTopK(df, df, k = 1, nProbe = 6, numCells = 20,
       queryIdCol = "vec_id", corpusIdCol = "vec_id", vecCol = "embedding",
-      dim = dim).orderBy("query_id").head()
+      dim = dim)
+      // both id columns are named vec_id here — rename before sorting (the
+      // materialized result has no lineage for Spark to resolve through)
+      .toDF("query_id", "neighbor_id", "rank", "score")
+      .orderBy("query_id").head()
     val byId = vs.toMap
     val expected = dot(byId(sample.getLong(0)), byId(sample.getLong(1)))
     assert(math.abs(sample.getDouble(3) - expected) < 1e-6)
+  }
+
+  test("mipsIvfTopK with a pre-trained index equals the train-per-call result") {
+    val vs = randomVecs(150, 31)
+    val df = embDF(vs)
+    def rows(d: DataFrame): Seq[(Long, Long, Int)] =
+      d.toDF("query_id", "neighbor_id", "rank", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val perCall = Similarity.mipsIvfTopK(df, df, k = 3, nProbe = 4, numCells = 10,
+      queryIdCol = "vec_id", corpusIdCol = "vec_id", vecCol = "embedding", dim = dim)
+    val idx = Similarity.trainMipsIndex(df, vecCol = "embedding", dim = dim, numCells = 10)
+    val served = Similarity.mipsIvfTopK(df, df, k = 3, nProbe = 4, numCells = 10,
+      queryIdCol = "vec_id", corpusIdCol = "vec_id", vecCol = "embedding", dim = dim,
+      trainedIndex = Some(idx))
+    assert(rows(perCall) == rows(served),
+      "pre-trained-index serving diverged from the train-per-call path")
+  }
+
+  test("trainMipsIndex fails fast with a clear message on an empty corpus") {
+    val empty = embDF(Seq.empty)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainMipsIndex(empty, vecCol = "embedding", dim = dim, numCells = 4)
+    }
+    assert(e.getMessage.contains("corpus has no rows"), s"opaque error: ${e.getMessage}")
+    // and the serving entry point inherits the guard (round-6 ADVICE: was an NPE)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.mipsIvfTopK(embDF(randomVecs(3, 1)), empty,
+        queryIdCol = "vec_id", corpusIdCol = "vec_id", vecCol = "embedding", dim = dim)
+    }
+    assert(e2.getMessage.contains("corpus has no rows"))
+  }
+
+  test("ivfTopK probes only occupied cells (dead cells cannot strand a query)") {
+    // corpus = two tight clusters around ±e0, so a hand-built codebook of
+    // [e0, -e0, e1..e6] has six provably DEAD cells (no corpus vector's
+    // argmax-dot lands on an orthogonal axis). A query pointing along e5
+    // would rank the dead e5 cell first: before the round-6 ADVICE fix its
+    // single probe slot went there and it returned ZERO candidates; with
+    // occupied-cell probing it must return a full k from the live cells.
+    def axis(i: Int, s: Float): Array[Float] =
+      Array.tabulate(dim)(d => if (d == i) s else 0f)
+    val rng = new scala.util.Random(5)
+    val vs: Seq[(Long, Array[Float])] = (0L until 40L).map { i =>
+      val c = if (i % 2 == 0) 1f else -1f
+      (i, Array.tabulate(dim)(d =>
+        (if (d == 0) c else 0f) + (rng.nextFloat() - 0.5f) * 0.01f))
+    }
+    val cb: Array[Array[Float]] =
+      Array(axis(0, 1f), axis(0, -1f)) ++ (1 to 6).map(i => axis(i, 1f))
+    val queries = embDF(Seq((1000L, axis(5, 1f))))
+    val got = Similarity.ivfTopK(queries, embDF(vs), k = 3, nProbe = 1,
+      numCells = 8, dim = dim, trainedCodebook = Some(cb))
+      .collect()
+    assert(got.length == 3,
+      s"query stranded with ${got.length} results — dead cell consumed its probe slot")
   }
 
   test("append-without-retrain serve equals a full index build") {
