@@ -40,8 +40,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {{OUT}} in an oracle is replaced with THIS dump directory (absolute):
+    // compositional oracles (als_predictions/als_mse/als_recommend) replay
+    // their derivation in DuckDB over the factor tables dumped above, the
+    // way dedup_recall replays its two sides — all dumps exist before the
+    // driver runs any oracle, so order within this loop doesn't matter.
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUT}}", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // failed queries write no dump dir — record them so the local checker
     // can flag what a dir-only scan would silently skip

@@ -762,6 +762,20 @@ object Queries {
       Similarity.withCellResiduals(t(s, dir, "embeddings"), trainedCodebook(s, dir)),
       vecCol = "residual"))
 
+  /** Trained MIPS index per data dir (augmented-space codebook + the
+    * augmentation bound) — the same train-once/serve-many split as
+    * [[trainedCodebook]]. The cache also makes the sim_topk_mips oracle
+    * sound: the dumped codebook (sim_mips_codebook) and the serving query
+    * replay the SAME trained floats, rather than two k-means runs whose
+    * double-accumulation order could differ at the last bit.
+    */
+  private val mipsIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.MipsIndex]
+
+  private def trainedMipsIdx(s: SparkSession, dir: String): Similarity.MipsIndex =
+    mipsIndexCache.getOrElseUpdate(dir, Similarity.trainMipsIndex(
+      t(s, dir, "embeddings"), vecCol = "embedding", dim = 64, numCells = 64))
+
   /** Stable identity of a live session. `sessionUUID` is private[sql] in
     * 4.1, so object identity stands in — good enough to keep a restarted
     * session from being handed a model bound to a stale predecessor.
@@ -853,23 +867,89 @@ object Queries {
       .orderBy("id", "pos")
   }
 
-  /** Scoring join-chain + dot product over the training set (O2). */
-  val alsPredictions: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** Factor-table pivot CTEs for the composed scoring oracles: the dumped
+    * `(id, pos, value)` scalar rows pivot back to one row per id with
+    * columns `<p>0..<p>7` (rank=8 — [[model]]'s fixed rank).
+    */
+  private def duckFactorCte(alias: String, dump: String, p: String): String = {
+    val cols = (0 until 8)
+      .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS $p$i").mkString(", ")
+    s"$alias AS (SELECT id, $cols FROM read_parquet('{{OUT}}/$dump/*.parquet') GROUP BY id)"
+  }
+
+  /** The portable dot product of two pivoted factor rows: left-to-right
+    * double accumulation of float products — DuckDB's left-associative `+`
+    * over explicit DOUBLE casts is bit-identical to DotProductExpr's
+    * `sum += (double)a[i] * (double)b[i]` loop (and 0.0 + x == x exactly,
+    * so the seed term changes nothing).
+    */
+  private def duckFactorDot(u: String, i: String): String =
+    (0 until 8).map(p => s"CAST($u$p AS DOUBLE) * CAST($i$p AS DOUBLE)").mkString(" + ")
+
+  /** Scoring join-chain + dot product over the training set (O2) —
+    * hash-checked (round-6 verdict #1): the oracle replays the reference's
+    * own end-to-end query (`ALS.py:622-625`) in DuckDB over the factor
+    * tables dumped by als_user_factors/als_item_factors — same ratings
+    * derivation (the als_ratings oracle), same join, same left-to-right
+    * double dot, same final FLOAT cast, so every value is bit-identical.
+    * The factors themselves stay spec-checked (parity/recovery suites);
+    * this pins the SCORING surface on top of them.
+    */
+  val alsPredictions: QueryDef = QueryDef.withOracle(
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS rating
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |${duckFactorCte("uf", "als_user_factors", "u")},
+       |${duckFactorCte("itf", "als_item_factors", "i")}
+       |SELECT r.user_id, r.item_id, r.rating,
+       |  CAST(${duckFactorDot("u", "i")} AS FLOAT) AS prediction
+       |FROM ratings r JOIN uf ON r.user_id = uf.id JOIN itf ON r.item_id = itf.id
+       |ORDER BY r.user_id, r.item_id""".stripMargin) { (s, dir) =>
     model(s, dir).transform(ratingsDF(s, dir)).orderBy("user_id", "item_id")
   }
 
-  /** Training-set MSE (O3/A5) as a single-row result. */
-  val alsMse: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** Training-set MSE (O3/A5) as a single-row result — hash-checked: the
+    * oracle replays the aggregation over the dumped als_predictions table
+    * (itself hash-checked against the factor replay, so the composition is
+    * pinned end-to-end). Both sides round to 6 decimals: the engine sums
+    * squared errors in partition order, DuckDB in its own — the ~1e-12
+    * relative drift of reordered double addition sits far below the
+    * rounding granularity (the stream_events_daily precedent).
+    */
+  val alsMse: QueryDef = QueryDef.withOracle(
+    """SELECT ROUND(AVG(POW(CAST(prediction AS DOUBLE) - rating, 2)), 6) AS mse
+      |FROM read_parquet('{{OUT}}/als_predictions/*.parquet')""".stripMargin) { (s, dir) =>
     val m = model(s, dir)
     val spark = s
     import spark.implicits._
     Seq(m.mse(ratingsDF(s, dir), "rating")).toDF("mse")
+      .select(round(col("mse"), 6).as("mse"))
   }
 
   /** Top-3 item recommendations per user via the blocked cross-score kernel
-    * (recommendForAllUsers analogue — no per-pair materialization).
+    * (recommendForAllUsers analogue — no per-pair materialization) —
+    * hash-checked: the kernel's contract is exactly "rank ALL user×item
+    * dots by (score DESC, item ASC), keep 3", and its per-pair arithmetic
+    * is the same left-to-right double loop as DotProductExpr, so DuckDB
+    * can replay it as a cross join + window over the dumped factor pivots
+    * (the oracle pays O(users·items) — fine at oracle scale; the engine
+    * kernel exists precisely so production doesn't).
     */
-  val alsRecommend: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val alsRecommend: QueryDef = QueryDef.withOracle(
+    s"""WITH ${duckFactorCte("uf", "als_user_factors", "u")},
+       |${duckFactorCte("itf", "als_item_factors", "i")},
+       |scored AS (
+       |  SELECT uf.id AS user_id, itf.id AS item_id,
+       |    ${duckFactorDot("u", "i")} AS score
+       |  FROM uf CROSS JOIN itf),
+       |ranked AS (
+       |  SELECT user_id, item_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY score DESC, item_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT user_id, item_id, rank, score FROM ranked WHERE rank <= 3
+       |ORDER BY user_id, rank""".stripMargin) { (s, dir) =>
     model(s, dir).recommendForAllUsers(3).orderBy("user_id", "rank")
   }
 
@@ -2323,11 +2403,106 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Codebook pivot CTE for the ANN replay oracles: the dumped
+    * `(cell, pos, value)` rows pivot to one row per cell with FLOAT
+    * columns c0..c{dim-1}.
+    */
+  private def duckCbCte(alias: String, dump: String, dim: Int): String = {
+    val cols = (0 until dim)
+      .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS c$i").mkString(", ")
+    s"$alias AS (SELECT cell, $cols FROM read_parquet('{{OUT}}/$dump/*.parquet') GROUP BY cell)"
+  }
+
+  /** vector·centroid dot: explicit left-associative 64/65-term sum of
+    * DOUBLE-cast FLOAT products — bit-identical to TopCellsExpr's
+    * `s += vv[i] * row[i]` loop (list indexing is 1-based in DuckDB).
+    */
+  private def duckEmbCellDot(emb: String, cb: String, dim: Int): String =
+    (0 until dim).map(p => s"CAST($emb[${p + 1}] AS DOUBLE) * CAST($cb.c$p AS DOUBLE)")
+      .mkString(" + ")
+
+  /** vector·vector dot, same portable arithmetic (DotProductExpr). */
+  private def duckEmbEmbDot(a: String, b: String, dim: Int = 64): String =
+    (0 until dim).map(p => s"CAST($a[${p + 1}] AS DOUBLE) * CAST($b[${p + 1}] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** The per-dir trained IVF codebook as scalar rows — the dump the
+    * sim_topk_ivf oracle replays against. Rows-only (k-means floats);
+    * within a session this is THE cached array every IVF query probes
+    * with, so dump and serving can never diverge.
+    */
+  val simIvfCodebook: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val spark = s
+    import spark.implicits._
+    trainedCodebook(s, dir).zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toSeq.toDF("cell", "pos", "value").orderBy("cell", "pos")
+  }
+
+  /** The per-dir trained MIPS codebook (augmented 65-dim space) as scalar
+    * rows — the dump the sim_topk_mips oracle replays against. The
+    * augmentation bound itself needs no dump: max ‖v‖² is an
+    * order-independent aggregate the oracle recomputes exactly.
+    */
+  val simMipsCodebook: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val spark = s
+    import spark.implicits._
+    trainedMipsIdx(s, dir).cells.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toSeq.toDF("cell", "pos", "value").orderBy("cell", "pos")
+  }
+
   /** IVF-style probe-limited top-5 with a k-means-trained codebook (3
     * Lloyd passes over the corpus; only the k×dim centroid table reaches
-    * the driver).
+    * the driver) — hash-checked (round-6 verdict #3): every stage of the
+    * engine path is deterministic given the dumped codebook, so the oracle
+    * replays it stage by stage in DuckDB — argmax-dot assignment (score
+    * desc, cell asc ties), occupied-cell probing (nProbe=4), candidate
+    * generation by cell equality minus self, exact cosine
+    * (dot/(‖q‖·‖c‖), zero-norm → 0) and (cosine desc, id asc) top-5 —
+    * with all float arithmetic written as the same left-to-right
+    * double-accumulation the codegen expressions execute.
     */
-  val simTopkIvf: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val simTopkIvf: QueryDef = QueryDef.withOracle(
+    s"""WITH ${duckCbCte("cb", "sim_ivf_codebook", 64)},
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |scores AS (
+       |  SELECT e.vec_id, cb.cell, ${duckEmbCellDot("e.embedding", "cb", 64)} AS s
+       |  FROM emb e CROSS JOIN cb),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+       |    FROM scores) z WHERE r = 1),
+       |occ AS (SELECT DISTINCT cell FROM assign),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT sc.vec_id, sc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s DESC, sc.cell ASC) AS r
+       |    FROM scores sc JOIN occ USING (cell)) z WHERE r <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE p.query_id <> a.vec_id),
+       |cos AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CASE WHEN nq.nrm = 0 OR nn.nrm = 0 THEN 0.0
+       |         ELSE (${duckEmbEmbDot("q.embedding", "b.embedding")}) / (nq.nrm * nn.nrm)
+       |    END AS cosine
+       |  FROM cand c
+       |  JOIN emb q ON q.vec_id = c.query_id
+       |  JOIN emb b ON b.vec_id = c.neighbor_id
+       |  JOIN norms nq ON nq.vec_id = c.query_id
+       |  JOIN norms nn ON nn.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM cos)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(e, e, k = 5, trainedCodebook = Some(trainedCodebook(s, dir)))
       .orderBy("query_id", "rank")
@@ -2338,15 +2513,62 @@ object Queries {
     * rank by angle; this one ranks by raw dot through the augmented-norm
     * MIPS→cosine reduction ([[Similarity.mipsIvfTopK]]), the retrieval
     * mode of recommendation/scoring workloads. Self-matches are included
-    * by MIPS-serving semantics (a catalog lookup has no self notion);
-    * rows-only: float scores over a trained codebook. Recall vs a
-    * brute-dot baseline is spec-asserted in SimilaritySpec.
+    * by MIPS-serving semantics (a catalog lookup has no self notion).
+    * Hash-checked (round-6 verdict #3): the oracle replays augmentation
+    * (the bound is an order-independent MAX it recomputes exactly),
+    * assignment over the dumped trained codebook, occupied-cell probing,
+    * and true-dot (score desc, id asc) top-5, all in the same
+    * left-to-right double arithmetic as the codegen expressions. Recall
+    * vs a brute-dot baseline stays spec-asserted in SimilaritySpec.
     */
-  val simTopkMips: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val simTopkMips: QueryDef = QueryDef.withOracle(
+    s"""WITH ${duckCbCte("cb", "sim_mips_codebook", 65)},
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |sd AS (SELECT vec_id, ${duckEmbEmbDot("e.embedding", "e.embedding")} AS selfdot
+       |  FROM emb e),
+       |mx AS (SELECT MAX(selfdot) AS maxsq FROM sd),
+       |aug AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    CAST(SQRT(GREATEST(mx.maxsq - sd.selfdot, 0.0)) AS FLOAT) AS a64
+       |  FROM emb e JOIN sd USING (vec_id) CROSS JOIN mx),
+       |cscore AS (
+       |  SELECT g.vec_id, cb.cell,
+       |    ${duckEmbCellDot("g.embedding", "cb", 64)}
+       |      + CAST(g.a64 AS DOUBLE) * CAST(cb.c64 AS DOUBLE) AS s
+       |  FROM aug g CROSS JOIN cb),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+       |    FROM cscore) z WHERE r = 1),
+       |occ AS (SELECT DISTINCT cell FROM assign),
+       |qscore AS (
+       |  SELECT e.vec_id, cb.cell,
+       |    ${duckEmbCellDot("e.embedding", "cb", 64)}
+       |      + CAST(0.0 AS DOUBLE) * CAST(cb.c64 AS DOUBLE) AS s
+       |  FROM emb e CROSS JOIN cb),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT q.vec_id, q.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY q.s DESC, q.cell ASC) AS r
+       |    FROM qscore q JOIN occ USING (cell)) z WHERE r <= 4),
+       |sc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${duckEmbEmbDot("q.embedding", "b.embedding")} AS score
+       |  FROM probes p JOIN assign a USING (cell)
+       |  JOIN emb q ON q.vec_id = p.query_id
+       |  JOIN emb b ON b.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = t(s, dir, "embeddings")
     Similarity.mipsIvfTopK(e, e, k = 5, nProbe = 4, numCells = 64,
       queryIdCol = "vec_id", corpusIdCol = "vec_id", vecCol = "embedding",
-      dim = 64)
+      dim = 64, trainedIndex = Some(trainedMipsIdx(s, dir)))
       .toDF("query_id", "neighbor_id", "rank", "score")
       .orderBy("query_id", "rank")
   }
@@ -2849,6 +3071,8 @@ object Queries {
     "sketch_aggregates" -> sketchAggregates,
     "sketch_mergeable" -> sketchMergeable,
     "sketch_heavy_hitters" -> sketchHeavyHitters,
+    "sim_ivf_codebook" -> simIvfCodebook,
+    "sim_mips_codebook" -> simMipsCodebook,
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
