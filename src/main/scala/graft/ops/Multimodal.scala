@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `BINARY` columns with a typed metadata struct, and per-asset compute runs
   * as partition-local batch transforms.
   *
-  * The actual codec step (JPEG decode, audio resample, …) needs native
-  * libraries that are not in this container, so the decoders below are
-  * DETERMINISTIC STUBS — they derive fake-but-stable features from the
-  * bytes. Everything around them is the real engine surface: the asset
-  * schema, the batch-shaped `mapPartitions` transform (the Scala analogue of
-  * a `mapInPandas` batch UDF: amortize per-batch init, stream per-partition),
+  * Two tiers live here. The REAL tier decodes genuine media containers with
+  * the JDK's own third-party codecs — BMP images (ImageIO), RIFF/WAVE audio
+  * (javax.sound), animated-GIF video (ImageIO frame iteration) — covering
+  * all three modalities with no native libraries. The STUB tier (clearly
+  * marked per function) stands in for codecs the JDK lacks (JPEG-class
+  * formats, audio resampling) and derives stable fake features from bytes.
+  * Everything around both is the real engine surface: the asset schema, the
+  * batch-shaped `mapPartitions` transform (the Scala analogue of a
+  * `mapInPandas` batch UDF: amortize per-batch init, stream per-partition),
   * and the repartition-by-size guard that keeps giant blobs from skewing
   * partitions at 100 TB.
   */
@@ -156,10 +159,11 @@ object Multimodal {
     * (doc_id % 3 == 0; r constant = id%256, g = x, b = y — three distinct
     * channel patterns so a BGR/RGB or row-order bug shifts the statistics)
     * or an actual WAV (doc_id % 3 == 1; constant-amplitude PCM — an
-    * endianness bug explodes the peak). Video (== 2) has no pure-JVM codec
-    * and stays on the stub path. Payload bytes are built per partition —
-    * the generate step of a real ingest, producing genuinely parseable
-    * media files.
+    * endianness bug explodes the peak). Video (== 2) is covered by
+    * [[realVideoAssets]] (animated GIF) — union the two tables for the
+    * full-modality corpus. Payload bytes are built per partition — the
+    * generate step of a real ingest, producing genuinely parseable media
+    * files.
     */
   def realAssets(documents: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -184,6 +188,129 @@ object Multimodal {
             Some(Row(id, "audio", encodeWavPcm16Mono(sr, Array.fill(n)(amp))))
           case _ => None
         }
+      }
+    }(encoder)
+  }
+
+  /** Encodes an animated GIF (one full frame per index, each filled with a
+    * single constant color) through ImageIO's own GIF writer — a genuine
+    * multi-frame video container the JDK can both write and read. Constant
+    * frames keep the writer's palette exact (no quantization loss), so the
+    * encode→decode round trip is closed-form verifiable.
+    */
+  def encodeGifFrames(
+      width: Int,
+      height: Int,
+      colorOfFrame: Int => (Int, Int, Int),
+      frames: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var k = 0
+    while (k < frames) {
+      val (r, g, b) = colorOfFrame(k)
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      k += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** Deterministic real VIDEO asset table (the modality [[realAssets]]
+    * leaves to [[realVideoAssets]]): per `doc_id % 3 == 2` document an
+    * actual animated GIF whose frame count, dimensions, and per-frame
+    * constant colors are closed-form functions of doc_id — so a DuckDB
+    * oracle can re-derive every decoded frame statistic arithmetically.
+    */
+  def realVideoAssets(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    documents.select("doc_id").where(col("doc_id") % 3 === 2).mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val w = 8 + (id % 5).toInt * 4
+        val h = 8 + (id % 4).toInt * 4
+        val n = 2 + (id % 6).toInt
+        val bytes = encodeGifFrames(w, h,
+          k => ((id % 256).toInt, (7 * k + 13) % 256, (11 * k + 5) % 256), n)
+        Row(id, "video", bytes)
+      }
+    }(encoder)
+  }
+
+  /** Shared pixel-statistics reduction over a decoded raster. */
+  private def imageStats(img: java.awt.image.BufferedImage): (Int, Int, Double, Double, Double) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sumR += (p >> 16) & 0xff
+        sumG += (p >> 8) & 0xff
+        sumB += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    (w, h, sumR / n, sumG / n, sumB / n)
+  }
+
+  /** REAL video decode: ImageIO format-sniffs the payload, iterates every
+    * GIF frame, and reduces each to the same pixel statistics as the image
+    * path — one `(asset_id, frame_idx, width, height, mean_r/g/b)` row per
+    * frame. Corrupt or non-video payloads are REJECTED (no sniffable
+    * reader, zero frames, or a decoder error all throw) — spec'd in
+    * MultimodalSpec; batch mapPartitions shape like every codec here.
+    */
+  def decodeRealVideoFrames(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no image reader recognizes asset $id's payload")
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"asset $id decoded to zero frames")
+        val out = (0 until n).map { k =>
+          val (w, h, r, g, b) = imageStats(reader.read(k))
+          Row(id, k, w, h, r, g, b)
+        }
+        reader.dispose()
+        iis.close()
+        out
       }
     }(encoder)
   }
@@ -219,23 +346,8 @@ object Multimodal {
           case "image" =>
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
             require(img != null, s"ImageIO could not decode asset $id")
-            val w = img.getWidth
-            val h = img.getHeight
-            var sumR = 0L; var sumG = 0L; var sumB = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sumR += (p >> 16) & 0xff
-                sumG += (p >> 8) & 0xff
-                sumB += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            val n = (w.toLong * h).toDouble
-            Row(id, modality, w, h, sumR / n, sumG / n, sumB / n,
+            val (w, h, mr, mg, mb) = imageStats(img)
+            Row(id, modality, w, h, mr, mg, mb,
               null, null, null, null)
           case "audio" =>
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -256,7 +368,8 @@ object Multimodal {
             Row(id, modality, null, null, null, null, null,
               sr, nFrames, peak.toDouble, nFrames * 1000.0 / sr)
           case other =>
-            throw new IllegalArgumentException(s"no real codec for modality $other")
+            throw new IllegalArgumentException(
+              s"decodeReal handles image/audio; video goes through decodeRealVideoFrames (got $other)")
         }
       }
     }(encoder)
@@ -265,10 +378,21 @@ object Multimodal {
   /** Batch feature extraction as a partition-local transform — the Scala
     * analogue of `mapInPandas`: per-partition init (a real codec would open
     * its native context here once), then row-streamed processing. Output:
-    * (asset_id, modality, features ARRAY<FLOAT>).
+    * (asset_id, modality, features ARRAY<FLOAT>), 8 dims.
+    *
+    * REAL features (replaces the round-6 murmur-hash stub): media payloads
+    * are decoded by the genuine JDK codecs and the feature vector carries
+    * decoded content statistics —
+    *   image: [1, width, height, mean_r, mean_g, mean_b, 0, 0]
+    *   audio: [2, sample_rate, n_samples, peak, duration_ms, 0, 0, 0]
+    *   video: [3, n_frames, width, height, frame0 mean_r/g/b]
+    * A corrupt media payload FAILS (the codecs reject it) rather than
+    * silently hashing garbage. Non-media modalities fall back to byte
+    * statistics [0, length, mean_byte, max_byte, min_byte, 0, 0, 0] — an
+    * honest content summary, not a hash. All-scalar derivations keep the
+    * surface oracle-checkable (multimodal_real_features).
     */
-  def extractFeatures(assets: DataFrame, dim: Int = 8): DataFrame = {
-    val spark = assets.sparkSession
+  def extractFeatures(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("modality", StringType, nullable = false),
@@ -280,12 +404,63 @@ object Multimodal {
         val id = r.getLong(0)
         val modality = r.getString(1)
         val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        // STUB: stable bytes→features; a real impl calls the codec
-        val features = Array.tabulate(dim) { i =>
-          val h = scala.util.hashing.MurmurHash3.bytesHash(payload, i)
-          ((h & Int.MaxValue).toDouble / Int.MaxValue).toFloat
+        val f: Array[Float] = modality match {
+          case "image" =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            require(img != null, s"ImageIO could not decode asset $id")
+            val (w, h, mr, mg, mb) = imageStats(img)
+            Array(1f, w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat, 0f, 0f)
+          case "audio" =>
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val fmt = in.getFormat
+            val sr = fmt.getSampleRate.toInt
+            val nFrames = in.getFrameLength
+            val bytes = in.readAllBytes()
+            in.close()
+            var peak = 0
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+              val a = math.abs(s.toInt)
+              if (a > peak) peak = a
+              i += 2
+            }
+            Array(2f, sr.toFloat, nFrames.toFloat, peak.toFloat,
+              (nFrames * 1000.0 / sr).toFloat, 0f, 0f, 0f)
+          case "video" =>
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext, s"no image reader recognizes asset $id's payload")
+            val reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n > 0, s"asset $id decoded to zero frames")
+            val (w, h, mr, mg, mb) = imageStats(reader.read(0))
+            reader.dispose()
+            iis.close()
+            Array(3f, n.toFloat, w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat, 0f)
+          case _ =>
+            // byte-statistics fallback for opaque/unknown payloads
+            if (payload.isEmpty) Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+            else {
+              var sum = 0L
+              var mx = 0
+              var mn = 255
+              var i = 0
+              while (i < payload.length) {
+                val b = payload(i) & 0xff
+                sum += b
+                if (b > mx) mx = b
+                if (b < mn) mn = b
+                i += 1
+              }
+              Array(0f, payload.length.toFloat,
+                (sum.toDouble / payload.length).toFloat, mx.toFloat, mn.toFloat, 0f, 0f, 0f)
+            }
         }
-        Row(id, modality, features)
+        Row(id, modality, f)
       }
     }(encoder)
   }

@@ -2919,6 +2919,90 @@ object Queries {
       .orderBy("asset_id")
   }
 
+  /** Multimodal REAL video decode (round-7, closes the modality matrix):
+    * per `doc_id % 3 == 2` document an actual animated GIF is encoded
+    * through ImageIO's GIF writer ([[Multimodal.realVideoAssets]] — frame
+    * count/dims/colors closed-form in doc_id), then ImageIO's GIF reader
+    * iterates every frame and reduces it to pixel statistics
+    * ([[Multimodal.decodeRealVideoFrames]]). Constant-color frames keep
+    * the writer's palette exact, so the oracle re-derives each frame's
+    * statistics arithmetically: a hash match proves the multi-frame
+    * encode→decode round trip (frame order, palette, raster) bit-for-bit.
+    * Corrupt-payload rejection is spec'd in RealCodecSpec.
+    */
+  val multimodalRealVideo: QueryDef = QueryDef.withOracle(
+    """WITH vids AS (
+      |  SELECT doc_id,
+      |    CAST(8 + (doc_id % 5) * 4 AS INTEGER) AS w,
+      |    CAST(8 + (doc_id % 4) * 4 AS INTEGER) AS h,
+      |    CAST(2 + (doc_id % 6) AS INTEGER) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |frames AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS k FROM vids)
+      |SELECT doc_id AS asset_id, CAST(k AS INTEGER) AS frame_idx,
+      |  w AS width, h AS height,
+      |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+      |  CAST((7 * k + 13) % 256 AS DOUBLE) AS mean_g,
+      |  CAST((11 * k + 5) % 256 AS DOUBLE) AS mean_b
+      |FROM frames
+      |ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
+    Multimodal.decodeRealVideoFrames(
+      Multimodal.realVideoAssets(t(s, dir, "documents")))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  /** REAL feature extraction (replaces the round-6 murmur-hash stub): the
+    * full three-modality real-asset corpus decoded by the JDK codecs, each
+    * asset reduced to an 8-dim vector of decoded-content statistics
+    * ([[Multimodal.extractFeatures]]), dumped as exploded scalar rows. The
+    * oracle re-derives every feature from the closed-form asset content —
+    * including the double→float casts — so the featurizer's output is
+    * hash-pinned, not just shaped.
+    */
+  val multimodalRealFeatures: QueryDef = QueryDef.withOracle(
+    """WITH img AS (
+      |  SELECT doc_id, CAST(8 + (doc_id % 8) * 4 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id % 6) * 4 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |aud AS (
+      |  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sr,
+      |    200 + (doc_id % 100) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |vid AS (
+      |  SELECT doc_id, 2 + (doc_id % 6) AS n, 8 + (doc_id % 5) * 4 AS w,
+      |    8 + (doc_id % 4) * 4 AS h
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |feats AS (
+      |  SELECT doc_id AS asset_id, 'image' AS modality,
+      |    [1.0, CAST(w AS DOUBLE), CAST(h AS DOUBLE),
+      |     CAST(doc_id % 256 AS DOUBLE),
+      |     CAST(h * (w * (w - 1) / 2) AS DOUBLE) / (w * h),
+      |     CAST(w * (h * (h - 1) / 2) AS DOUBLE) / (w * h), 0.0, 0.0] AS fs
+      |  FROM img
+      |  UNION ALL
+      |  SELECT doc_id, 'audio',
+      |    [2.0, CAST(sr AS DOUBLE), CAST(n AS DOUBLE),
+      |     CAST((doc_id % 1000) + 1 AS DOUBLE), n * 1000.0 / sr,
+      |     0.0, 0.0, 0.0]
+      |  FROM aud
+      |  UNION ALL
+      |  SELECT doc_id, 'video',
+      |    [3.0, CAST(n AS DOUBLE), CAST(w AS DOUBLE), CAST(h AS DOUBLE),
+      |     CAST(doc_id % 256 AS DOUBLE), 13.0, 5.0, 0.0]
+      |  FROM vid),
+      |dims AS (SELECT unnest(generate_series(0, 7)) AS pos)
+      |SELECT asset_id, modality, CAST(pos AS INT) AS pos,
+      |  CAST(fs[pos + 1] AS FLOAT) AS value
+      |FROM feats, dims
+      |ORDER BY asset_id, pos""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Multimodal.extractFeatures(
+      Multimodal.realAssets(docs).union(Multimodal.realVideoAssets(docs)))
+      .select(col("asset_id"), col("modality"),
+        posexplode(col("features")).as(Seq("pos", "value")))
+      .orderBy("asset_id", "pos")
+  }
+
   /** Structured-Streaming windowed aggregation run to completion over the
     * fixture files (real streaming machinery; emitted windows only — append
     * mode emits a window once the watermark passes its end, so the trailing
@@ -3085,6 +3169,8 @@ object Queries {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_real_decode" -> multimodalRealDecode,
+    "multimodal_real_video" -> multimodalRealVideo,
+    "multimodal_real_features" -> multimodalRealFeatures,
     "docs_partitioned_scan" -> docsPartitionedScan,
     "docs_dpp_join" -> docsDppJoin,
     "docs_sorted_scan" -> docsSortedScan,

@@ -18,12 +18,37 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(df.select("modality").distinct().count() == 3)
   }
 
-  test("stub feature extraction is deterministic with the right shape") {
-    val f1 = Multimodal.extractFeatures(assets, dim = 8).orderBy("asset_id").collect()
-    val f2 = Multimodal.extractFeatures(assets, dim = 8).orderBy("asset_id").collect()
-    assert(f1.length == 500)
+  test("feature extraction carries real decoded-content statistics") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val real = Multimodal.realAssets(docs).union(Multimodal.realVideoAssets(docs))
+    val f1 = Multimodal.extractFeatures(real).orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(real).orderBy("asset_id").collect()
+    assert(f1.length == 500) // every document, all three modalities
     assert(f1.forall(_.getSeq[Float](2).length == 8))
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq, "must be deterministic")
+    // features are DECODED statistics, not hashes: image width/height and
+    // mean_r land in the vector exactly as the codec reports them
+    f1.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](2)
+      r.getString(1) match {
+        case "image" =>
+          assert(f(0) == 1f && f(1) == (8 + (id % 8) * 4).toFloat
+            && f(2) == (8 + (id % 6) * 4).toFloat && f(3) == (id % 256).toFloat)
+        case "audio" =>
+          assert(f(0) == 2f && f(1) == (8000 + (id % 4) * 4000).toFloat
+            && f(3) == ((id % 1000) + 1).toFloat)
+        case "video" =>
+          assert(f(0) == 3f && f(1) == (2 + (id % 6)).toFloat
+            && f(2) == (8 + (id % 5) * 4).toFloat && f(4) == (id % 256).toFloat)
+      }
+    }
+    // opaque payloads (no codec) fall back to byte statistics, not hashes
+    val spark2 = spark
+    import spark2.implicits._
+    val opaque = Seq((9L, "text", Array[Byte](0, 10, 20))).toDF("asset_id", "modality", "payload")
+    val of = Multimodal.extractFeatures(opaque).head().getSeq[Float](2)
+    assert(of(0) == 0f && of(1) == 3f && of(2) == 10f && of(3) == 20f && of(4) == 0f)
   }
 
   test("frame sampling explodes only videos at the configured stride") {

@@ -79,4 +79,59 @@ class RealCodecSpec extends AnyFunSuite with SparkFixture {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     assert(img == null, "ImageIO must reject a non-BMP payload")
   }
+
+  test("encoded animated GIF round-trips every frame's exact pixels") {
+    // constant-color frames (each frame one palette entry) must survive the
+    // writer's palettization bit-exactly; 3 frames with distinct colors so
+    // a frame-indexing bug swaps statistics
+    val colors = Array((10, 20, 30), (200, 0, 255), (7, 7, 7))
+    val bytes = Multimodal.encodeGifFrames(6, 4, colors(_), colors.length)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getFormatName.toLowerCase.contains("gif"))
+    assert(reader.getNumImages(true) == colors.length)
+    for (k <- colors.indices) {
+      val img = reader.read(k)
+      assert(img.getWidth == 6 && img.getHeight == 4)
+      for (y <- 0 until 4; x <- 0 until 6) {
+        val p = img.getRGB(x, y)
+        val got = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        assert(got == colors(k), s"frame $k pixel ($x,$y)")
+      }
+    }
+    reader.dispose()
+  }
+
+  test("decodeRealVideoFrames yields the closed-form per-frame statistics") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Multimodal.decodeRealVideoFrames(Multimodal.realVideoAssets(docs))
+      .orderBy("asset_id", "frame_idx").collect()
+    assert(out.nonEmpty)
+    val byAsset = out.groupBy(_.getLong(0))
+    byAsset.foreach { case (id, frames) =>
+      assert(frames.length == 2 + (id % 6).toInt, s"asset $id frame count")
+      frames.foreach { r =>
+        val k = r.getInt(1)
+        assert(r.getInt(2) == 8 + (id % 5).toInt * 4)
+        assert(r.getInt(3) == 8 + (id % 4).toInt * 4)
+        assert(r.getDouble(4) == (id % 256).toDouble, s"asset $id frame $k mean_r")
+        assert(r.getDouble(5) == ((7 * k + 13) % 256).toDouble)
+        assert(r.getDouble(6) == ((11 * k + 5) % 256).toDouble)
+      }
+    }
+  }
+
+  test("a corrupted GIF payload is rejected by the video decoder") {
+    val spark2 = spark
+    import spark2.implicits._
+    val good = Multimodal.encodeGifFrames(4, 4, _ => (1, 2, 3), 2)
+    val bad = good.clone(); bad(0) = 'X'.toByte // break the GIF magic
+    val assets = Seq((1L, "video", bad)).toDF("asset_id", "modality", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeRealVideoFrames(assets).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
