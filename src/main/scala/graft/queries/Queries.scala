@@ -1363,6 +1363,105 @@ object Queries {
       .toDF("graft_rmse", "mllib_rmse", "within_floor")
   }
 
+  /** Mean Percentile Rank (Hu-Koren-Volinsky's own evaluation metric,
+    * "Collaborative Filtering for Implicit Feedback Datasets" §6): every
+    * observed interaction's item is located in its user's full predicted
+    * ranking, percentile-scaled to [0,1] (0 = ranked first), and averaged
+    * weighted by interaction strength — lower is better, 0.5 ≈ random.
+    * The item side is broadcast (the implicit catalog here is the tiny
+    * event-type space; at scale the exact-ranking metric is what you'd
+    * sample, as sim_recall does).
+    */
+  private def meanPercentileRank(
+      userFactors: DataFrame,
+      itemFactors: DataFrame,
+      interactions: DataFrame): Double = {
+    val nItems = itemFactors.count()
+    val scored = userFactors
+      .select(col("id").cast("long").as("u"), col("features").as("ufeat"))
+      .crossJoin(broadcast(
+        itemFactors.select(col("id").cast("long").as("i"), col("features").as("ifeat"))))
+      .withColumn("score", VectorFunctions.dot(col("ufeat"), col("ifeat")))
+    val w = Window.partitionBy("u").orderBy(desc("score"), asc("i"))
+    val pct = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("pct",
+        if (nItems <= 1) lit(0.0)
+        else (col("rk") - 1).cast("double") / (nItems - 1).toDouble)
+      .select("u", "i", "pct")
+    interactions
+      .select(col("user_id").cast("long").as("u"),
+        col("item_id").cast("long").as("i"), col("rating").cast("double").as("r"))
+      .where(col("r") > 0)
+      .join(pct, Seq("u", "i"))
+      .agg((sum(col("r") * col("pct")) / sum(col("r"))).as("mpr"))
+      .head().getDouble(0)
+  }
+
+  /** MLlib's implicit-ALS MPR on the dir's interactions, memoized per
+    * (session, dir) — the competitor trains once untimed (Bench pre-warms
+    * this like [[prewarmMllibRmse]]) and only the scalar survives.
+    */
+  private val mllibImplicitMprCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Double]
+
+  private[graft] def prewarmMllibImplicitMpr(s: SparkSession, dir: String): Double =
+    mllibImplicitMprCache.getOrElseUpdate((sessionKey(s), dir), {
+      val inter = graft.sources.RatingsSource.implicitFromEvents(s, dir)
+        .withColumn("user_int", col("user_id").cast("int"))
+        .withColumn("item_int", col("item_id").cast("int"))
+      inter.cache().count()
+      try {
+        val mllib = new org.apache.spark.ml.recommendation.ALS()
+          .setRank(8).setMaxIter(5).setRegParam(0.1).setAlpha(10.0)
+          .setImplicitPrefs(true)
+          .setNumUserBlocks(4).setNumItemBlocks(4)
+          .setUserCol("user_int").setItemCol("item_int").setRatingCol("rating")
+          .setSeed(42L)
+          .fit(inter)
+        val mpr = meanPercentileRank(mllib.userFactors, mllib.itemFactors,
+          inter.select(col("user_id"), col("item_id"), col("rating")))
+        mllib.userFactors.unpersist()
+        mllib.itemFactors.unpersist()
+        mpr
+      } finally inter.unpersist()
+    })
+
+  /** Implicit-path MLlib parity floor (round-6 verdict #8): the
+    * Hu-Koren-Volinsky branch gets the same driver-visible quality row the
+    * explicit path has — graft's implicit MPR vs MLlib implicitPrefs on
+    * identical data/hyperparameters/seed, `within_floor` as the assertion
+    * bit (graft ≤ 1.05×MLlib + 0.02 absolute: ranking metrics on the tiny
+    * event-type catalog are quantized to coarse percentile steps, so a
+    * one-position flip moves MPR by ~1/(nItems-1) — the absolute term
+    * absorbs exactly one such flip, and MPR ≈ 0.5 would still fail).
+    * Rows-only: two trained models' floats.
+    */
+  val alsImplicitVsMllib: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val inter = graft.sources.RatingsSource.implicitFromEvents(s, dir)
+    val m = implicitModel(s, dir)
+    val graftMpr = meanPercentileRank(m.userFactors, m.itemFactors, inter)
+    val mllibMpr = prewarmMllibImplicitMpr(s, dir)
+    // context columns: the best MPR ANY model could reach on this data
+    // (rank each user's items by their true counts) and the 0.5 random
+    // level — the fixture's events are near-uniform (density 1.0 over the
+    // event-type catalog), so both engines necessarily land near 0.5;
+    // the row asserts PARITY, the bracketing columns show why the
+    // absolute values sit where they do
+    val nItems = inter.select("item_id").distinct().count()
+    val wIdeal = Window.partitionBy("user_id").orderBy(desc("rating"), asc("item_id"))
+    val idealMpr = inter
+      .withColumn("pct",
+        if (nItems <= 1) lit(0.0)
+        else (row_number().over(wIdeal) - 1).cast("double") / (nItems - 1).toDouble)
+      .agg((sum(col("rating") * col("pct")) / sum(col("rating"))).as("m"))
+      .head().getDouble(0)
+    val spark = s
+    import spark.implicits._
+    Seq((graftMpr, mllibMpr, idealMpr, 0.5, graftMpr <= mllibMpr * 1.05 + 0.02))
+      .toDF("graft_mpr", "mllib_mpr", "ideal_mpr", "random_mpr", "within_floor")
+  }
+
   val alsImplicitRatings: QueryDef = QueryDef.withOracle(
     """WITH items AS (
       |  SELECT event_type, CAST(DENSE_RANK() OVER (ORDER BY event_type) AS BIGINT) AS item_id
@@ -3099,6 +3198,7 @@ object Queries {
     "als_ratings" -> alsRatings,
     "als_csv_ratings" -> alsCsvRatings,
     "als_rmse_vs_mllib" -> alsRmseVsMllib,
+    "als_implicit_vs_mllib" -> alsImplicitVsMllib,
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,
     "als_predictions" -> alsPredictions,
