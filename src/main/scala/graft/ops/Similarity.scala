@@ -133,13 +133,26 @@ object Similarity {
       numPlanes: Int = -1,
       numTables: Int = 12,
       seed: Long = 42L,
-      queryIdPredicate: Option[Column => Column] = None): DataFrame = {
+      queryIdPredicate: Option[Column => Column] = None,
+      maxBucket: Int = -1): DataFrame = {
     val planes =
       if (numPlanes > 0) numPlanes
       else {
         val n = vectors.count().toDouble
         math.max(4, math.ceil(math.log(math.max(n / 64.0, 2.0)) / math.log(2.0)).toInt)
       }
+    // Bucket-occupancy cap (round 7, the dedup tier's df-cap applied to
+    // LSH): on a strongly CLUSTERED corpus the sign signature is dominated
+    // by the cluster-center direction, so buckets converge to the clusters
+    // and candidate volume grows ~n²/clusters no matter how many planes —
+    // measured 21.8x wall per 10x data on a 16-cluster corpus. Capping the
+    // NEIGHBOR side of each bucket to a deterministic hash-ordered sample
+    // bounds per-query candidates at tables·cap while queries keep probing
+    // every bucket they land in; within a dense cluster any cap-sized
+    // subset still carries near-duplicate neighbors, so top-k quality
+    // degrades gracefully (sim_recall measures exactly this). Auto cap =
+    // 4x the occupancy the plane auto-sizing targets.
+    val bucketCap = if (maxBucket > 0) maxBucket else 256
     val base = Parallelism.widen(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("n"))
     val sigs = withHyperplaneSignatures(base, "v", dim, planes, numTables, seed)
@@ -149,9 +162,20 @@ object Similarity {
     val banded = sigs.select(col("id"), explode(col("sigs")).as("ts"))
       .select(col("id"), col("ts.table").as("t"), col("ts.sig").as("sig"))
       .persist()
+    // materialize the signature pass NOW at full scan parallelism: the
+    // first consumer is otherwise a broadcast-exchange build, whose
+    // collect pipeline runs the (interpreted-HOF) signature lineage with
+    // the exchange's own few tasks — measured 20s vs 1s for the same work
+    banded.count()
     val queryBands = queryIdPredicate.fold(banded)(p => banded.where(p(col("id"))))
+    val bucketW = Window.partitionBy("t", "sig")
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+    val cappedBands = banded
+      .withColumn("__r", row_number().over(bucketW))
+      .where(col("__r") <= bucketCap)
+      .drop("__r")
     val candidatePairs = queryBands.as("x")
-      .join(banded.as("y"),
+      .join(cappedBands.as("y"),
         col("x.t") === col("y.t") &&
           col("x.sig") === col("y.sig") &&
           col("x.id") =!= col("y.id"))
