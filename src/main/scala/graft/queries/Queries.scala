@@ -2686,15 +2686,60 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Shared DuckDB replay of a [[Similarity.servePrunedTopK]] point lookup
+    * for the min-vec_id query: probe the 4 max-dot cells of the FULL
+    * dumped codebook (probeCells ranks all cells, not just occupied —
+    * the serve path's contract), re-derive the probed cells' members via
+    * the assignment replay, and re-rank exactly by cosine. Used verbatim
+    * by sim_ivf_serve and sim_ivf_append: an append-then-serve index holds
+    * the same member set as a full build, so the served values must be
+    * identical (the equivalence SimilaritySpec asserts, here value-pinned).
+    */
+  private def duckServeOracle: String =
+    s"""WITH ${duckCbCte("cb", "sim_ivf_codebook", 64)},
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM emb ORDER BY vec_id LIMIT 1),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |scores AS (
+       |  SELECT e.vec_id, cb.cell, ${duckEmbCellDot("e.embedding", "cb", 64)} AS s
+       |  FROM emb e CROSS JOIN cb),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+       |    FROM scores) z WHERE r = 1),
+       |probes AS (
+       |  SELECT cell FROM (
+       |    SELECT cb.cell,
+       |      ROW_NUMBER() OVER (ORDER BY ${duckEmbCellDot("q.qv", "cb", 64)} DESC, cb.cell ASC) AS r
+       |    FROM q CROSS JOIN cb) z WHERE r <= 4),
+       |cos AS (
+       |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+       |    CASE WHEN nq.nrm = 0 OR nn.nrm = 0 THEN 0.0
+       |         ELSE (${duckEmbEmbDot("q.qv", "b.embedding")}) / (nq.nrm * nn.nrm)
+       |    END AS cosine
+       |  FROM assign a JOIN probes USING (cell)
+       |  CROSS JOIN q
+       |  JOIN emb b ON b.vec_id = a.vec_id
+       |  JOIN norms nq ON nq.vec_id = q.qid
+       |  JOIN norms nn ON nn.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+       |  cosine
+       |FROM cos ORDER BY cosine DESC, neighbor_id ASC LIMIT 10""".stripMargin
+
   /** IVF index SERVING path: embeddings written once partitioned by their
     * trained-codebook cell (`writeCellIndex`), then a point lookup for one
     * query vector scans ONLY its 4 probe-cell directories — the physical
     * plan carries `PartitionFilters: [cell IN (...)]` and touches
-    * nProbe/numCells of the corpus no matter how big it grows. Rows-only
-    * (float cell assignment is engine-specific); SimilaritySpec asserts
-    * the served result matches the in-memory IVF search.
+    * nProbe/numCells of the corpus no matter how big it grows.
+    * Hash-checked (round 7): the oracle replays probe selection over the
+    * dumped codebook, cell membership, and the exact cosine re-rank;
+    * SimilaritySpec additionally asserts served == in-memory IVF.
     */
-  val simIvfServe: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val simIvfServe: QueryDef = QueryDef.withOracle(duckServeOracle) { (s, dir) =>
     val cb = trainedCodebook(s, dir)
     val path = s"/tmp/graft_ivf_index_${dirKey(dir)}"
     if (!csvWritten.contains(path)) {
@@ -2717,10 +2762,13 @@ object Queries {
     * the same codebook ([[Similarity.appendToCellIndex]] — assignment-only,
     * no retrain), then a pruned serve runs over the combined index. The
     * equivalence append-then-serve == full-build-serve is spec-asserted in
-    * SimilaritySpec; rows-only here (float cosines). This is the ANN twin
-    * of stream_index_maintenance's merge-on-write exact index.
+    * SimilaritySpec and now value-pinned: the oracle is the SAME replay as
+    * sim_ivf_serve (the combined index holds the identical member set), so
+    * a hash match proves the appended index serves bit-identical results.
+    * This is the ANN twin of stream_index_maintenance's merge-on-write
+    * exact index.
     */
-  val simIvfAppend: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val simIvfAppend: QueryDef = QueryDef.withOracle(duckServeOracle) { (s, dir) =>
     val cb = trainedCodebook(s, dir)
     val path = s"/tmp/graft_ivf_append_${dirKey(dir)}"
     val e = t(s, dir, "embeddings")
