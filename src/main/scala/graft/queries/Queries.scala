@@ -2551,6 +2551,20 @@ object Queries {
     }.toSeq.toDF("cell", "pos", "value").orderBy("cell", "pos")
   }
 
+  /** The per-dir trained PQ codebooks (residual space) as scalar rows —
+    * the dump the sim_topk_ivfpq oracle replays against. Same cache as the
+    * serving query, so dump and search share floats.
+    */
+  val simPqCodebook: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val spark = s
+    import spark.implicits._
+    trainedPq(s, dir).zipWithIndex.flatMap { case (codes, m) =>
+      codes.zipWithIndex.flatMap { case (c, code) =>
+        c.zipWithIndex.map { case (v, p) => (m, code, p, v) }
+      }
+    }.toSeq.toDF("m", "code", "pos", "value").orderBy("m", "code", "pos")
+  }
+
   /** IVF-style probe-limited top-5 with a k-means-trained codebook (3
     * Lloyd passes over the corpus; only the k×dim centroid table reaches
     * the driver) — hash-checked (round-6 verdict #3): every stage of the
@@ -2672,13 +2686,113 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-PQ ANN (rows-only: float scores) — the composed compressed-index
-    * tier: IVF cells prune the probe set, residual PQ codes (M bytes per
-    * vector) carry the ADC scan, raw vectors only re-attach for the exact
-    * re-rank of the top-`rerank` candidates. The recall of this tier vs
-    * brute force is measured by sim_recall's `ivfpq_recall` column.
+  /** IVF-PQ ANN — the composed compressed-index tier: IVF cells prune the
+    * probe set, residual PQ codes (M bytes per vector) carry the ADC scan,
+    * raw vectors only re-attach for the exact re-rank of the top-`rerank`
+    * candidates. The recall of this tier vs brute force is measured by
+    * sim_recall's `ivfpq_recall` column.
+    *
+    * Hash-checked (round 7, completing the deterministic ANN matrix): the
+    * oracle replays the ENTIRE composed index from the two codebook dumps
+    * — FLOAT residuals against the assigned centroid, per-subspace
+    * argmax-(dot − ‖c‖²/2) codes with lowest-code ties, the per-pair ADC
+    * decomposition qdotcell + Σₘ q_subₘ·c_{m,codeₘ} in the engine's exact
+    * left-to-right double order, the (adc desc, id asc) rerank-50 cut,
+    * and the exact-cosine top-5 — so a hash match pins residual encoding,
+    * code assignment, ADC arithmetic, and both rank cuts bit-for-bit.
     */
-  val simTopkIvfPq: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val simTopkIvfPq: QueryDef = QueryDef.withOracle {
+    val subDim = 8
+    val numSub = 8
+    // residual columns r0..r63 (FLOAT subtraction, as zip_with produces)
+    val resCols = (0 until 64)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS FLOAT) - CAST(cb.c$i AS FLOAT) AS r$i")
+      .mkString(", ")
+    // per-(m, code) score over the residual slice: dot − ‖c‖²/2
+    val caseBranches = (0 until numSub).map { m =>
+      val dot = (0 until subDim)
+        .map(j => s"CAST(res.r${m * subDim + j} AS DOUBLE) * CAST(pq.p$j AS DOUBLE)")
+        .mkString(" + ")
+      s"WHEN $m THEN $dot"
+    }.mkString(" ")
+    val pqPivot = (0 until subDim)
+      .map(j => s"MAX(CASE WHEN pos = $j THEN value END) AS p$j").mkString(", ")
+    val half = (0 until subDim)
+      .map(j => s"CAST(p$j AS DOUBLE) * CAST(p$j AS DOUBLE)").mkString(" + ")
+    val codePivot = (0 until numSub)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS k$m").mkString(", ")
+    val lutJoins = (0 until numSub)
+      .map(m => s"JOIN pqp pm$m ON pm$m.m = $m AND pm$m.code = cw.k$m").mkString("\n  ")
+    val lutSum = (0 until numSub).map { m =>
+      "(" + (0 until subDim)
+        .map(j => s"CAST(q.embedding[${m * subDim + j + 1}] AS DOUBLE) * CAST(pm$m.p$j AS DOUBLE)")
+        .mkString(" + ") + ")"
+    }.mkString(" + ")
+    s"""WITH ${duckCbCte("cb", "sim_ivf_codebook", 64)},
+       |pqp AS (SELECT m, code, $pqPivot
+       |  FROM read_parquet('{{OUT}}/sim_pq_codebook/*.parquet') GROUP BY m, code),
+       |pqh AS (SELECT m, code, ($half) / 2.0 AS half FROM pqp),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |scores AS (
+       |  SELECT e.vec_id, cb.cell, ${duckEmbCellDot("e.embedding", "cb", 64)} AS s
+       |  FROM emb e CROSS JOIN cb),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+       |    FROM scores) z WHERE r = 1),
+       |res AS (
+       |  SELECT e.vec_id, a.cell, $resCols
+       |  FROM emb e JOIN assign a USING (vec_id) JOIN cb ON cb.cell = a.cell),
+       |cscore AS (
+       |  SELECT res.vec_id, pq.m, pq.code,
+       |    (CASE pq.m $caseBranches END) - h.half AS score
+       |  FROM res CROSS JOIN pqp pq JOIN pqh h ON h.m = pq.m AND h.code = pq.code),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code ASC) AS r
+       |    FROM cscore) z WHERE r = 1),
+       |cw AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell, s AS qdotcell FROM (
+       |    SELECT sc.vec_id, sc.cell, sc.s,
+       |      ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s DESC, sc.cell ASC) AS r
+       |    FROM scores sc) z WHERE r <= 4),
+       |adc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    p.qdotcell + ($lutSum) AS adc
+       |  FROM probes p
+       |  JOIN assign a USING (cell)
+       |  JOIN cw ON cw.vec_id = a.vec_id
+       |  JOIN emb q ON q.vec_id = p.query_id
+       |  $lutJoins
+       |  WHERE p.query_id <> a.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS r
+       |    FROM adc) z WHERE r <= 50),
+       |cos AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CASE WHEN nq.nrm = 0 OR nn.nrm = 0 THEN 0.0
+       |         ELSE (${duckEmbEmbDot("q.embedding", "b.embedding")}) / (nq.nrm * nn.nrm)
+       |    END AS cosine
+       |  FROM cand c
+       |  JOIN emb q ON q.vec_id = c.query_id
+       |  JOIN emb b ON b.vec_id = c.neighbor_id
+       |  JOIN norms nq ON nq.vec_id = c.query_id
+       |  JOIN norms nn ON nn.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM cos)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  } { (s, dir) =>
     val e = t(s, dir, "embeddings")
     Similarity.ivfPqTopK(e, e, k = 5,
       trainedCells = Some(trainedCodebook(s, dir)),
@@ -3305,6 +3419,7 @@ object Queries {
     "sketch_heavy_hitters" -> sketchHeavyHitters,
     "sim_ivf_codebook" -> simIvfCodebook,
     "sim_mips_codebook" -> simMipsCodebook,
+    "sim_pq_codebook" -> simPqCodebook,
     "sim_topk_brute" -> simTopkBrute,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
