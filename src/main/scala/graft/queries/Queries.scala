@@ -958,19 +958,126 @@ object Queries {
     model(s, dir).itemNeighbors(3).orderBy("item_id", "rank")
   }
 
-  /** Related-items via the IVF ANN route — the serving path that stays
-    * sub-quadratic at catalog scale (rows-only: trained-factor floats;
-    * recall vs the exact kernel is spec-asserted in GraftALSServingSpec).
+  /** Serving-codebook pivot from the als_index_build dump (space-filtered;
+    * `dim` = 8 for the cosine space, 9 for the MIPS augmented space).
     */
-  val alsItemNeighborsApprox: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  private def duckServingCbCte(alias: String, space: String, dim: Int): String = {
+    val cols = (0 until dim)
+      .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS c$i").mkString(", ")
+    s"""$alias AS (SELECT cell, $cols
+       |  FROM read_parquet('{{OUT}}/als_index_build/*.parquet')
+       |  WHERE space = '$space' GROUP BY cell)""".stripMargin
+  }
+
+  /** factor·centroid dot over a pivoted factor row and serving-codebook
+    * row, same left-to-right double contract as [[duckFactorDot]].
+    */
+  private def duckFactorCellDot(p: String, cb: String): String =
+    (0 until 8).map(i => s"CAST($p$i AS DOUBLE) * CAST($cb.c$i AS DOUBLE)").mkString(" + ")
+
+  /** Related-items via the IVF ANN route — the serving path that stays
+    * sub-quadratic at catalog scale. Hash-checked (round 7): given the
+    * dumped item factors and the dumped serving codebook (als_index_build,
+    * cosine space), every kernel stage is deterministic — assignment,
+    * occupied-cell probing with the auto-sized probe count
+    * (GREATEST(4, cells/16), the ivfSizing rule), exact cosine, (cosine
+    * desc, id asc) top-3 — so the oracle replays the trained-model serving
+    * path end-to-end. Recall vs the exact kernel stays spec-asserted in
+    * GraftALSServingSpec.
+    */
+  val alsItemNeighborsApprox: QueryDef = QueryDef.withOracle(
+    s"""WITH ${duckFactorCte("itf", "als_item_factors", "f")},
+       |${duckServingCbCte("cb", "cosine", 8)},
+       |nc AS (SELECT COUNT(*) AS n FROM cb),
+       |norms AS (SELECT id, SQRT(${(0 until 8).map(i => s"CAST(f$i AS DOUBLE) * CAST(f$i AS DOUBLE)").mkString(" + ")}) AS nrm FROM itf),
+       |scores AS (
+       |  SELECT itf.id, cb.cell, ${duckFactorCellDot("f", "cb")} AS s
+       |  FROM itf CROSS JOIN cb),
+       |assign AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS r
+       |    FROM scores) z WHERE r = 1),
+       |occ AS (SELECT DISTINCT cell FROM assign),
+       |probes AS (
+       |  SELECT id AS query_id, cell FROM (
+       |    SELECT sc.id, sc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY sc.id ORDER BY sc.s DESC, sc.cell ASC) AS r
+       |    FROM scores sc JOIN occ USING (cell)) z
+       |  WHERE r <= (SELECT GREATEST(4, n // 16) FROM nc)),
+       |cos AS (
+       |  SELECT p.query_id, a.id AS neighbor_id,
+       |    CASE WHEN nq.nrm = 0 OR nn.nrm = 0 THEN 0.0
+       |         ELSE (${(0 until 8).map(i => s"CAST(q.f$i AS DOUBLE) * CAST(b.f$i AS DOUBLE)").mkString(" + ")}) / (nq.nrm * nn.nrm)
+       |    END AS cosine
+       |  FROM probes p JOIN assign a USING (cell)
+       |  JOIN itf q ON q.id = p.query_id
+       |  JOIN itf b ON b.id = a.id
+       |  JOIN norms nq ON nq.id = p.query_id
+       |  JOIN norms nn ON nn.id = a.id
+       |  WHERE a.id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id AS item_id, neighbor_id AS neighbor_item_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM cos)
+       |SELECT item_id, neighbor_item_id, rank, cosine FROM ranked WHERE rank <= 3
+       |ORDER BY item_id, rank""".stripMargin) { (s, dir) =>
     model(s, dir).itemNeighborsApprox(3).orderBy("item_id", "rank")
   }
 
   /** Recommendations via MIPS-routed IVF — the sub-quadratic twin of
-    * als_recommend (rows-only: trained-factor floats; recall vs the exact
-    * kernel is spec-asserted in GraftALSServingSpec).
+    * als_recommend. Hash-checked (round 7): the oracle replays the MIPS
+    * serving path from the factor dumps and the dumped augmented-space
+    * codebook — the augmentation bound is the order-independent MAX it
+    * recomputes, item assignment runs over augmented vectors, users probe
+    * occupied cells with zero-padded vectors, and candidates rank by the
+    * TRUE raw dot (score desc, item asc, top-3, self-matches kept by MIPS
+    * semantics). Recall vs the exact kernel stays spec-asserted.
     */
-  val alsRecommendApprox: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  val alsRecommendApprox: QueryDef = QueryDef.withOracle(
+    s"""WITH ${duckFactorCte("uf", "als_user_factors", "u")},
+       |${duckFactorCte("itf", "als_item_factors", "f")},
+       |${duckServingCbCte("cb", "mips", 9)},
+       |nc AS (SELECT COUNT(*) AS n FROM cb),
+       |sd AS (SELECT id, ${(0 until 8).map(i => s"CAST(f$i AS DOUBLE) * CAST(f$i AS DOUBLE)").mkString(" + ")} AS selfdot FROM itf),
+       |mx AS (SELECT MAX(selfdot) AS maxsq FROM sd),
+       |aug AS (
+       |  SELECT itf.id, CAST(SQRT(GREATEST(mx.maxsq - sd.selfdot, 0.0)) AS FLOAT) AS a8
+       |  FROM itf JOIN sd USING (id) CROSS JOIN mx),
+       |cscore AS (
+       |  SELECT itf.id, cb.cell,
+       |    ${duckFactorCellDot("f", "cb")} + CAST(g.a8 AS DOUBLE) * CAST(cb.c8 AS DOUBLE) AS s
+       |  FROM itf JOIN aug g USING (id) CROSS JOIN cb),
+       |assign AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS r
+       |    FROM cscore) z WHERE r = 1),
+       |occ AS (SELECT DISTINCT cell FROM assign),
+       |qscore AS (
+       |  SELECT uf.id, cb.cell,
+       |    ${duckFactorCellDot("u", "cb")} + CAST(0.0 AS DOUBLE) * CAST(cb.c8 AS DOUBLE) AS s
+       |  FROM uf CROSS JOIN cb),
+       |probes AS (
+       |  SELECT id AS query_id, cell FROM (
+       |    SELECT q.id, q.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY q.s DESC, q.cell ASC) AS r
+       |    FROM qscore q JOIN occ USING (cell)) z
+       |  WHERE r <= (SELECT GREATEST(4, n // 16) FROM nc)),
+       |sc AS (
+       |  SELECT p.query_id, a.id AS item_id,
+       |    ${(0 until 8).map(i => s"CAST(q.u$i AS DOUBLE) * CAST(b.f$i AS DOUBLE)").mkString(" + ")} AS score
+       |  FROM probes p JOIN assign a USING (cell)
+       |  JOIN uf q ON q.id = p.query_id
+       |  JOIN itf b ON b.id = a.id),
+       |ranked AS (
+       |  SELECT query_id AS user_id, item_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, item_id ASC) AS INT) AS rank
+       |  FROM sc)
+       |SELECT user_id, item_id, rank, score FROM ranked WHERE rank <= 3
+       |ORDER BY user_id, rank""".stripMargin) { (s, dir) =>
     model(s, dir).recommendForAllUsersApprox(3).orderBy("user_id", "rank")
   }
 
