@@ -32,6 +32,14 @@ object Similarity {
     }
   }
 
+  /** The full LSH plane set as `tables × planes × dim` — the exact arrays
+    * [[withHyperplaneSignatures]] signs against (table t uses seed + t).
+    * Public so the driver gate can DUMP the planes and replay signature
+    * computation externally (dedup_embedding's oracle).
+    */
+  def lshPlanes(dim: Int, planesPerTable: Int, numTables: Int, seed: Long): Array[Array[Array[Float]]] =
+    Array.tabulate(numTables)(t => hyperplanes(dim, planesPerTable, seed + t))
+
   /** Adds `sigs: ARRAY<STRUCT<table INT, sig BIGINT>>` — per LSH table, the
     * packed sign-bit signature of the vector against that table's planes.
     *

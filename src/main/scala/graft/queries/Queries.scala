@@ -1707,8 +1707,68 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Embedding-cosine near-dup pairs through hyperplane LSH buckets. */
-  val dedupEmbedding: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** The hyperplane set dedup_embedding signs against (4 tables × 12
+    * planes × 64 dims), dumped as scalar rows so the oracle can replay
+    * signature computation. Rows-only (seeded pseudo-random floats —
+    * java.util.Random is not replayable in SQL, which is exactly why the
+    * planes must travel by dump).
+    */
+  val dedupEmbeddingPlanes: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val spark = s
+    import spark.implicits._
+    Similarity.lshPlanes(dim = 64, planesPerTable = 12, numTables = 4, seed = 42L)
+      .zipWithIndex.flatMap { case (planes, tbl) =>
+        planes.zipWithIndex.flatMap { case (pl, p) =>
+          pl.zipWithIndex.map { case (v, pos) => (tbl, p, pos, v) }
+        }
+      }.toSeq.toDF("t", "plane", "pos", "value").orderBy("t", "plane", "pos")
+  }
+
+  /** Embedding-cosine near-dup pairs through hyperplane LSH buckets —
+    * hash-checked (round 7): given the dumped plane set, the whole
+    * pipeline is deterministic and the oracle replays it — per-table
+    * packed sign signatures (bit p set iff the left-to-right double dot
+    * against plane p is ≥ 0, identical arithmetic), intra-bucket pairs
+    * with id_a < id_b, distinct, exact cosine ≥ threshold. A hash match
+    * pins bucketing AND verification bit-for-bit.
+    */
+  val dedupEmbedding: QueryDef = QueryDef.withOracle {
+    val planePivot = (0 until 64)
+      .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS q$i").mkString(", ")
+    val planeDot = (0 until 64)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(pl.q$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH plp AS (
+       |  SELECT t, plane, $planePivot
+       |  FROM read_parquet('{{OUT}}/dedup_embedding_planes/*.parquet')
+       |  GROUP BY t, plane),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.t,
+       |    SUM(CASE WHEN ($planeDot) >= 0.0
+       |        THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END) AS sig
+       |  FROM emb e CROSS JOIN plp pl
+       |  GROUP BY e.vec_id, pl.t),
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM sigs x JOIN sigs y
+       |    ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id)
+       |SELECT p.id_a, p.id_b,
+       |  CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |       ELSE (${duckEmbEmbDot("a.embedding", "b.embedding")}) / (na.nrm * nb.nrm)
+       |  END AS cosine
+       |FROM pairs p
+       |JOIN emb a ON a.vec_id = p.id_a
+       |JOIN emb b ON b.vec_id = p.id_b
+       |JOIN norms na ON na.vec_id = p.id_a
+       |JOIN norms nb ON nb.vec_id = p.id_b
+       |WHERE CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |       ELSE (${duckEmbEmbDot("a.embedding", "b.embedding")}) / (na.nrm * nb.nrm)
+       |  END >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  } { (s, dir) =>
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)
       .orderBy("id_a", "id_b")
   }
@@ -3491,6 +3551,7 @@ object Queries {
     "dedup_recall" -> dedupRecall,
     "decontaminate" -> decontaminate,
     "embedding_pca" -> embeddingPca,
+    "dedup_embedding_planes" -> dedupEmbeddingPlanes,
     "dedup_embedding" -> dedupEmbedding,
     "text_analyze" -> textAnalyze,
     "text_repetition" -> textRepetition,
