@@ -142,7 +142,8 @@ object Similarity {
       numTables: Int = 12,
       seed: Long = 42L,
       queryIdPredicate: Option[Column => Column] = None,
-      maxBucket: Int = -1): DataFrame = {
+      maxBucket: Int = -1,
+      portableCapHash: Boolean = false): DataFrame = {
     val planes =
       if (numPlanes > 0) numPlanes
       else {
@@ -176,8 +177,14 @@ object Similarity {
     // the exchange's own few tasks — measured 20s vs 1s for the same work
     banded.count()
     val queryBands = queryIdPredicate.fold(banded)(p => banded.where(p(col("id"))))
-    val bucketW = Window.partitionBy("t", "sig")
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+    // `portableCapHash` swaps the cap's selection hash for the cross-engine
+    // md5-prefix family so a DuckDB oracle can replay the capped sample
+    // bit-for-bit (the minhash precedent: production default stays
+    // xxhash64, the oracle-checked covering query opts into portable)
+    val capOrder: Column =
+      if (portableCapHash) TextOps.portableHash56(col("id").cast("string"))
+      else xxhash64(col("id"), lit(seed))
+    val bucketW = Window.partitionBy("t", "sig").orderBy(capOrder, col("id"))
     val cappedBands = banded
       .withColumn("__r", row_number().over(bucketW))
       .where(col("__r") <= bucketCap)

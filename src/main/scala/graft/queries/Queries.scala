@@ -2663,9 +2663,83 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-5 (the n² -free scale path). */
-  val simTopkLsh: QueryDef = QueryDef.rowsOnly { (s, dir) =>
-    Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
+  /** The hyperplane set sim_topk_lsh signs against (12 tables ×
+    * corpus-sized plane count × 64 dims), dumped for the oracle replay.
+    * The plane count replicates lshTopK's auto-sizing formula exactly
+    * (both derive it from the same corpus count, and the plane arrays are
+    * deterministic in (dim, planes, table, seed)).
+    */
+  val simLshPlanes: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+    val spark = s
+    import spark.implicits._
+    val n = t(s, dir, "embeddings").count().toDouble
+    val planes = math.max(4,
+      math.ceil(math.log(math.max(n / 64.0, 2.0)) / math.log(2.0)).toInt)
+    Similarity.lshPlanes(dim = 64, planesPerTable = planes, numTables = 12, seed = 42L)
+      .zipWithIndex.flatMap { case (pls, tbl) =>
+        pls.zipWithIndex.flatMap { case (pl, p) =>
+          pl.zipWithIndex.map { case (v, pos) => (tbl, p, pos, v) }
+        }
+      }.toSeq.toDF("t", "plane", "pos", "value").orderBy("t", "plane", "pos")
+  }
+
+  /** LSH-bucketed approximate top-5 (the n²-free scale path) —
+    * hash-checked (round 7): the covering query runs the portable-md5
+    * bucket-cap variant (the minhash precedent — production default stays
+    * xxhash64) so the oracle can replay the WHOLE pipeline from the
+    * dumped plane set: packed sign signatures, the deterministic
+    * hash-ordered per-bucket cap, candidate pairs from any shared bucket,
+    * and the exact-cosine (desc, id asc) top-5.
+    */
+  val simTopkLsh: QueryDef = QueryDef.withOracle {
+    val planePivot = (0 until 64)
+      .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS q$i").mkString(", ")
+    val planeDot = (0 until 64)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(pl.q$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH plp AS (
+       |  SELECT t, plane, $planePivot
+       |  FROM read_parquet('{{OUT}}/sim_lsh_planes/*.parquet')
+       |  GROUP BY t, plane),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.t,
+       |    SUM(CASE WHEN ($planeDot) >= 0.0
+       |        THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END) AS sig
+       |  FROM emb e CROSS JOIN plp pl
+       |  GROUP BY e.vec_id, pl.t),
+       |capped AS (
+       |  SELECT vec_id, t, sig FROM (
+       |    SELECT vec_id, t, sig,
+       |      ROW_NUMBER() OVER (PARTITION BY t, sig
+       |        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT,
+       |                 vec_id) AS r
+       |    FROM sigs) z WHERE r <= 256),
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+       |  FROM sigs x JOIN capped y
+       |    ON x.t = y.t AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+       |cos AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |         ELSE (${duckEmbEmbDot("a.embedding", "b.embedding")}) / (na.nrm * nb.nrm)
+       |    END AS cosine
+       |  FROM pairs p
+       |  JOIN emb a ON a.vec_id = p.query_id
+       |  JOIN emb b ON b.vec_id = p.neighbor_id
+       |  JOIN norms na ON na.vec_id = p.query_id
+       |  JOIN norms nb ON nb.vec_id = p.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM cos)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  } { (s, dir) =>
+    Similarity.lshTopK(t(s, dir, "embeddings"), k = 5, portableCapHash = true)
       .orderBy("query_id", "rank")
   }
 
@@ -3589,6 +3663,7 @@ object Queries {
     "sim_mips_codebook" -> simMipsCodebook,
     "sim_pq_codebook" -> simPqCodebook,
     "sim_topk_brute" -> simTopkBrute,
+    "sim_lsh_planes" -> simLshPlanes,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
     "sim_topk_mips" -> simTopkMips,
