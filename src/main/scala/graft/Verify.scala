@@ -16,6 +16,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // checkpoint dir so BlockedALS's lineage-cut path (shouldCheckpoint
+    // gates on sc.getCheckpointDir) runs under the gate itself, not just
+    // the specs — checkpointing changes no values, only truncates lineage
+    spark.sparkContext.setCheckpointDir(
+      Files.createTempDirectory("graft_verify_ck").toString)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries

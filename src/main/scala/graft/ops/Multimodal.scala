@@ -205,27 +205,29 @@ object Multimodal {
       frames: Int): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    var k = 0
-    while (k < frames) {
-      val (r, g, b) = colorOfFrame(k)
-      val img = new java.awt.image.BufferedImage(
-        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val rgb = (r << 16) | (g << 8) | b
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      k += 1
-    }
-    writer.endWriteSequence()
-    writer.dispose()
-    ios.close()
+    try {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var k = 0
+        while (k < frames) {
+          val (r, g, b) = colorOfFrame(k)
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (r << 16) | (g << 8) | b
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          k += 1
+        }
+        writer.endWriteSequence()
+      } finally writer.dispose()
+    } finally ios.close()
     baos.toByteArray
   }
 
@@ -296,21 +298,26 @@ object Multimodal {
       rows.flatMap { row =>
         val id = row.getLong(0)
         val payload = row.getAs[Array[Byte]](1)
+        // try/finally on BOTH resources: a corrupt payload throws from
+        // require()/reader.read() mid-partition, and a long-lived session
+        // must not accumulate native ImageIO state across failures
+        // (round-7 ADVICE)
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"no image reader recognizes asset $id's payload")
-        val reader = readers.next()
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0, s"asset $id decoded to zero frames")
-        val out = (0 until n).map { k =>
-          val (w, h, r, g, b) = imageStats(reader.read(k))
-          Row(id, k, w, h, r, g, b)
-        }
-        reader.dispose()
-        iis.close()
-        out
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"no image reader recognizes asset $id's payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n > 0, s"asset $id decoded to zero frames")
+            (0 until n).map { k =>
+              val (w, h, r, g, b) = imageStats(reader.read(k))
+              Row(id, k, w, h, r, g, b)
+            }
+          } finally reader.dispose()
+        } finally iis.close()
       }
     }(encoder)
   }
@@ -352,11 +359,11 @@ object Multimodal {
           case "audio" =>
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(payload))
-            val fmt = in.getFormat
-            val sr = fmt.getSampleRate.toInt
-            val nFrames = in.getFrameLength
-            val bytes = in.readAllBytes()
-            in.close()
+            val (sr, nFrames, bytes) =
+              try {
+                val fmt = in.getFormat
+                (fmt.getSampleRate.toInt, in.getFrameLength, in.readAllBytes())
+              } finally in.close()
             var peak = 0
             var i = 0
             while (i + 1 < bytes.length) {
@@ -413,11 +420,11 @@ object Multimodal {
           case "audio" =>
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(payload))
-            val fmt = in.getFormat
-            val sr = fmt.getSampleRate.toInt
-            val nFrames = in.getFrameLength
-            val bytes = in.readAllBytes()
-            in.close()
+            val (sr, nFrames, bytes) =
+              try {
+                val fmt = in.getFormat
+                (fmt.getSampleRate.toInt, in.getFrameLength, in.readAllBytes())
+              } finally in.close()
             var peak = 0
             var i = 0
             while (i + 1 < bytes.length) {
@@ -431,16 +438,19 @@ object Multimodal {
           case "video" =>
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(payload))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            require(readers.hasNext, s"no image reader recognizes asset $id's payload")
-            val reader = readers.next()
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            require(n > 0, s"asset $id decoded to zero frames")
-            val (w, h, mr, mg, mb) = imageStats(reader.read(0))
-            reader.dispose()
-            iis.close()
-            Array(3f, n.toFloat, w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat, 0f)
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              require(readers.hasNext, s"no image reader recognizes asset $id's payload")
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                require(n > 0, s"asset $id decoded to zero frames")
+                val (w, h, mr, mg, mb) = imageStats(reader.read(0))
+                Array(3f, n.toFloat, w.toFloat, h.toFloat,
+                  mr.toFloat, mg.toFloat, mb.toFloat, 0f)
+              } finally reader.dispose()
+            } finally iis.close()
           case _ =>
             // byte-statistics fallback for opaque/unknown payloads
             if (payload.isEmpty) Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)

@@ -371,6 +371,14 @@ object Similarity {
     * them. The per-request cost is `nProbe/numCells` of the corpus
     * regardless of corpus size — the property that makes the index usable
     * interactively at 100 TB.
+    *
+    * Probing ranks OCCUPIED cells only, matching [[ivfTopK]]'s in-memory
+    * kernel exactly (round-7 ADVICE: ranking all cells diverges from the
+    * kernel whenever k-means leaves a dead cell in the query's top
+    * `nProbe`). Occupancy comes from the index's own `cell` partition
+    * column — a partition-column-only distinct, answered from the file
+    * listing, ≤ numCells ints. A serving tier issuing many lookups should
+    * pass the precomputed set via `occupiedCells` and pay the listing once.
     */
   def servePrunedTopK(
       index: DataFrame,
@@ -380,8 +388,14 @@ object Similarity {
       k: Int = 10,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val probes = probeCells(queryVec, cells, nProbe)
+      vecCol: String = "embedding",
+      occupiedCells: Option[Set[Int]] = None): DataFrame = {
+    val occ = occupiedCells.getOrElse(
+      index.select("cell").distinct().collect().map(_.getInt(0)).toSet)
+    val occSubset = cells.zipWithIndex.collect {
+      case (c, i) if occ.contains(i) => (i, c)
+    }.toSeq
+    val probes = probeCellsSubset(queryVec, occSubset, nProbe)
     val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
     val qv = array(queryVec.map(lit): _*)
     index
@@ -695,11 +709,13 @@ object Similarity {
     * partials out (measured 8.4s → ~1.5s on the sf0.1 item-neighbors
     * serve).
     *
-    * Scale shape: cell blocks are ~n/√n rows each (bounded by design),
-    * queries stream through a co-partitioned join (no per-cell
-    * materialization of the query side), partials merge map-side via
-    * reduceByKey, and the only driver state is the codebook + occupancy
-    * ids. Arithmetic is pinned by the sim_topk_ivf / sim_topk_mips DuckDB
+    * Scale shape: cell blocks average ~n/√n rows and are HARD-bounded at
+    * 65536 rows each — a skewed k-means assignment (clustered corpus piling
+    * into one cell) produces more blocks for that cell, never a bigger
+    * one, so per-task memory is bounded regardless of skew. Queries stream
+    * through a co-partitioned join (no per-cell materialization of the
+    * query side), partials merge map-side via reduceByKey, and the only
+    * driver state is the codebook + occupancy ids. Arithmetic is pinned by the sim_topk_ivf / sim_topk_mips DuckDB
     * replays: every dot is left-to-right double accumulation of
     * float-widened products (the DotProductExpr contract), assignment is
     * argmax-dot with lowest-cell-id ties (TopCellsExpr), probing ranks
@@ -763,27 +779,50 @@ object Similarity {
         (assignCell(cs, rv), (id, v))
       }
     }
-    // per-cell inverted lists as primitive blocks (ids, row-major mat, norms)
-    val cellBlocks = assigned.groupByKey(partitioner).mapValues { rows =>
-      val arr = rows.toArray
-      val n = arr.length
-      val d = arr(0)._2.length
-      val ids = new Array[Long](n)
-      val mat = new Array[Float](n * d)
-      val norms = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        ids(i) = arr(i)._1
-        System.arraycopy(arr(i)._2, 0, mat, i * d, d)
-        norms(i) = math.sqrt(selfDot(arr(i)._2))
-        i += 1
-      }
-      (ids, mat, norms)
-    }.persist()
+    // per-cell inverted lists as primitive blocks (ids, row-major mat,
+    // norms), each bounded to `subBlockRows` rows: the sort-based shuffle
+    // streams each cell's rows consecutively and this chunker holds ONE
+    // block at a time, so a skew-dominant cell (clustered corpus piling
+    // most vectors into one k-means cell) costs many bounded blocks, never
+    // one unbounded array (round-7 ADVICE — the groupByKey form
+    // materialized a whole cell per value). Downstream needs no chunk
+    // arithmetic: the RDD join emits one (query, block) pair per block of
+    // a probed cell and the existing reduceByKey top-k merge combines
+    // partials across blocks exactly as it already did across cells.
+    val subBlockRows = 65536
+    val cellBlocks = assigned
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions({ it =>
+        val buf = it.buffered
+        new Iterator[(Int, (Array[Long], Array[Float], Array[Double]))] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Int, (Array[Long], Array[Float], Array[Double])) = {
+            val cell = buf.head._1
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            while (buf.hasNext && buf.head._1 == cell && rows.length < subBlockRows)
+              rows += buf.next()._2
+            val n = rows.length
+            val d = rows(0)._2.length
+            val ids = new Array[Long](n)
+            val mat = new Array[Float](n * d)
+            val norms = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              ids(i) = rows(i)._1
+              System.arraycopy(rows(i)._2, 0, mat, i * d, d)
+              norms(i) = math.sqrt(selfDot(rows(i)._2))
+              i += 1
+            }
+            (cell, (ids, mat, norms))
+          }
+        }
+      }, preservesPartitioning = true)
+      .persist()
 
-    // occupancy on the driver: cell ids only, ≤ numCells ints
+    // occupancy on the driver: one key per BLOCK reaches the driver
+    // (≤ numCells + n/subBlockRows ints), deduped to cell ids only
     val occSubset: Seq[(Int, Array[Float])] =
-      cellBlocks.keys.collect().sorted.toSeq.map(c => (c, cells(c)))
+      cellBlocks.keys.collect().distinct.sorted.toSeq.map(c => (c, cells(c)))
     val bcOcc = sc.broadcast(occSubset)
 
     val probed = Parallelism.widen(queries).rdd

@@ -783,13 +783,21 @@ object Queries {
   private def sessionKey(s: SparkSession): String =
     System.identityHashCode(s).toString
 
+  /** The gate's trained model. `checkpointInterval = 2` (not the default
+    * 10 > maxIter) so the lineage-cut path (BlockedALS's checkpoint of the
+    * factor RDDs) RUNS under Verify whenever the session has a checkpoint
+    * dir — round-7 verdict #8: the gate must exercise
+    * shouldCheckpoint=true, not just the specs. Checkpointing truncates
+    * lineage only; every factor value is bit-identical with or without it,
+    * so the hash-green replay oracles are unaffected.
+    */
   private[graft] def model(s: SparkSession, dir: String): GraftALSModel =
     modelCache.getOrElseUpdate((sessionKey(s), dir), {
       GraftALS(
         rank = 8, maxIter = 5, regParam = 0.1,
         numUserBlocks = 8, numItemBlocks = 8,
         userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
-        seed = 42L)
+        seed = 42L, checkpointInterval = 2)
         .fit(ratingsDF(s, dir))
     })
 
@@ -909,22 +917,29 @@ object Queries {
     model(s, dir).transform(ratingsDF(s, dir)).orderBy("user_id", "item_id")
   }
 
-  /** Training-set MSE (O3/A5) as a single-row result — hash-checked: the
-    * oracle replays the aggregation over the dumped als_predictions table
-    * (itself hash-checked against the factor replay, so the composition is
-    * pinned end-to-end). Both sides round to 6 decimals: the engine sums
-    * squared errors in partition order, DuckDB in its own — the ~1e-12
-    * relative drift of reordered double addition sits far below the
-    * rounding granularity (the stream_events_daily precedent).
+  /** Training-set MSE (O3/A5) as a single-row result — hash-checked as a
+    * TOLERANCE gate: the oracle recomputes the average over the dumped
+    * als_predictions table (itself hash-checked against the factor replay,
+    * so the composition is pinned end-to-end) and emits the ENGINE's
+    * dumped value only when it sits within 1e-9 relative of the
+    * recomputation — reordered double addition drifts ~1e-15 relative, so
+    * the gate passes bit-exactly, while a real MSE bug exceeds the band
+    * and surfaces as a rows mismatch. (Round-7 ADVICE: the previous
+    * both-sides-ROUND(6) form hinged on Spark's BigDecimal HALF_UP and
+    * DuckDB's binary-double rounding agreeing at every 7th-digit boundary
+    * — true almost always, but flaky in principle; the tolerance form has
+    * no boundary.)
     */
   val alsMse: QueryDef = QueryDef.withOracle(
-    """SELECT ROUND(AVG(POW(CAST(prediction AS DOUBLE) - rating, 2)), 6) AS mse
-      |FROM read_parquet('{{OUT}}/als_predictions/*.parquet')""".stripMargin) { (s, dir) =>
+    """WITH r AS (
+      |  SELECT AVG(POW(CAST(prediction AS DOUBLE) - rating, 2)) AS m
+      |  FROM read_parquet('{{OUT}}/als_predictions/*.parquet'))
+      |SELECT d.mse FROM read_parquet('{{OUT}}/als_mse/*.parquet') d, r
+      |WHERE ABS(d.mse - r.m) <= 1e-9 * GREATEST(ABS(r.m), 1.0)""".stripMargin) { (s, dir) =>
     val m = model(s, dir)
     val spark = s
     import spark.implicits._
     Seq(m.mse(ratingsDF(s, dir), "rating")).toDF("mse")
-      .select(round(col("mse"), 6).as("mse"))
   }
 
   /** Top-3 item recommendations per user via the blocked cross-score kernel
@@ -953,8 +968,44 @@ object Queries {
     model(s, dir).recommendForAllUsers(3).orderBy("user_id", "rank")
   }
 
-  /** Related-items surface: cosine top-3 neighbors in factor space. */
-  val alsItemNeighbors: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** Related-items surface: cosine top-3 neighbors in factor space —
+    * hash-checked (round-7 verdict #2, the exact-tier twin of the
+    * als_recommend graduation): the blocked kernel's contract is "L2-
+    * normalize every factor to FLOAT at block build, rank all non-self
+    * pairs by the normalized dot (desc, id asc), keep 3", and each step is
+    * bit-replayable over the dumped factor pivot — norm² as the
+    * left-to-right double sum of float squares, the unit vector as
+    * float(value · (1/√norm²)) (multiply by the reciprocal, exactly as the
+    * kernel does — NOT division, which rounds differently), zero vectors
+    * passed through unnormalized (cosine 0 by construction), and the dot
+    * as the same left-to-right double loop as [[duckFactorDot]].
+    */
+  val alsItemNeighbors: QueryDef = QueryDef.withOracle {
+    val rawSq = (0 until 8)
+      .map(i => s"CAST(f$i AS DOUBLE) * CAST(f$i AS DOUBLE)").mkString(" + ")
+    val unitCols = (0 until 8)
+      .map(i => s"CASE WHEN n.s > 0 THEN CAST(CAST(itf.f$i AS DOUBLE) * (1.0 / SQRT(n.s)) AS FLOAT) ELSE itf.f$i END AS u$i")
+      .mkString(",\n       |    ")
+    val unitDot = (0 until 8)
+      .map(i => s"CAST(a.u$i AS DOUBLE) * CAST(b.u$i AS DOUBLE)").mkString(" + ")
+    s"""WITH ${duckFactorCte("itf", "als_item_factors", "f")},
+       |nrm AS (SELECT id, $rawSq AS s FROM itf),
+       |unit AS (
+       |  SELECT itf.id,
+       |    $unitCols
+       |  FROM itf JOIN nrm n USING (id)),
+       |cos AS (
+       |  SELECT a.id AS item_id, b.id AS neighbor_item_id,
+       |    $unitDot AS cosine
+       |  FROM unit a JOIN unit b ON a.id <> b.id),
+       |ranked AS (
+       |  SELECT item_id, neighbor_item_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY item_id
+       |      ORDER BY cosine DESC, neighbor_item_id ASC) AS INT) AS rank
+       |  FROM cos)
+       |SELECT item_id, neighbor_item_id, rank, cosine FROM ranked WHERE rank <= 3
+       |ORDER BY item_id, rank""".stripMargin
+  } { (s, dir) =>
     model(s, dir).itemNeighbors(3).orderBy("item_id", "rank")
   }
 
@@ -3042,13 +3093,15 @@ object Queries {
   }
 
   /** Shared DuckDB replay of a [[Similarity.servePrunedTopK]] point lookup
-    * for the min-vec_id query: probe the 4 max-dot cells of the FULL
-    * dumped codebook (probeCells ranks all cells, not just occupied —
-    * the serve path's contract), re-derive the probed cells' members via
-    * the assignment replay, and re-rank exactly by cosine. Used verbatim
-    * by sim_ivf_serve and sim_ivf_append: an append-then-serve index holds
-    * the same member set as a full build, so the served values must be
-    * identical (the equivalence SimilaritySpec asserts, here value-pinned).
+    * for the min-vec_id query: probe the 4 max-dot OCCUPIED cells of the
+    * dumped codebook (round-8: serve now ranks occupied cells only, the
+    * same rule as the in-memory ivfTopK kernel — occupancy re-derived here
+    * via the assignment replay, exactly what the index's partition listing
+    * encodes), re-derive the probed cells' members the same way, and
+    * re-rank exactly by cosine. Used verbatim by sim_ivf_serve and
+    * sim_ivf_append: an append-then-serve index holds the same member set
+    * as a full build, so the served values must be identical (the
+    * equivalence SimilaritySpec asserts, here value-pinned).
     */
   private def duckServeOracle: String =
     s"""WITH ${duckCbCte("cb", "sim_ivf_codebook", 64)},
@@ -3064,11 +3117,12 @@ object Queries {
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
        |    FROM scores) z WHERE r = 1),
+       |occ AS (SELECT DISTINCT cell FROM assign),
        |probes AS (
        |  SELECT cell FROM (
        |    SELECT cb.cell,
        |      ROW_NUMBER() OVER (ORDER BY ${duckEmbCellDot("q.qv", "cb", 64)} DESC, cb.cell ASC) AS r
-       |    FROM q CROSS JOIN cb) z WHERE r <= 4),
+       |    FROM q CROSS JOIN cb JOIN occ ON occ.cell = cb.cell) z WHERE r <= 4),
        |cos AS (
        |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
        |    CASE WHEN nq.nrm = 0 OR nn.nrm = 0 THEN 0.0
@@ -3159,8 +3213,7 @@ object Queries {
 
   /** ANN quality surface: recall@5 of the LSH and (trained-codebook) IVF
     * paths against the exact brute-force neighbors — the accuracy/cost
-    * trade of the approximate tiers as driver-readable numbers. Rows-only:
-    * approximation quality is engine-specific by nature.
+    * trade of the approximate tiers as driver-readable numbers.
     *
     * Recall is ESTIMATED on a deterministic hash-sample of the query side
     * (~1/4 of ids) while every tier still searches the FULL corpus: recall
@@ -3169,19 +3222,214 @@ object Queries {
     * this measurement stays runnable at 100 TB. The three per-tier result
     * sets are tiny (≤ k rows per sampled query) and are persisted so the
     * hit-count joins don't re-run a search lineage per count.
+    *
+    * Hash-checked (round-7 verdict #3): every side of every recall
+    * fraction now has its own green DuckDB replay (brute via the exact
+    * cosine, LSH from the dumped plane set, IVF/IVF-PQ from the dumped
+    * codebooks), so the composed metric is oracle-derivable the way
+    * dedup_recall composed its two sides. Two portability swaps make the
+    * composition exact: the query sample is the cross-engine md5 hash
+    * family ([[graft.ops.TextOps.portableHash56]] — the minhash/LSH-cap
+    * precedent; production sampling stays xxhash64 via
+    * [[graft.ops.PipelineOps]]), and the LSH tier runs its portable-cap
+    * variant exactly as the covering sim_topk_lsh query does.
     */
-  val simRecall: QueryDef = QueryDef.rowsOnly { (s, dir) =>
+  /** The composed sim_recall replay: re-derives all four tier result sets
+    * (brute ground truth over the sampled queries; LSH from the dumped
+    * plane set with the portable bucket cap; IVF and IVF-PQ from the
+    * dumped codebooks) with the SAME per-stage SQL as their individually
+    * hash-green covering oracles (sim_topk_brute/lsh/ivf/ivfpq — CTEs here
+    * carry l/i/p prefixes, query side restricted to the portable md5
+    * sample), then computes the three hit fractions. Each division is one
+    * IEEE double op over exact integer counts — bit-identical across
+    * engines.
+    */
+  private def duckSimRecallOracle: String = {
+    val samp =
+      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 4 = 0"
+    def cosExpr(qa: String, na: String, ca: String, nb: String) =
+      s"""CASE WHEN $na.nrm = 0 OR $nb.nrm = 0 THEN 0.0
+         |         ELSE (${duckEmbEmbDot(s"$qa.embedding", s"$ca.embedding")}) / ($na.nrm * $nb.nrm)
+         |    END""".stripMargin
+    val planePivot = (0 until 64)
+      .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS q$i").mkString(", ")
+    val planeDot = (0 until 64)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(pl.q$i AS DOUBLE)")
+      .mkString(" + ")
+    val subDim = 8
+    val numSub = 8
+    val resCols = (0 until 64)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS FLOAT) - CAST(cb.c$i AS FLOAT) AS r$i")
+      .mkString(", ")
+    val caseBranches = (0 until numSub).map { m =>
+      val dot = (0 until subDim)
+        .map(j => s"CAST(res.r${m * subDim + j} AS DOUBLE) * CAST(pq.p$j AS DOUBLE)")
+        .mkString(" + ")
+      s"WHEN $m THEN $dot"
+    }.mkString(" ")
+    val pqPivot = (0 until subDim)
+      .map(j => s"MAX(CASE WHEN pos = $j THEN value END) AS p$j").mkString(", ")
+    val half = (0 until subDim)
+      .map(j => s"CAST(p$j AS DOUBLE) * CAST(p$j AS DOUBLE)").mkString(" + ")
+    val codePivot = (0 until numSub)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS k$m").mkString(", ")
+    val lutJoins = (0 until numSub)
+      .map(m => s"JOIN pqp pm$m ON pm$m.m = $m AND pm$m.code = cw.k$m").mkString("\n  ")
+    val lutSum = (0 until numSub).map { m =>
+      "(" + (0 until subDim)
+        .map(j => s"CAST(q.embedding[${m * subDim + j + 1}] AS DOUBLE) * CAST(pm$m.p$j AS DOUBLE)")
+        .mkString(" + ") + ")"
+    }.mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |smp AS (SELECT vec_id FROM emb WHERE $samp),
+       |qset AS (SELECT vec_id FROM emb WHERE (SELECT COUNT(*) FROM smp) = 0 OR $samp),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${cosExpr("q", "nq", "b", "nb")} DESC, b.vec_id ASC) AS r
+       |    FROM qset s
+       |    JOIN emb q ON q.vec_id = s.vec_id
+       |    JOIN emb b ON b.vec_id <> s.vec_id
+       |    JOIN norms nq ON nq.vec_id = s.vec_id
+       |    JOIN norms nb ON nb.vec_id = b.vec_id) z
+       |  WHERE r <= 5),
+       |plp AS (
+       |  SELECT t, plane, $planePivot
+       |  FROM read_parquet('{{OUT}}/sim_lsh_planes/*.parquet')
+       |  GROUP BY t, plane),
+       |lsig AS (
+       |  SELECT e.vec_id, pl.t,
+       |    SUM(CASE WHEN ($planeDot) >= 0.0
+       |        THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END) AS sig
+       |  FROM emb e CROSS JOIN plp pl
+       |  GROUP BY e.vec_id, pl.t),
+       |lcap AS (
+       |  SELECT vec_id, t, sig FROM (
+       |    SELECT vec_id, t, sig,
+       |      ROW_NUMBER() OVER (PARTITION BY t, sig
+       |        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT,
+       |                 vec_id) AS r
+       |    FROM lsig) z WHERE r <= 256),
+       |lpair AS (
+       |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+       |  FROM lsig x JOIN qset ON qset.vec_id = x.vec_id
+       |  JOIN lcap y ON x.t = y.t AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, p.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |        ${cosExpr("a", "na", "b2", "nb")} DESC, p.neighbor_id ASC) AS r
+       |    FROM lpair p
+       |    JOIN emb a ON a.vec_id = p.query_id
+       |    JOIN emb b2 ON b2.vec_id = p.neighbor_id
+       |    JOIN norms na ON na.vec_id = p.query_id
+       |    JOIN norms nb ON nb.vec_id = p.neighbor_id) z
+       |  WHERE r <= 5),
+       |${duckCbCte("cb", "sim_ivf_codebook", 64)},
+       |isc AS (
+       |  SELECT e.vec_id, cb.cell, ${duckEmbCellDot("e.embedding", "cb", 64)} AS s
+       |  FROM emb e CROSS JOIN cb),
+       |iasg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+       |    FROM isc) z WHERE r = 1),
+       |iocc AS (SELECT DISTINCT cell FROM iasg),
+       |iprb AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT sc.vec_id, sc.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s DESC, sc.cell ASC) AS r
+       |    FROM isc sc JOIN iocc USING (cell)
+       |    JOIN qset ON qset.vec_id = sc.vec_id) z WHERE r <= 4),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cosExpr("q2", "nq", "b3", "nn2")} DESC, c.neighbor_id ASC) AS r
+       |    FROM (SELECT p.query_id, a.vec_id AS neighbor_id
+       |          FROM iprb p JOIN iasg a USING (cell)
+       |          WHERE p.query_id <> a.vec_id) c
+       |    JOIN emb q2 ON q2.vec_id = c.query_id
+       |    JOIN emb b3 ON b3.vec_id = c.neighbor_id
+       |    JOIN norms nq ON nq.vec_id = c.query_id
+       |    JOIN norms nn2 ON nn2.vec_id = c.neighbor_id) z
+       |  WHERE r <= 5),
+       |pqp AS (SELECT m, code, $pqPivot
+       |  FROM read_parquet('{{OUT}}/sim_pq_codebook/*.parquet') GROUP BY m, code),
+       |pqh AS (SELECT m, code, ($half) / 2.0 AS half FROM pqp),
+       |res AS (
+       |  SELECT e.vec_id, a.cell, $resCols
+       |  FROM emb e JOIN iasg a USING (vec_id) JOIN cb ON cb.cell = a.cell),
+       |pcs AS (
+       |  SELECT res.vec_id, pq.m, pq.code,
+       |    (CASE pq.m $caseBranches END) - h.half AS score
+       |  FROM res CROSS JOIN pqp pq JOIN pqh h ON h.m = pq.m AND h.code = pq.code),
+       |pcode AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code ASC) AS r
+       |    FROM pcs) z WHERE r = 1),
+       |pcw AS (SELECT vec_id, $codePivot FROM pcode GROUP BY vec_id),
+       |pprb AS (
+       |  SELECT vec_id AS query_id, cell, s AS qdotcell FROM (
+       |    SELECT sc.vec_id, sc.cell, sc.s,
+       |      ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s DESC, sc.cell ASC) AS r
+       |    FROM isc sc JOIN qset ON qset.vec_id = sc.vec_id) z WHERE r <= 4),
+       |padc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    p.qdotcell + ($lutSum) AS adc
+       |  FROM pprb p
+       |  JOIN iasg a USING (cell)
+       |  JOIN pcw cw ON cw.vec_id = a.vec_id
+       |  JOIN emb q ON q.vec_id = p.query_id
+       |  $lutJoins
+       |  WHERE p.query_id <> a.vec_id),
+       |pcand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS r
+       |    FROM padc) z WHERE r <= 50),
+       |pq5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cosExpr("q3", "nq", "b4", "nn3")} DESC, c.neighbor_id ASC) AS r
+       |    FROM pcand c
+       |    JOIN emb q3 ON q3.vec_id = c.query_id
+       |    JOIN emb b4 ON b4.vec_id = c.neighbor_id
+       |    JOIN norms nq ON nq.vec_id = c.query_id
+       |    JOIN norms nn3 ON nn3.vec_id = c.neighbor_id) z
+       |  WHERE r <= 5),
+       |nn AS (SELECT COUNT(*) AS c FROM bf),
+       |lhit AS (SELECT COUNT(*) AS c FROM bf JOIN lsh USING (query_id, neighbor_id)),
+       |ihit AS (SELECT COUNT(*) AS c FROM bf JOIN ivf USING (query_id, neighbor_id)),
+       |phit AS (SELECT COUNT(*) AS c FROM bf JOIN pq5 USING (query_id, neighbor_id))
+       |SELECT
+       |  CAST(lhit.c AS DOUBLE) / CAST(nn.c AS DOUBLE) AS lsh_recall,
+       |  CAST(ihit.c AS DOUBLE) / CAST(nn.c AS DOUBLE) AS ivf_recall,
+       |  CAST(phit.c AS DOUBLE) / CAST(nn.c AS DOUBLE) AS ivfpq_recall,
+       |  nn.c AS n_exact_pairs
+       |FROM nn, lhit, ihit, phit""".stripMargin
+  }
+
+  val simRecall: QueryDef = QueryDef.withOracle(
+    duckSimRecallOracle) { (s, dir) =>
     val e = t(s, dir, "embeddings")
     // fall back to the unsampled query set on a corpus so small the hash
     // sample is empty — otherwise nExact=0 and recall silently reports NaN
-    val hashSampled: Column => Column = id => pmod(xxhash64(id, lit(17L)), lit(4)) === 0
+    val hashSampled: Column => Column =
+      id => TextOps.portableHash56(id.cast("string")) % 4 === 0
     val sampled: Column => Column =
       if (e.where(hashSampled(col("vec_id"))).isEmpty) (_: Column) => lit(true)
       else hashSampled
     val queries = e.where(sampled(col("vec_id")))
     val exact = Similarity.bruteForceTopK(queries, e, k = 5)
       .select("query_id", "neighbor_id").persist()
-    val lsh = Similarity.lshTopK(e, k = 5, queryIdPredicate = Some(sampled))
+    val lsh = Similarity
+      .lshTopK(e, k = 5, queryIdPredicate = Some(sampled), portableCapHash = true)
       .select("query_id", "neighbor_id").persist()
     val ivf = Similarity
       .ivfTopK(queries, e, k = 5, trainedCodebook = Some(trainedCodebook(s, dir)))
