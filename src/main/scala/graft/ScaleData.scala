@@ -35,7 +35,13 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    writeDocs(spark, out, nDocs)
+    writeVecs(spark, out, nVecs)
+    println(s"[scaledata] wrote $nDocs docs + $nVecs vecs to $out")
+    spark.stop()
+  }
 
+  def writeDocs(spark: SparkSession, out: String, nDocs: Long): Unit = {
     val langs = array(Seq("en", "fr", "de", "es", "it", "pt", "nl", "pl").map(lit): _*)
     // near-dup seed: 2% of docs re-generate their predecessor's words
     val seed = when(pmod(col("doc_id"), lit(50)) === 1, col("doc_id") - 1)
@@ -56,7 +62,9 @@ object ScaleData {
           .as("source"))
       .withColumn("n_chars", length(col("text")).cast("bigint"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
 
+  def writeVecs(spark: SparkSession, out: String, nVecs: Long): Unit = {
     spark.range(nVecs)
       .select(
         col("id").as("vec_id"),
@@ -66,8 +74,5 @@ object ScaleData {
             .cast("float")).as("embedding"),
         pmod(col("id"), lit(16)).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-
-    println(s"[scaledata] wrote $nDocs docs + $nVecs vecs to $out")
-    spark.stop()
   }
 }
