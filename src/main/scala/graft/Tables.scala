@@ -50,16 +50,21 @@ object Tables {
   def rawSchema(spark: SparkSession, sfDir: String, name: String): StructType =
     readNanos(spark, s"$sfDir/$name.parquet").schema
 
-  /** Streaming twin of `load` for the events table. The file source wants a
-    * directory, so stream the sf dir with a glob pinned to the events file.
+  /** Streaming twin of `load` for the events table, handling both fixture
+    * layouts: a single FILE named `events.parquet` (the driver fixtures —
+    * the file source wants a directory, so stream the sf dir with a glob
+    * pinned to that leaf name) and a DIRECTORY of part files (every real
+    * deployment, and `graft.ScaleUp` tiers — `pathGlobFilter` matches leaf
+    * file names, so pinning it to `events.parquet` would silently discover
+    * ZERO files and run the stream on empty input).
     */
   def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = rawSchema(spark, sfDir, "events")
+    val path = s"$sfDir/events.parquet"
+    val reader = spark.readStream.schema(schema)
     normalizeEventTs(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 
   /** Register all fixture tables as temp views so SQL-form queries work. */

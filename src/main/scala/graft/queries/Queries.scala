@@ -2416,6 +2416,89 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DuckDB replay of [[PipelineOps.zOrderKey]]'s magic-number bit
+    * spread: one SELECT-clause step per mask (chained through CTEs —
+    * nesting the whole thing in one expression would duplicate each
+    * sub-expression 16×).
+    */
+  private def duckSpread16Steps(tag: String, src: String): Seq[String] = Seq(
+    s"($src & 65535) AS ${tag}0",
+    s"((${tag}0 | (${tag}0 << 8)) & 16711935) AS ${tag}1",
+    s"((${tag}1 | (${tag}1 << 4)) & 252645135) AS ${tag}2",
+    s"((${tag}2 | (${tag}2 << 2)) & 858993459) AS ${tag}3",
+    s"((${tag}3 | (${tag}3 << 1)) & 1431655765) AS ${tag}4")
+
+  /** Z-order (Morton) layout of the events table on (user bucket, hour
+    * bucket) — `PipelineOps.zOrderKey` composed from built-in shift/mask
+    * functions — summarized as the 32-file layout a z-sorted write would
+    * produce: per file, row count and the user/hour min-max spans that a
+    * min/max-pruned scan would consult. Sorting by the interleaved key
+    * bounds BOTH spans per file (a ts-sorted layout gives every file the
+    * full user range); PipelineOpsSpec measures the bounding-box win
+    * directly. The global row_number here is gate-scale shorthand — at
+    * 100 TB the same layout is `repartitionByRange(zkey)` + in-partition
+    * sort, no global window. Every bit op replays exactly in DuckDB.
+    */
+  val eventsZorderLayout: QueryDef = QueryDef.withOracle {
+    val xs = duckSpread16Steps("x", "ub")
+    val ys = duckSpread16Steps("y", "tb")
+    s"""WITH b AS (
+       |  SELECT event_id, user_id,
+       |    user_id & 65535 AS ub,
+       |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) & 65535 AS tb
+       |  FROM events),
+       |s0 AS (SELECT *, ${xs(0)}, ${ys(0)} FROM b),
+       |s1 AS (SELECT *, ${xs(1)}, ${ys(1)} FROM s0),
+       |s2 AS (SELECT *, ${xs(2)}, ${ys(2)} FROM s1),
+       |s3 AS (SELECT *, ${xs(3)}, ${ys(3)} FROM s2),
+       |s4 AS (SELECT *, ${xs(4)}, ${ys(4)} FROM s3),
+       |z AS (SELECT event_id, user_id, tb, (x4 | (y4 << 1)) AS zkey FROM s4),
+       |r AS (SELECT *, row_number() OVER (ORDER BY zkey, event_id) AS rn,
+       |        COUNT(*) OVER () AS n FROM z)
+       |SELECT CAST((rn - 1) // CAST(CEIL(n / 32.0) AS BIGINT) AS BIGINT) AS file_id,
+       |  COUNT(*) AS n_rows,
+       |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+       |  MIN(tb) AS h_min, MAX(tb) AS h_max
+       |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
+  } { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val keyed = ev.select(
+      col("event_id"), col("user_id"),
+      col("user_id").bitwiseAND(lit(65535L)).as("ub"),
+      expr("unix_timestamp(ts) div 3600").bitwiseAND(lit(65535L)).as("tb"))
+      .withColumn("zkey", PipelineOps.zOrderKey(col("ub"), col("tb")))
+    val n = keyed.count()
+    val chunk = math.ceil(n / 32.0).toLong
+    keyed
+      .withColumn("rn", row_number().over(Window.orderBy("zkey", "event_id")))
+      .withColumn("file_id", ((col("rn") - 1) / lit(chunk)).cast("bigint"))
+      .groupBy("file_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("tb").as("h_min"), max("tb").as("h_max"))
+      .orderBy("file_id")
+  }
+
+  /** Size-targeted compaction plan over the partitioned corpus sink
+    * (`PipelineOps.compactionPlan`): per source, row count, estimated
+    * bytes, and `max(1, ceil(bytes/64 KiB))` output files — the layout
+    * audit that keeps a 100 TB partitioned write from fragmenting into
+    * millions of small files. The rewrite itself (`compactTo`: broadcast
+    * plan join → deterministic hash shard → keyed repartition) is
+    * exercised and file-count-bounded in PipelineOpsSpec.
+    */
+  val compactionPlanQ: QueryDef = QueryDef.withOracle(
+    """SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS est_bytes,
+      |  GREATEST(1, CAST(CEIL(SUM(n_chars) / 65536.0) AS BIGINT)) AS target_files
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    PipelineOps.compactionPlan(
+      t(s, dir, "documents"), Seq("source"), col("n_chars"), 65536L)
+      .withColumnRenamed("rows", "n_rows")
+      .orderBy("source")
+  }
+
   /** Incremental exact dedup: today's batch (doc_id % 5 == 0 stands in for
     * the new crawl) anti-joined on content hash against the index of the
     * existing corpus — the daily-ingest shape where corpus text is never
@@ -4088,6 +4171,8 @@ object Queries {
     "sample_stratified" -> sampleStratified,
     "mixture_sample" -> mixtureSampleBySource,
     "pack_sequences" -> packSequencesQ,
+    "pipeline_compaction_plan" -> compactionPlanQ,
+    "events_zorder_layout" -> eventsZorderLayout,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_boilerplate" -> dedupBoilerplate,
