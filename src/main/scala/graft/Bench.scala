@@ -173,12 +173,15 @@ object Bench {
 
     // Full-precision record → file (the driver/judge only sees the LAST
     // ~2000 chars of stdout, so the complete map lives here, committed).
+    // SPARK_GRAFT_BENCH_OUT redirects it — a scale-tier run must not
+    // clobber the committed sf0.1 artifact the docs cite.
     val fullQs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
