@@ -65,7 +65,14 @@ object Bench {
     try graft.queries.Queries.prewarmMllibImplicitMpr(spark, sfDir)
     catch { case _: Throwable => () }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (targeted scale-tier
+    // probes); the head-to-head fork is skipped under a filter.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       timed(name) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
@@ -83,7 +90,7 @@ object Bench {
     // fresh JVM measures ~1.0x vs MLlib. Falls back to in-process only if
     // the fork itself cannot start.
     var blas = HeadToHead.blasImpl()
-    locally {
+    if (only.isEmpty) locally {
       val h2hNames = Seq("als_train_graft", "als_train_mllib",
         "als_transform_graft", "als_transform_mllib")
       val out = java.nio.file.Files.createTempFile("graft_h2h", ".json")

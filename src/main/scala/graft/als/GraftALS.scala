@@ -501,17 +501,20 @@ case class GraftALSModel(
     */
   /** IVF sizing for a corpus of `n`: cells ≈ √n (the standard inverted-
     * list rule — per-cell list length and cell count grow together, so
-    * per-query candidate volume is O(nProbe·√n), not O(n)), probes a
-    * fixed fraction of the cells with a floor for recall at small n.
-    * Passing explicit nProbe/numCells (> 0) overrides.
+    * per-query candidate volume is O(nProbe·√n), not O(n)) and a CONSTANT
+    * probe count. The round-7 rule probed `cells/16` — a constant FRACTION
+    * of the corpus, which silently restored O(n²/16) batch cost (measured
+    * 42× wall at 10× items on the x10 tier). With cells ≈ √n and fixed
+    * probes, a batch self-join is O(n^1.5) total and a single serve is
+    * O(√n) — the classical IVF optimum (assignment n·cells balances
+    * search n·probes·n/cells). Passing explicit nProbe/numCells (> 0)
+    * overrides.
     */
   private def ivfSizing(n: Long, nProbe: Int, numCells: Int): (Int, Int) = {
     val cells =
       if (numCells > 0) numCells
       else math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-    val probes =
-      if (nProbe > 0) nProbe
-      else math.max(4, cells / 16)
+    val probes = if (nProbe > 0) nProbe else 4
     (probes, cells)
   }
 

@@ -223,6 +223,19 @@ object Similarity {
   private[ops] def codebook(dim: Int, numCells: Int, seed: Long): Array[Array[Float]] =
     hyperplanes(dim, numCells, seed * 7919L)
 
+  /** Standard inverted-list sizing for a corpus of `n`: cells ≈ √n,
+    * clamped. Per-cell list length and cell count grow together, so with
+    * a CONSTANT probe count a single lookup touches O(√n) candidates and
+    * a batch self-join is O(n^1.5) — assignment cost n·cells balances
+    * search cost n·probes·n/cells, the classical IVF optimum. A fixed
+    * cell count (the pre-round-8 16/64 defaults) makes inverted lists
+    * grow linearly and a batch search O(n²/cells): measured 68× wall at
+    * 10× vectors on the x10 tier before this sizing was applied to the
+    * trained-codebook caches.
+    */
+  def defaultNumCells(n: Long): Int =
+    math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
   /** Top-`n` cells of `v` by dot score, as the native codegen expression
     * [[graft.functions.TopCellsExpr]] (round 6 — was a `transform` +
     * `array_sort`(lambda) + `slice` HOF chain, evaluated interpreted with

@@ -748,7 +748,13 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
   private def trainedCodebook(s: SparkSession, dir: String): Array[Array[Float]] =
-    codebookCache.getOrElseUpdate(dir, Similarity.trainCodebook(t(s, dir, "embeddings")))
+    codebookCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      // √n-sized codebook (Similarity.defaultNumCells): a fixed 16-cell
+      // book made inverted lists grow linearly with the corpus and the
+      // batch ANN queries O(n²/16) — the round-8 x10 measurement
+      Similarity.trainCodebook(e, numCells = Similarity.defaultNumCells(e.count()))
+    })
 
   /** Trained PQ codebooks per data dir — trained on RESIDUALS of the dir's
     * IVF codebook (the IVF-PQ contract; see Similarity.withCellResiduals),
@@ -773,8 +779,11 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[String, Similarity.MipsIndex]
 
   private def trainedMipsIdx(s: SparkSession, dir: String): Similarity.MipsIndex =
-    mipsIndexCache.getOrElseUpdate(dir, Similarity.trainMipsIndex(
-      t(s, dir, "embeddings"), vecCol = "embedding", dim = 64, numCells = 64))
+    mipsIndexCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      Similarity.trainMipsIndex(e, vecCol = "embedding", dim = 64,
+        numCells = Similarity.defaultNumCells(e.count()))
+    })
 
   /** Stable identity of a live session. `sessionUUID` is private[sql] in
     * 4.1, so object identity stands in — good enough to keep a restarted
@@ -1074,8 +1083,9 @@ object Queries {
     * sub-quadratic at catalog scale. Hash-checked (round 7): given the
     * dumped item factors and the dumped serving codebook (als_index_build,
     * cosine space), every kernel stage is deterministic — assignment,
-    * occupied-cell probing with the auto-sized probe count
-    * (GREATEST(4, cells/16), the ivfSizing rule), exact cosine, (cosine
+    * occupied-cell probing with the constant probe count (4, the
+    * ivfSizing rule: probing a cells/16 FRACTION was the r7 quadratic —
+    * see GraftALS.ivfSizing), exact cosine, (cosine
     * desc, id asc) top-3 — so the oracle replays the trained-model serving
     * path end-to-end. Recall vs the exact kernel stays spec-asserted in
     * GraftALSServingSpec.
@@ -1099,7 +1109,7 @@ object Queries {
        |    SELECT sc.id, sc.cell,
        |      ROW_NUMBER() OVER (PARTITION BY sc.id ORDER BY sc.s DESC, sc.cell ASC) AS r
        |    FROM scores sc JOIN occ USING (cell)) z
-       |  WHERE r <= (SELECT GREATEST(4, n // 16) FROM nc)),
+       |  WHERE r <= 4),
        |cos AS (
        |  SELECT p.query_id, a.id AS neighbor_id,
        |    CASE WHEN nq.nrm = 0 OR nn.nrm = 0 THEN 0.0
@@ -1159,7 +1169,7 @@ object Queries {
        |    SELECT q.id, q.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY q.s DESC, q.cell ASC) AS r
        |    FROM qscore q JOIN occ USING (cell)) z
-       |  WHERE r <= (SELECT GREATEST(4, n // 16) FROM nc)),
+       |  WHERE r <= 4),
        |sc AS (
        |  SELECT p.query_id, a.id AS item_id,
        |    ${(0 until 8).map(i => s"CAST(q.u$i AS DOUBLE) * CAST(b.f$i AS DOUBLE)").mkString(" + ")} AS score
@@ -3057,6 +3067,13 @@ object Queries {
     * grid completeness (exactly one row per key tuple), row count, and
     * schema; the trained floats stay engine-specific.
     */
+  /** SQL twin of [[Similarity.defaultNumCells]] over a table's row count:
+    * GREATEST(16, LEAST(4096, ROUND(SQRT(n)))) — keeps the grid oracles
+    * count-agnostic now that codebooks are √n-sized (round 8).
+    */
+  private def duckDefaultCellsSql(table: String): String =
+    s"GREATEST(16, LEAST(4096, CAST(ROUND(SQRT(CAST((SELECT COUNT(*) FROM $table) AS DOUBLE))) AS INT)))"
+
   private def duckGridOracle(dump: String, keys: Seq[(String, String)]): String = {
     val ctes = keys.map { case (k, n) =>
       s"g_$k AS (SELECT CAST(unnest(generate_series(0, ($n) - 1)) AS INT) AS $k)"
@@ -3073,13 +3090,14 @@ object Queries {
   }
 
   /** The per-dir trained IVF codebook as scalar rows — the dump the
-    * sim_topk_ivf oracle replays against. Grid-checked (16 cells × 64
-    * dims — k-means floats pass through); within a session this is THE
+    * sim_topk_ivf oracle replays against. Grid-checked (√n cells × 64
+    * dims, the defaultNumCells rule — k-means floats pass through); within a session this is THE
     * cached array every IVF query probes with, so dump and serving can
     * never diverge.
     */
   val simIvfCodebook: QueryDef = QueryDef.withOracle(
-    duckGridOracle("sim_ivf_codebook", Seq("cell" -> "16", "pos" -> "64"))) { (s, dir) =>
+    duckGridOracle("sim_ivf_codebook",
+      Seq("cell" -> duckDefaultCellsSql("embeddings"), "pos" -> "64"))) { (s, dir) =>
     val spark = s
     import spark.implicits._
     trainedCodebook(s, dir).zipWithIndex.flatMap { case (c, i) =>
@@ -3091,10 +3109,11 @@ object Queries {
     * rows — the dump the sim_topk_mips oracle replays against. The
     * augmentation bound itself needs no dump: max ‖v‖² is an
     * order-independent aggregate the oracle recomputes exactly.
-    * Grid-checked (64 cells × 65 augmented dims).
+    * Grid-checked (√n cells × 65 augmented dims).
     */
   val simMipsCodebook: QueryDef = QueryDef.withOracle(
-    duckGridOracle("sim_mips_codebook", Seq("cell" -> "64", "pos" -> "65"))) { (s, dir) =>
+    duckGridOracle("sim_mips_codebook",
+      Seq("cell" -> duckDefaultCellsSql("embeddings"), "pos" -> "65"))) { (s, dir) =>
     val spark = s
     import spark.implicits._
     trainedMipsIdx(s, dir).cells.zipWithIndex.flatMap { case (c, i) =>
