@@ -351,6 +351,55 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Anchor-linked embedding near-dups — the 100 TB form of
+    * [[embeddingNearDups]]. Pair LISTING is output-bound quadratic on any
+    * dup-dense corpus no matter how candidates are generated (a bucket of
+    * B mutual near-dups emits B² pairs; measured on the clustered
+    * synthetic scale tier, EVERY pair clears cosine 0.3, so the pair
+    * query's result set is n²/2 by construction). A dedup pipeline never
+    * needs the full pair set — it needs CONNECTIVITY: each vector is
+    * verified only against its bucket's minimum-id member (the anchor),
+    * emitting ≤ numTables (id, anchor_id) edges per vector. Components /
+    * keep-lists come out of [[connectedComponents]] /
+    * [[nearDedupKeepers]] over these edges exactly as over pairs, while
+    * the output and the verify join stay O(n·numTables) at ANY dup
+    * density. Members of a tight near-dup bucket all link to the same
+    * anchor, so the component survives; chain-shaped borderline
+    * similarity can split across anchors — the multi-table probes are the
+    * mitigation (a different anchor per table), and the pair tier remains
+    * the exact baseline.
+    */
+  def embeddingNearDupAnchors(
+      embeddings: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dim: Int = 64,
+      threshold: Double = 0.95,
+      numPlanes: Int = 12,
+      numTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val base = Parallelism.widen(embeddings).select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("n"))
+    val sigs = Similarity.withHyperplaneSignatures(base, "v", dim, numPlanes, numTables, seed)
+    val banded = sigs.select(col("id"), explode(col("sigs")).as("ts"))
+      .select(col("id"), col("ts.table").as("t"), col("ts.sig").as("sig"))
+    // one anchor per (table, bucket): the min id — deterministic, and a
+    // single groupBy pass over n·numTables 16-byte rows
+    val anchors = banded.groupBy("t", "sig").agg(min(col("id")).as("id_b"))
+    val links = banded.join(anchors, Seq("t", "sig"))
+      .where(col("id") =!= col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    links
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
+      .withColumn("cosine",
+        when(col("n_a") === 0.0 || col("n_b") === 0.0, 0.0)
+          .otherwise(VectorFunctions.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Keep-list under near-dedup: drops every doc that has a near-dup with a
     * smaller id (connected via the pairs produced by `minhashNearDups`).
     */

@@ -56,24 +56,20 @@ object Similarity {
       planesPerTable: Int,
       numTables: Int,
       seed: Long): DataFrame = {
-    val planes: Seq[Seq[Seq[Float]]] = (0 until numTables).map { t =>
-      hyperplanes(dim, planesPerTable, seed + t).toSeq.map(_.toSeq)
-    }
-    val planeLit = typedLit(planes)
-    val sigs = transform(
-      sequence(lit(0), lit(numTables - 1)),
-      t => struct(
-        t.cast("int").as("table"),
-        aggregate(
-          sequence(lit(0), lit(planesPerTable - 1)),
-          lit(0L),
-          (acc, i) => acc.bitwiseOR(
-            when(
-              VectorFunctions.dot(
-                col(vecCol),
-                element_at(element_at(planeLit, t.cast("int") + 1), i.cast("int") + 1)) >= 0.0,
-              call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))))
-          .as("sig")))
+    // one codegen SignBitsExpr per table (round 8 — was an interpreted
+    // aggregate(lambda) over a 3-D plane literal with per-plane
+    // element_at chains, ~0.2 ms/row; signatures now cost so little that
+    // callers recompute them instead of caching the banded frame). Bit
+    // arithmetic identical to the HOF form and the oracle replays.
+    val sigs = array((0 until numTables).map { t =>
+      val planes = hyperplanes(dim, planesPerTable, seed + t)
+      struct(
+        lit(t).as("table"),
+        org.apache.spark.sql.GraftSqlShims.column(
+          graft.functions.SignBitsExpr(
+            org.apache.spark.sql.GraftSqlShims.expression(col(vecCol)), planes))
+          .as("sig"))
+    }: _*)
     df.withColumn("sigs", sigs)
   }
 

@@ -1970,6 +1970,57 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Anchor-linked embedding near-dups — the O(n·tables) scale twin of
+    * dedup_embedding (see [[Dedup.embeddingNearDupAnchors]]: pair listing
+    * is output-bound quadratic on dup-dense corpora; a dedup pipeline
+    * needs connectivity, not the full pair set). Hash-checked: the oracle
+    * replays signatures from the same dumped plane set, takes MIN(vec_id)
+    * per (table, bucket) as the anchor, links every other member to it,
+    * and verifies exact cosine — bucketing, anchor election, and
+    * verification all pinned bit-for-bit.
+    */
+  val dedupEmbeddingAnchors: QueryDef = QueryDef.withOracle {
+    val planePivot = (0 until 64)
+      .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS q$i").mkString(", ")
+    val planeDot = (0 until 64)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(pl.q$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH plp AS (
+       |  SELECT t, plane, $planePivot
+       |  FROM read_parquet('{{OUT}}/dedup_embedding_planes/*.parquet')
+       |  GROUP BY t, plane),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.t,
+       |    SUM(CASE WHEN ($planeDot) >= 0.0
+       |        THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END) AS sig
+       |  FROM emb e CROSS JOIN plp pl
+       |  GROUP BY e.vec_id, pl.t),
+       |anchors AS (SELECT t, sig, MIN(vec_id) AS id_b FROM sigs GROUP BY t, sig),
+       |links AS (
+       |  SELECT DISTINCT s.vec_id AS id_a, a.id_b
+       |  FROM sigs s JOIN anchors a ON a.t = s.t AND a.sig = s.sig
+       |  WHERE s.vec_id <> a.id_b)
+       |SELECT p.id_a, p.id_b,
+       |  CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |       ELSE (${duckEmbEmbDot("a.embedding", "b.embedding")}) / (na.nrm * nb.nrm)
+       |  END AS cosine
+       |FROM links p
+       |JOIN emb a ON a.vec_id = p.id_a
+       |JOIN emb b ON b.vec_id = p.id_b
+       |JOIN norms na ON na.vec_id = p.id_a
+       |JOIN norms nb ON nb.vec_id = p.id_b
+       |WHERE CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |       ELSE (${duckEmbEmbDot("a.embedding", "b.embedding")}) / (na.nrm * nb.nrm)
+       |  END >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  } { (s, dir) =>
+    Dedup.embeddingNearDupAnchors(t(s, dir, "embeddings"), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Dedup-tier quality surface: recall of the MinHash-LSH near-dup pairs
     * against the exact inverted-index Jaccard pairs at the same 0.5
     * threshold — the accuracy/cost trade of the banded tier as driver-
@@ -4172,6 +4223,7 @@ object Queries {
     "embedding_pca" -> embeddingPca,
     "dedup_embedding_planes" -> dedupEmbeddingPlanes,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_anchors" -> dedupEmbeddingAnchors,
     "text_analyze" -> textAnalyze,
     "text_repetition" -> textRepetition,
     "text_top_terms" -> textTopTerms,

@@ -136,6 +136,41 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.length < 5, "random vectors must not pass the 0.99 cosine bar")
   }
 
+  test("anchor links bound output and preserve components of tight dup groups") {
+    val rng = new scala.util.Random(5)
+    val dim = 16
+    def vec(): Array[Float] = Array.fill(dim)(rng.nextFloat() * 2 - 1)
+    // two tight dup groups of 5 copies each + background noise
+    val g1 = vec(); val g2 = vec()
+    def near(v: Array[Float]): Array[Float] = v.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)
+    val rows = ((0L until 5L).map(i => (i, near(g1))) ++
+      (5L until 10L).map(i => (i, near(g2))) ++
+      (10L until 50L).map(i => (i, vec())))
+      .map { case (id, v) => Row(id, v.toSeq) }
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val numTables = 4
+    val links = Dedup.embeddingNearDupAnchors(df, dim = dim, threshold = 0.99,
+      numTables = numTables).collect()
+    // output bound: at most numTables anchor links per vector — the
+    // O(n·tables) contract that replaces the pair tier's O(B²)
+    links.groupBy(_.getLong(0)).foreach { case (id, ls) =>
+      assert(ls.length <= numTables, s"vector $id has ${ls.length} links")
+    }
+    // connectivity: each dup group collapses to ONE component under the
+    // same component resolution the pair tier feeds
+    val comps = Dedup.connectedComponents(
+      spark.createDataFrame(links.toSeq.asJava,
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+          StructField("cosine", org.apache.spark.sql.types.DoubleType)))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 5L).map(comps.getOrElse(_, -1L)).toSet == Set(0L),
+      "group 1 must form one component anchored at id 0")
+    assert((5L until 10L).map(comps.getOrElse(_, -1L)).toSet == Set(5L),
+      "group 2 must form one component anchored at id 5")
+  }
+
   test("near-dedup keepers drop the higher-id member of each pair") {
     val docs = docsDF(Seq(1L -> base, 2L -> base.replace("lazy", "sleepy"), 3L -> "unique text entirely"))
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
