@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Fixture-table access (see /root/repo/TESTDATA.md, FIXTURES.md).
   *
@@ -11,11 +11,12 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * so Catalyst's parquet source handles column pruning / predicate pushdown;
   * at cluster scale the same code reads a partitioned table root.
   *
-  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
-  * as a raw nano count (`spark.sql.legacy.parquet.nanosAsLong`) and surface
-  * a proper TIMESTAMP column truncated to microseconds — Spark's native
-  * precision.
+  * The `events` table's `ts` column has shipped in two physical vintages:
+  * parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+  * outright ([PARQUET_TYPE_ILLEGAL]), so we read it as a raw nano count
+  * (`spark.sql.legacy.parquet.nanosAsLong`) — and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ. Either
+  * way `load` surfaces one canonical micro-precision TIMESTAMP column.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -36,13 +37,20 @@ object Tables {
     spark.read.parquet(path)
   }
 
-  /** ts arrives as nanos-since-epoch LONG under the legacy conf; convert to
-    * TIMESTAMP (micros). Integer `div` keeps full precision.
+  /** Normalize `ts` to Spark's TIMESTAMP (with local-tz semantics — the
+    * only event-time type watermarks accept) across the fixture vintages:
+    * nanos-since-epoch LONG (legacy-nanos fixtures; integer `div` keeps
+    * full precision) and parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * which Spark 4 infers as TIMESTAMP_NTZ. All sessions here pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast preserves the
+    * stored wall-clock instant exactly and matches DuckDB's naive read.
     */
   private def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   /** Raw (pre-conversion) schema of a fixture table — what the streaming
     * file source must be given.
