@@ -37,18 +37,32 @@ object Tables {
     spark.read.parquet(path)
   }
 
-  /** Normalize `ts` to Spark's TIMESTAMP (with local-tz semantics — the
-    * only event-time type watermarks accept) across the fixture vintages:
+  /** Normalize `ts` to Spark's TIMESTAMP (one canonical event-time type
+    * across the engine and the DuckDB oracle) over the fixture vintages:
     * nanos-since-epoch LONG (legacy-nanos fixtures; integer `div` keeps
     * full precision) and parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
-    * which Spark 4 infers as TIMESTAMP_NTZ. All sessions here pin
-    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast preserves the
-    * stored wall-clock instant exactly and matches DuckDB's naive read.
+    * which Spark 4 infers as TIMESTAMP_NTZ.
+    *
+    * The NTZ→LTZ cast interprets the stored wall clock in
+    * `spark.sql.session.timeZone`, so it is pinned to UTC for the duration
+    * of the cast's ANALYSIS (Cast captures its timeZoneId when the Dataset
+    * is eagerly analyzed, not at execution) and restored after. This makes
+    * the read correct in any session — a non-UTC notebook no longer
+    * silently shifts every event instant — while leaving session state
+    * untouched.
     */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val conf = df.sparkSession.conf
+        val prev = conf.getOption("spark.sql.session.timeZone")
+        conf.set("spark.sql.session.timeZone", "UTC")
+        try df.withColumn("ts", col("ts").cast(TimestampType))
+        finally prev match {
+          case Some(tz) => conf.set("spark.sql.session.timeZone", tz)
+          case None     => conf.unset("spark.sql.session.timeZone")
+        }
       case _                => df
     }
 

@@ -34,55 +34,51 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"))
       .select("keeper_id")
 
-  /** MinHash signatures as a (id, sig ARRAY<BIGINT>) DataFrame, computed in
-    * the scale-correct shape: explode shingles → `numHashes` parallel
-    * `min(xxhash64(shingle, seed))` aggregates → array.
+  /** A MinHash hash family: turns the exploded `(id, s)` shingle frame into
+    * `(id, sig ARRAY<BIGINT>)` signatures. The production family is
+    * [[XxHash64Minhash]]; oracle-gate twins may substitute a cross-engine
+    * family (see `graft.queries.PortableMinhash`) — the same hook pattern
+    * as [[simhashSignatures]]'s `hashFn`.
+    */
+  trait MinhashFamily {
+    def signatures(exploded: DataFrame, numHashes: Int): DataFrame
+  }
+
+  /** Production MinHash family: `numHashes` independent seeded xxhash64
+    * minima, computed as parallel `min(xxhash64(s, seed))` aggregates
+    * (codegen'd hash aggregate with map-side partial combine).
     *
     * Why not `transform(sequence(...), seed -> array_min(...))` over a
     * shingles array column: higher-order functions are interpreted (outside
     * whole-stage codegen) and CollapseProject re-inlines the shingle
     * expression into every one of the 64 lambdas — measured 39s vs ~2s on
-    * the 500-doc fixture. The explode+groupBy form is a codegen'd hash
-    * aggregate with map-side partial combine, exactly what scales to 100 TB.
+    * the 500-doc fixture. The explode+groupBy form is exactly what scales
+    * to 100 TB.
     */
-  /** Modulus of the portable MinHash family: 2^56 (the usable width of
-    * [[TextOps.portableHash56]]). `h1 + 63·h2 < 2^62` — no overflow.
-    */
-  val PortableMinhashModulus: Long = 1L << 56
+  object XxHash64Minhash extends MinhashFamily {
+    def signatures(exploded: DataFrame, numHashes: Int): DataFrame = {
+      val minCols = (1 to numHashes).map(seed => min(xxhash64(col("s"), lit(seed))).as(s"m$seed"))
+      exploded
+        .groupBy("id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("id"), array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    }
+  }
 
+  /** MinHash signatures as a (id, sig ARRAY<BIGINT>) DataFrame in the
+    * scale-correct shape: explode shingles → `family` minima → array.
+    */
   def minhashSignatures(
       documents: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       numHashes: Int = 64,
       shingleSize: Int = 3,
-      portableHashes: Boolean = false): DataFrame = {
+      family: MinhashFamily = XxHash64Minhash): DataFrame = {
     val exploded = Parallelism.widen(documents).select(
       col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
-    if (!portableHashes) {
-      val minCols = (1 to numHashes).map(seed => min(xxhash64(col("s"), lit(seed))).as(s"m$seed"))
-      exploded
-        .groupBy("id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("id"), array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    } else {
-      // cross-engine family: two base md5-prefix hashes per shingle, the
-      // classic linear combination h_i = (h1 + i·h2) mod 2^56 (Broder-style
-      // universal family) — replayable in DuckDB SQL, and cheaper than 64
-      // independent hashes (2 md5 evals instead of 64 xxhash evals per row)
-      val hs = exploded.select(
-        col("id"),
-        TextOps.portableHash56(col("s")).as("h1"),
-        TextOps.portableHash56(concat(col("s"), lit("#"))).as("h2"))
-      val minCols = (1 to numHashes).map { i =>
-        min(pmod(col("h1") + lit((i - 1).toLong) * col("h2"), lit(PortableMinhashModulus)))
-          .as(s"m$i")
-      }
-      hs.groupBy("id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("id"), array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    }
+    family.signatures(exploded, numHashes)
   }
 
   /** MinHash + banded LSH near-duplicate pairs.
@@ -105,12 +101,12 @@ object Dedup {
       numBands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.7,
-      portableHashes: Boolean = false): DataFrame = {
+      family: MinhashFamily = XxHash64Minhash): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
 
     val withSig =
-      minhashSignatures(documents, textCol, idCol, numHashes, shingleSize, portableHashes)
+      minhashSignatures(documents, textCol, idCol, numHashes, shingleSize, family)
 
     // one row per (doc, band): bucket key = hash of that band's slice
     val banded = withSig.select(

@@ -1805,7 +1805,7 @@ object Queries {
     * the oracle concatenates it; identical pair sets either way.)
     */
   val dedupMinhashKeepers: QueryDef = QueryDef.withOracle {
-    val P = Dedup.PortableMinhashModulus
+    val P = PortableMinhash.Modulus
     val mins = (1 to 64).map(i => s"MIN((h1 + ${i - 1} * h2) % $P) AS m$i").mkString(",\n  ")
     val bandSelects = (0 until 16).map { b =>
       val cols = (1 to 4).map(r => s"m${b * 4 + r}").mkString(", ")
@@ -1839,7 +1839,7 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   } { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, portableHashes = true)
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, family = PortableMinhash)
     Dedup.nearDedupKeepers(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
   }
 
@@ -2042,7 +2042,7 @@ object Queries {
     * the low-entropy fixture corpus).
     */
   val dedupRecall: QueryDef = QueryDef.withOracle {
-    val P = Dedup.PortableMinhashModulus
+    val P = PortableMinhash.Modulus
     val mins = (1 to 64).map(i => s"MIN((h1 + ${i - 1} * h2) % $P) AS m$i").mkString(",\n  ")
     val bandSelects = (0 until 16).map { b =>
       val cols = (1 to 4).map(r => s"m${b * 4 + r}").mkString(", ")
@@ -2099,7 +2099,7 @@ object Queries {
     val docs = t(s, dir, "documents")
     val exactPairs = Dedup.ngramJaccardPairs(
       docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2)
-    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5, portableHashes = true)
+    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5, family = PortableMinhash)
     val exact = exactPairs.select("id_a", "id_b")
     val lsh = lshPairs.select("id_a", "id_b")
     val nExact = exact.count()

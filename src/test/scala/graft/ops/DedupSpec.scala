@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkFixture
+import graft.queries.PortableMinhash
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -55,14 +56,14 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       1L -> base,
       2L -> nearDup,
       3L -> "completely unrelated text about spark query engines and parquet files"))
-    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, portableHashes = true)
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, family = PortableMinhash)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L)))
     // signatures stay inside the 56-bit family range and are deterministic
-    val sigs = Dedup.minhashSignatures(docs, portableHashes = true)
+    val sigs = Dedup.minhashSignatures(docs, family = PortableMinhash)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
-    assert(sigs.forall(_._2.forall(v => v >= 0L && v < Dedup.PortableMinhashModulus)))
-    val again = Dedup.minhashSignatures(docs, portableHashes = true)
+    assert(sigs.forall(_._2.forall(v => v >= 0L && v < PortableMinhash.Modulus)))
+    val again = Dedup.minhashSignatures(docs, family = PortableMinhash)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs.forall { case (id, s) => again(id) == s })
   }
