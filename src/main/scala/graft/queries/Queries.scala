@@ -1622,15 +1622,23 @@ object Queries {
     *
     * `sampleDenom > 1` bounds the metric for REAL catalogs (round-7
     * verdict #4 — the full-catalog window is users×items rows and would
-    * dominate the suite at a 100× catalog): each user ranks only a
-    * deterministic salted-hash candidate sample (≈ items/sampleDenom per
-    * user) PLUS their own observed items, and the percentile is taken
-    * within that sample — a hash sample is a uniform draw of the catalog,
-    * so the within-sample percentile is a consistent estimator of the
-    * catalog percentile, and the metric's cost law becomes
-    * O(users·sample). The hash predicate evaluates streaming inside the
-    * broadcast loop join (no users×items materialization); the expensive
-    * stages (dot products, per-user sort) shrink by the denominator.
+    * dominate the suite at a 100× catalog): each user ranks only
+    * ≈ items/sampleDenom GENERATED candidates PLUS their own observed
+    * items, and the percentile is taken within that sample — a seeded-hash
+    * draw is a uniform sample of the catalog, so the within-sample
+    * percentile is a consistent estimator of the catalog percentile, and
+    * the metric's cost law becomes O(users·sample).
+    *
+    * Candidate GENERATION, not filtering (round-8 verdict #3): the former
+    * form streamed every (u,i) pair through a hash predicate inside a
+    * BroadcastNestedLoopJoin — output-sparse but still an O(users·items)
+    * enumeration at the join. Now each user explodes a k-length seeded
+    * hash sequence into catalog POSITIONS, equi-joined (broadcast hash
+    * join) to a dense positional index of the catalog — no user×catalog
+    * pair is ever enumerated. The positional index costs one catalog-sized
+    * global sort; the catalog is the broadcast-small side of this problem
+    * by construction.
+    *
     * `sampleDenom <= 1` is the exact full-catalog form (the small-catalog
     * oracle; MprSamplingSpec asserts the sampled estimator brackets it).
     */
@@ -1638,20 +1646,31 @@ object Queries {
       userFactors: DataFrame,
       itemFactors: DataFrame,
       interactions: DataFrame,
-      sampleDenom: Int = 1): Double = {
+      sampleDenom: Int = 1): Double =
+    mprWeightedPercentiles(userFactors, itemFactors, interactions, sampleDenom)
+      .agg((sum(col("r") * col("pct")) / sum(col("r"))).as("mpr"))
+      .head().getDouble(0)
+
+  /** The (u, i, r, pct) frame [[meanPercentileRank]] averages — exposed so
+    * MprSamplingSpec can audit the sampled branch's physical plan (no
+    * user×catalog BroadcastNestedLoopJoin) as well as its values.
+    */
+  private[graft] def mprWeightedPercentiles(
+      userFactors: DataFrame,
+      itemFactors: DataFrame,
+      interactions: DataFrame,
+      sampleDenom: Int): DataFrame = {
     val obs = interactions
       .select(col("user_id").cast("long").as("u"),
         col("item_id").cast("long").as("i"), col("rating").cast("double").as("r"))
       .where(col("r") > 0)
-    val pairs = userFactors
-      .select(col("id").cast("long").as("u"), col("features").as("ufeat"))
-      .crossJoin(broadcast(
-        itemFactors.select(col("id").cast("long").as("i"), col("features").as("ifeat"))))
+    val users = userFactors.select(col("id").cast("long").as("u"), col("features").as("ufeat"))
+    val items = itemFactors.select(col("id").cast("long").as("i"), col("features").as("ifeat"))
     val pct =
       if (sampleDenom <= 1) {
         val nItems = itemFactors.count()
         val w = Window.partitionBy("u").orderBy(desc("score"), asc("i"))
-        pairs
+        users.crossJoin(broadcast(items))
           .withColumn("score", VectorFunctions.dot(col("ufeat"), col("ifeat")))
           .withColumn("rk", row_number().over(w))
           .withColumn("pct",
@@ -1659,13 +1678,30 @@ object Queries {
             else (col("rk") - 1).cast("double") / (nItems - 1).toDouble)
           .select("u", "i", "pct")
       } else {
-        val observedPairs = obs.select("u", "i").distinct().withColumn("__obs", lit(1))
+        val nItems = math.max(1L, items.count())
+        val k = math.max(1L, nItems / sampleDenom)
+        // dense positional index: position → (item id, factors); drawn
+        // positions resolve to real items through an equi-join
+        val indexed = items.withColumn("pos",
+          row_number().over(Window.orderBy("i")).cast("long") - 1)
+        val sampledCand = users
+          .select(col("u"), col("ufeat"),
+            explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+          .select(col("u"), col("ufeat"),
+            pmod(xxhash64(col("u"), col("j"), lit(97L)), lit(nItems)).as("pos"))
+          // the draw is with replacement; collapse repeated positions
+          .dropDuplicates("u", "pos")
+          .join(broadcast(indexed), "pos")
+          .select("u", "ufeat", "i", "ifeat")
+        val observedCand = obs.select("u", "i").distinct()
+          .join(users, "u")
+          .join(broadcast(items), "i")
+          .select("u", "ufeat", "i", "ifeat")
         val w = Window.partitionBy("u").orderBy(desc("score"), asc("i"))
         val wc = Window.partitionBy("u")
-        pairs
-          .join(broadcast(observedPairs), Seq("u", "i"), "left")
-          .where(col("__obs").isNotNull ||
-            pmod(xxhash64(col("u"), col("i"), lit(97L)), lit(sampleDenom.toLong)) === 0)
+        sampledCand.union(observedCand)
+          // an observed item may also be drawn — rank each (u,i) once
+          .dropDuplicates("u", "i")
           .withColumn("score", VectorFunctions.dot(col("ufeat"), col("ifeat")))
           .withColumn("rk", row_number().over(w))
           .withColumn("nc", count(lit(1)).over(wc))
@@ -1674,10 +1710,7 @@ object Queries {
               .otherwise((col("rk") - 1).cast("double") / (col("nc") - 1).cast("double")))
           .select("u", "i", "pct")
       }
-    obs
-      .join(pct, Seq("u", "i"))
-      .agg((sum(col("r") * col("pct")) / sum(col("r"))).as("mpr"))
-      .head().getDouble(0)
+    obs.join(pct, Seq("u", "i"))
   }
 
   /** MPR sample denominator for a catalog of `nItems`: full-exact below

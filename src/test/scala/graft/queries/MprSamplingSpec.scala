@@ -48,6 +48,27 @@ class MprSamplingSpec extends AnyFunSuite with SparkFixture {
     assert(Queries.mprSampleDenom(64000) == 1000)
   }
 
+  test("sampled branch's plan generates candidates — no user×catalog loop join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val users = factors(40, 5)
+    val items = factors(240, 6)
+    val inter = (0 until 40).map(u => (u.toLong, (u % 240).toLong, 1.0))
+      .toDF("user_id", "item_id", "rating")
+    val sampledPlan = Queries
+      .mprWeightedPercentiles(users, items, inter, sampleDenom = 4)
+      .queryExecution.executedPlan.toString
+    assert(!sampledPlan.contains("BroadcastNestedLoopJoin"),
+      "sampled MPR must equi-join generated candidate positions, not " +
+        "enumerate the catalog per user:\n" + sampledPlan)
+    // the exact small-catalog oracle branch is the only place the
+    // full-catalog loop join remains
+    val exactPlan = Queries
+      .mprWeightedPercentiles(users, items, inter, sampleDenom = 1)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sampled MPR is exact when the denominator is 1") {
     val users = factors(10, 3)
     val items = factors(12, 4)
