@@ -3816,25 +3816,38 @@ object Queries {
   }
 
   /** Sketch aggregates: HLL++ approximate distinct and approximate
-    * quantiles next to their exact companions. The approximate columns
-    * are engine-specific (they pass through the dump; OpsSketchSpec
-    * bounds the error), but the EXACT companions are now oracle-pinned:
-    * DuckDB recomputes exact_parts/exact_supps independently and the
-    * left-join gate fails on any divergence — the partial-green form of
-    * the membership oracles applied to a mixed exact/approx row.
+    * quantiles — sketches ONLY in the hot query (round-8 verdict #6: the
+    * exact countDistinct tier is a 3× expand over the full table and
+    * existed only to measure sketch error; at ×10 it was 2× the cost of
+    * the sketches it was checking). The exact tier now lives in the
+    * ORACLE, which recomputes it in DuckDB and ENFORCES the error bounds:
+    * approx distincts within ±15% (3× the default 5% rsd) and approx
+    * quantiles inside the exact [q±0.01] rank bracket (accuracy 10000 ⇒
+    * rank error ≤ 1e-4, two orders tighter). A sketch-error regression
+    * empties the oracle side and fails the gate as a rows mismatch —
+    * same enforcing pattern as the RMSE/MPR floors.
     */
   val sketchAggregates: QueryDef = QueryDef.withOracle(
-    """SELECT d.approx_parts,
-      |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_parts,
-      |  d.approx_supps,
-      |  (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS exact_supps,
+    """WITH ex AS (
+      |  SELECT COUNT(DISTINCT l_partkey) AS parts,
+      |    COUNT(DISTINCT l_suppkey) AS supps,
+      |    quantile_cont(l_extendedprice, 0.49) AS med_lo,
+      |    quantile_cont(l_extendedprice, 0.51) AS med_hi,
+      |    quantile_cont(l_extendedprice, 0.98) AS p99_lo,
+      |    quantile_cont(l_extendedprice, 1.00) AS p99_hi
+      |  FROM lineitem)
+      |SELECT d.approx_parts, d.approx_supps,
       |  d.approx_median_price, d.approx_p99_price
-      |FROM read_parquet('{{OUT}}/sketch_aggregates/*.parquet') d""".stripMargin) { (s, dir) =>
+      |FROM read_parquet('{{OUT}}/sketch_aggregates/*.parquet') d, ex
+      |WHERE d.approx_parts BETWEEN CAST(0.85 * ex.parts AS BIGINT)
+      |                         AND CAST(1.15 * ex.parts AS BIGINT)
+      |  AND d.approx_supps BETWEEN CAST(0.85 * ex.supps AS BIGINT)
+      |                         AND CAST(1.15 * ex.supps AS BIGINT)
+      |  AND d.approx_median_price BETWEEN ex.med_lo AND ex.med_hi
+      |  AND d.approx_p99_price BETWEEN ex.p99_lo AND ex.p99_hi""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem").agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
       approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-      countDistinct(col("l_suppkey")).as("exact_supps"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
       percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"))
   }
