@@ -3559,6 +3559,187 @@ object Queries {
       cells = cb, k = 10)
   }
 
+  /** The drifted batch of the append-drift corpus: every fixture embedding
+    * cyclically shifted one position, under fresh ids above the fixture
+    * range. The shift is a pure PERMUTATION — no arithmetic, so both
+    * engines hold bit-identical floats — yet is maximally mis-aligned with
+    * centroids trained on the unshifted mass (norms and marginals are
+    * unchanged; directions are not): a deterministic stand-in for real
+    * distribution drift between codebook retrains.
+    */
+  private def driftedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    e.select(
+      (col("vec_id") + off).as("vec_id"),
+      concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)).as("embedding"))
+  }
+
+  /** Codebook freshly retrained on base ∪ drifted, with the SAME cell
+    * count as the stale per-dir codebook so the drift meter isolates
+    * centroid placement from probe-fraction effects.
+    */
+  private val driftCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
+  private def trainedDriftCodebook(s: SparkSession, dir: String): Array[Array[Float]] =
+    driftCodebookCache.getOrElseUpdate(dir, {
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.trainCodebook(
+        base.unionByName(driftedEmbeddings(s, dir)),
+        numCells = Similarity.defaultNumCells(base.count()))
+    })
+
+  /** The retrained (base ∪ drifted) codebook as scalar rows — the dump the
+    * sim_drift_recall oracle replays the fresh tier against. Grid-checked
+    * like [[simIvfCodebook]] (same defaultNumCells(n) grid by design).
+    */
+  val simDriftCodebook: QueryDef = QueryDef.withOracle(
+    duckGridOracle("sim_drift_codebook",
+      Seq("cell" -> duckDefaultCellsSql("embeddings"), "pos" -> "64"))) { (s, dir) =>
+    val spark = s
+    import spark.implicits._
+    trainedDriftCodebook(s, dir).zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toSeq.toDF("cell", "pos", "value").orderBy("cell", "pos")
+  }
+
+  /** DuckDB replay of the whole drift meter: rebuild the drifted batch (a
+    * pure list-slice permutation of the fixture floats), union, brute-force
+    * truth for the drifted query sample, and TWO full IVF replays — stale
+    * codebook (sim_ivf_codebook dump) and retrained codebook
+    * (sim_drift_codebook dump) — each the same assignment/probe/cosine
+    * arithmetic as the sim_topk_ivf oracle.
+    */
+  private def duckDriftRecallOracle: String = {
+    val samp =
+      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 8 = 0"
+    def cosExpr(qa: String, na: String, ca: String, nb: String) =
+      s"""CASE WHEN $na.nrm = 0 OR $nb.nrm = 0 THEN 0.0
+         |         ELSE (${duckEmbEmbDot(s"$qa.embedding", s"$ca.embedding")}) / ($na.nrm * $nb.nrm)
+         |    END""".stripMargin
+    // one IVF replay tier over `emb`, parameterized by codebook CTE + prefix
+    def ivfTier(cb: String, p: String) =
+      s"""${p}sc AS (
+         |  SELECT e.vec_id, $cb.cell, ${duckEmbCellDot("e.embedding", cb, 64)} AS s
+         |  FROM emb e CROSS JOIN $cb),
+         |${p}asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS r
+         |    FROM ${p}sc) z WHERE r = 1),
+         |${p}occ AS (SELECT DISTINCT cell FROM ${p}asg),
+         |${p}prb AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT sc.vec_id, sc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s DESC, sc.cell ASC) AS r
+         |    FROM ${p}sc sc JOIN ${p}occ USING (cell)
+         |    JOIN qset ON qset.vec_id = sc.vec_id) z WHERE r <= 4),
+         |${p}top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+         |        ${cosExpr("q2", "nq", "b3", "nn2")} DESC, c.neighbor_id ASC) AS r
+         |    FROM (SELECT pr.query_id, a.vec_id AS neighbor_id
+         |          FROM ${p}prb pr JOIN ${p}asg a USING (cell)
+         |          WHERE pr.query_id <> a.vec_id) c
+         |    JOIN emb q2 ON q2.vec_id = c.query_id
+         |    JOIN emb b3 ON b3.vec_id = c.neighbor_id
+         |    JOIN norms nq ON nq.vec_id = c.query_id
+         |    JOIN norms nn2 ON nn2.vec_id = c.neighbor_id) z
+         |  WHERE r <= 5)""".stripMargin
+    s"""WITH emb0 AS (SELECT vec_id, embedding FROM embeddings),
+       |off AS (SELECT MAX(vec_id) + 1 AS o FROM emb0),
+       |drift AS (
+       |  SELECT e.vec_id + off.o AS vec_id,
+       |    list_concat(e.embedding[2:64], list_value(e.embedding[1])) AS embedding
+       |  FROM emb0 e, off),
+       |emb AS (SELECT * FROM emb0 UNION ALL SELECT * FROM drift),
+       |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM emb e),
+       |smp AS (SELECT vec_id FROM drift WHERE $samp),
+       |qset AS (SELECT vec_id FROM drift WHERE (SELECT COUNT(*) FROM smp) = 0 OR $samp),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${cosExpr("q", "nq", "b", "nb")} DESC, b.vec_id ASC) AS r
+       |    FROM qset s
+       |    JOIN emb q ON q.vec_id = s.vec_id
+       |    JOIN emb b ON b.vec_id <> s.vec_id
+       |    JOIN norms nq ON nq.vec_id = s.vec_id
+       |    JOIN norms nb ON nb.vec_id = b.vec_id) z
+       |  WHERE r <= 5),
+       |${duckCbCte("cbs", "sim_ivf_codebook", 64)},
+       |${duckCbCte("cbf", "sim_drift_codebook", 64)},
+       |${ivfTier("cbs", "st")},
+       |${ivfTier("cbf", "fr")},
+       |m AS (SELECT
+       |  (SELECT COUNT(*) FROM bf) AS n,
+       |  (SELECT COUNT(*) FROM bf JOIN sttop USING (query_id, neighbor_id)) AS sh,
+       |  (SELECT COUNT(*) FROM bf JOIN frtop USING (query_id, neighbor_id)) AS fh)
+       |SELECT CAST(n AS BIGINT) AS n_exact_pairs,
+       |  CASE WHEN n = 0 THEN 1.0
+       |       ELSE CAST(sh AS DOUBLE) / CAST(n AS DOUBLE) END AS stale_recall,
+       |  CASE WHEN n = 0 THEN 1.0
+       |       ELSE CAST(fh AS DOUBLE) / CAST(n AS DOUBLE) END AS fresh_recall,
+       |  (CASE WHEN n = 0 THEN 1.0
+       |        ELSE CAST(fh AS DOUBLE) / CAST(n AS DOUBLE) END) -
+       |  (CASE WHEN n = 0 THEN 1.0
+       |        ELSE CAST(sh AS DOUBLE) / CAST(n AS DOUBLE) END) AS retrain_gain
+       |FROM m""".stripMargin
+  }
+
+  /** Recall-drift meter for [[Similarity.appendToCellIndex]] (round-8
+    * verdict #7): appends are assignment-only under a frozen codebook, so
+    * serve recall decays as appended mass drifts from the trained
+    * centroids — this query MEASURES that decay and the gain a retrain
+    * would buy, the retrain-cadence signal the operator's doc promises.
+    *
+    * Corpus = fixture embeddings ∪ a drifted batch ([[driftedEmbeddings]]);
+    * queries = a hash-sample of the DRIFTED mass (where decay concentrates).
+    * `stale_recall` serves with the codebook trained on the base only
+    * (exactly what an appended index probes with); `fresh_recall` retrains
+    * on the union at the same cell count; `retrain_gain` is the cadence
+    * signal — retrain when it exceeds the recall budget.
+    *
+    * Hash-checked end to end: the oracle rebuilds the drifted batch (a
+    * pure slice permutation — bit-identical floats), replays BOTH IVF
+    * tiers over the dumped codebooks with the same
+    * assignment/probe/cosine arithmetic as sim_topk_ivf, and recomputes
+    * brute-force truth; the recall quotients are identical integer
+    * divisions in both engines.
+    */
+  val simDriftRecall: QueryDef = QueryDef.withOracle(duckDriftRecallOracle) { (s, dir) =>
+    val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val drifted = driftedEmbeddings(s, dir)
+    val union = base.unionByName(drifted).persist()
+    val hashSampled: Column => Column =
+      id => TextOps.portableHash56(id.cast("string")) % 8 === 0
+    val qs = drifted.where(hashSampled(col("vec_id")))
+    val queries = if (qs.isEmpty) drifted else qs
+    val exact = Similarity.bruteForceTopK(queries, union, k = 5)
+      .select("query_id", "neighbor_id").persist()
+    val stale = Similarity
+      .ivfTopK(queries, union, k = 5, trainedCodebook = Some(trainedCodebook(s, dir)))
+      .select("query_id", "neighbor_id")
+    val fresh = Similarity
+      .ivfTopK(queries, union, k = 5, trainedCodebook = Some(trainedDriftCodebook(s, dir)))
+      .select("query_id", "neighbor_id")
+    val n = exact.count()
+    val staleHits = exact.join(stale, Seq("query_id", "neighbor_id")).count()
+    val freshHits = exact.join(fresh, Seq("query_id", "neighbor_id")).count()
+    exact.unpersist(blocking = false)
+    union.unpersist(blocking = false)
+    val (sr, fr) =
+      if (n == 0) (1.0, 1.0)
+      else (staleHits.toDouble / n, freshHits.toDouble / n)
+    val spark = s
+    import spark.implicits._
+    Seq((n, sr, fr, fr - sr))
+      .toDF("n_exact_pairs", "stale_recall", "fresh_recall", "retrain_gain")
+  }
+
   /** BPE-ish subword-count estimate (long words cost ≈ len/4 extra
     * tokens), hash-checked: DuckDB replays the identical per-token
     * greatest/ceil arithmetic. Complements q15's whitespace token count —
@@ -4315,6 +4496,8 @@ object Queries {
     "sim_topk_ivfpq" -> simTopkIvfPq,
     "sim_ivf_serve" -> simIvfServe,
     "sim_ivf_append" -> simIvfAppend,
+    "sim_drift_codebook" -> simDriftCodebook,
+    "sim_drift_recall" -> simDriftRecall,
     "sim_recall" -> simRecall,
     "token_bpe_estimate" -> tokenBpeEstimate,
     "multimodal_features" -> multimodalFeatures,
