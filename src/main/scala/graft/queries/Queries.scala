@@ -864,6 +864,58 @@ object Queries {
       .orderBy("id", "pos")
   }
 
+  /** NNLS-trained model (nonnegative = true), cached like [[model]] — the
+    * projected-gradient NNLS solver was spec-only (SolverSpec KKT) until
+    * round 9; this model routes it through the gate.
+    */
+  private val nnModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), GraftALSModel]
+
+  private[graft] def nnModel(s: SparkSession, dir: String): GraftALSModel =
+    nnModelCache.getOrElseUpdate((sessionKey(s), dir), {
+      GraftALS(
+        rank = 8, maxIter = 5, regParam = 0.1,
+        numUserBlocks = 8, numItemBlocks = 8,
+        nonnegative = true,
+        userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+        seed = 42L, checkpointInterval = 2)
+        .fit(ratingsDF(s, dir))
+    })
+
+  /** Both factor halves of a `nonnegative = true` training run
+    * (round-8 verdict #8: NNLS existed only behind SolverSpec; no gate
+    * query trained with it). Membership-checked over the full
+    * (side × ids × rank) grid AND nonnegativity-ENFORCING: the oracle
+    * returns rows only while `MIN(value) >= 0` across the whole dump, so
+    * a single negative coordinate from the NNLS path empties the oracle
+    * side and fails the gate as a rows mismatch (the solved magnitudes
+    * themselves stay engine-specific, as for every trained-float surface).
+    */
+  val alsNonnegativeFactors: QueryDef = QueryDef.withOracle(
+    s"""WITH uids AS ($duckRatingsUserIds),
+       |iids AS ($duckRatingsItemIds),
+       |pp AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS pos),
+       |grid AS (
+       |  SELECT 'u' AS side, uids.id, pp.pos FROM uids CROSS JOIN pp
+       |  UNION ALL
+       |  SELECT 'i' AS side, iids.id, pp.pos FROM iids CROSS JOIN pp)
+       |SELECT g.side, g.id, g.pos, f.value
+       |FROM grid g LEFT JOIN
+       |  read_parquet('{{OUT}}/als_nonnegative_factors/*.parquet') f
+       |  ON f.side = g.side AND f.id = g.id AND f.pos = g.pos
+       |WHERE (SELECT MIN(value)
+       |       FROM read_parquet('{{OUT}}/als_nonnegative_factors/*.parquet')) >= 0
+       |ORDER BY g.side, g.id, g.pos""".stripMargin) { (s, dir) =>
+    val m = nnModel(s, dir)
+    m.userFactors
+      .select(lit("u").as("side"), col("id"),
+        posexplode(col("features")).as(Seq("pos", "value")))
+      .unionByName(m.itemFactors
+        .select(lit("i").as("side"), col("id"),
+          posexplode(col("features")).as(Seq("pos", "value"))))
+      .orderBy("side", "id", "pos")
+  }
+
   /** Serving-time user fold-in (one exact ALS-WR user half-step against
     * the fixed item factors — the cold-start answer the reference lacks)
     * for a hash-slice of users, dumped as scalar rows. Membership-checked
@@ -4427,6 +4479,7 @@ object Queries {
     "als_implicit_vs_mllib" -> alsImplicitVsMllib,
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,
+    "als_nonnegative_factors" -> alsNonnegativeFactors,
     "als_predictions" -> alsPredictions,
     "als_mse" -> alsMse,
     "als_recommend" -> alsRecommend,
