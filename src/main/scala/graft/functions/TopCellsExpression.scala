@@ -28,11 +28,18 @@ case class TopCellsExpr(
     child: Expression,
     cells: Array[Array[Float]],
     cellIds: Array[Int],
-    n: Int)
+    n: Int,
+    bias: Array[Double] = Array.emptyDoubleArray)
     extends UnaryExpression {
 
   require(cells.nonEmpty && cells.length == cellIds.length && n > 0)
   require(cells.forall(_.length == cells(0).length))
+  // optional per-cell additive bias (double, applied once AFTER the dot
+  // loop): score = v·c + bias(c). With bias(c) = −‖c‖²/2 the ranking
+  // becomes argmin-L2 (PQ code assignment) while reusing the same codegen
+  // kernel; x + (−y) ≡ x − y in IEEE, so replays stay bit-identical.
+  require(bias.isEmpty || bias.length == cells.length,
+    "bias must be empty or one entry per cell")
   // the tie-break contract (equal scores → LOWEST cell id) relies on the
   // iteration order: ids must arrive ascending (zipWithIndex and the
   // occupancy filter both preserve this)
@@ -77,6 +84,7 @@ case class TopCellsExpr(
       var s = 0.0
       i = 0
       while (i < dim) { s += vv(i) * row(i); i += 1 }
+      if (bias.nonEmpty) s += bias(c)
       // insert AFTER equal scores: iteration order is ascending cell id,
       // so ties keep the lower id first (strict > displaces)
       if (size < m || s > bestScore(size - 1)) {
@@ -97,6 +105,9 @@ case class TopCellsExpr(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cellsRef = ctx.addReferenceObj("topCells", cells, "float[][]")
     val idsRef = ctx.addReferenceObj("topCellIds", cellIds, "int[]")
+    val biasRef =
+      if (bias.isEmpty) null
+      else ctx.addReferenceObj("topCellBias", bias, "double[]")
     val getter = if (elemIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
       val vv = ctx.freshName("vv")
@@ -125,6 +136,7 @@ case class TopCellsExpr(
          |      float[] $row = $cellsRef[$c];
          |      double $s = 0.0;
          |      for (int $i = 0; $i < $dim; $i++) { $s += $vv[$i] * $row[$i]; }
+         |      ${if (biasRef == null) "" else s"$s += $biasRef[$c];"}
          |      if ($size < $m || $s > $bestScore[$size - 1]) {
          |        int $pos = ($size < $m) ? $size : $size - 1;
          |        while ($pos > 0 && $bestScore[$pos - 1] < $s) {

@@ -663,16 +663,28 @@ object Similarity {
   def withPqCodes(
       df: DataFrame,
       codebooks: Array[Array[Array[Float]]],
-      vecCol: String = "embedding"): DataFrame = {
-    val numSubspaces = codebooks.length
-    val numCentroids = codebooks.head.length
+      vecCol: String = "embedding"): DataFrame =
+    df.withColumn("codes", bestCodesCol(codebooks, col(vecCol)))
+
+  /** All-subspace PQ code assignment as M static codegen [[TopCellsExpr]]s
+    * (one per subspace over the row's slice, bias = −‖c‖²/2 so top-1-dot ≡
+    * argmin-L2) instead of the former nested `transform`/`array_sort`
+    * lambda pipeline, which evaluated interpreted with M·K lambda frames
+    * and a comparator sort PER ROW — the hot island of the ×100 IVF-PQ
+    * probe. Arithmetic and the lowest-code tie-break are bit-identical to
+    * [[bestCodeCol]] (kept for the dynamic-m training loop).
+    */
+  private def bestCodesCol(codebooks: Array[Array[Array[Float]]], v: Column): Column = {
     val subDim = codebooks.head.head.length
-    val (cbLit, halfLit) = pqLiterals(codebooks)
-    df.withColumn("__subs", subvecsCol(col(vecCol), numSubspaces, subDim))
-      .withColumn("codes", transform(sequence(lit(0), lit(numSubspaces - 1)),
-        m => bestCodeCol(cbLit, halfLit, m, element_at(col("__subs"), m.cast("int") + 1),
-          numCentroids)))
-      .drop("__subs")
+    array(codebooks.indices.map { m =>
+      val cb = codebooks(m)
+      val bias = cb.map(c => -(c.map(x => x.toDouble * x).sum / 2.0))
+      org.apache.spark.sql.GraftSqlShims.column(
+        graft.functions.TopCellsExpr(
+          org.apache.spark.sql.GraftSqlShims.expression(
+            slice(v, m * subDim + 1, subDim)),
+          cb, cb.indices.toArray, 1, bias)).getItem(0)
+    }: _*)
   }
 
   /** Adds `cell` (argmax-dot IVF assignment) and `residual` (v − cell
@@ -724,8 +736,6 @@ object Similarity {
     val cells = trainedCells.getOrElse(codebook(dim, numCells, seed))
     val pq = trainedPq.getOrElse(pqInit(dim, numSubspaces, numCentroids, seed))
     val subDim = dim / numSubspaces
-    val (cbLit, _) = pqLiterals(pq)
-
     val centLit = typedLit(cells.map(_.toSeq).toSeq)
     val corpusBase = Parallelism.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -737,17 +747,20 @@ object Similarity {
         .select("neighbor_id", "cell", "codes")
 
     // per-query ADC lookup table: lut[m][k] = q_m · c_mk (M×K dots, once
-    // per query row, materialized before the candidate join)
+    // per query row, materialized before the candidate join). STATIC
+    // unrolled codegen dots over literal centroids — the former nested
+    // transform(sequence(...)) form evaluated all M·K dots through
+    // interpreted lambda frames per query row.
     val probedQueries = Parallelism.widen(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFunctions.norm(col(vecCol)).as("qn"))
-      .withColumn("__subs", subvecsCol(col("qv"), numSubspaces, subDim))
-      .withColumn("lut", transform(sequence(lit(0), lit(numSubspaces - 1)),
-        m => transform(sequence(lit(0), lit(numCentroids - 1)),
-          kk => VectorFunctions.dot(
-            element_at(col("__subs"), m.cast("int") + 1),
-            element_at(element_at(cbLit, m.cast("int") + 1), kk.cast("int") + 1)))))
-      .drop("__subs")
+      .withColumn("lut", array((0 until numSubspaces).map { m =>
+        array((0 until numCentroids).map { kk =>
+          VectorFunctions.dot(
+            slice(col("qv"), m * subDim + 1, subDim),
+            typedLit(pq(m)(kk).toSeq))
+        }: _*)
+      }: _*))
       .withColumn("cell", explode(topCellsCol(cells, col("qv"), nProbe)))
       // q·c_cell: one dot per (query, probed cell) row, BEFORE the candidate
       // join — makes ADC scores comparable across a query's nProbe cells
@@ -755,16 +768,33 @@ object Similarity {
       .withColumn("qdotcell",
         VectorFunctions.dot(col("qv"), element_at(centLit, col("cell") + 1)))
 
-    val adcW = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    // UNROLLED lut sum, not `aggregate(sequence(...))`: the HOF form is
+    // interpreted (one lambda frame per subspace per candidate row) and was
+    // a whole-query bottleneck at the ×100 tier; M is a small compile-time
+    // constant, so an explicit left-associative chain of element_at adds
+    // keeps ADC inside whole-stage codegen with bit-identical accumulation
+    // order (0.0 + a₀ + a₁ + … ≡ the aggregate's fold), preserving the
+    // hash-green DuckDB replay.
+    val lutSum = (0 until numSubspaces)
+      .map(m => element_at(element_at(col("lut"), lit(m + 1)),
+        element_at(col("codes"), lit(m + 1)) + 1))
+      .reduce(_ + _)
+    // ADC shortlist via the bounded top-k UDAF, not a row_number window:
+    // the window form sorts EVERY candidate row through one shuffle
+    // (n·probes·n/cells rows — the dominant ×100 cost at 360M candidates);
+    // the aggregator keeps an O(rerank) buffer per query with map-side
+    // partial merge, so the shuffle carries queries×rerank rows instead.
+    // Ordering contract is identical (adc desc, neighbor_id asc).
     val candidates = probedQueries.join(corpusCodes, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", col("qdotcell") + aggregate(
-        sequence(lit(0), lit(numSubspaces - 1)), lit(0.0),
-        (acc, m) => acc + element_at(element_at(col("lut"), m.cast("int") + 1),
-          element_at(col("codes"), m.cast("int") + 1) + 1)))
-      .withColumn("adc_rank", row_number().over(adcW))
-      .where(col("adc_rank") <= rerank)
-      .select("query_id", "neighbor_id", "qv", "qn")
+      .withColumn("adc", col("qdotcell") + lutSum)
+      .groupBy("query_id")
+      .agg(
+        graft.functions.TopKAggregator.topK(rerank)(col("neighbor_id"), col("adc")).as("tk"),
+        first(col("qv")).as("qv"),
+        first(col("qn")).as("qn"))
+      .select(col("query_id"), explode(col("tk").getField("ids")).as("neighbor_id"),
+        col("qv"), col("qn"))
 
     // exact re-rank of the bounded candidate set: raw vectors re-attach here
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
