@@ -710,15 +710,249 @@ object Similarity {
     * partitions a query touches ([[ivfTopK]]'s pruning story), PQ codes
     * make the in-cell scan cheap and small (ADC: per query one M×K lookup
     * table, per candidate M array reads), and only the top-`rerank` ADC
-    * candidates are re-ranked with exact cosine over raw vectors. The ADC
-    * stage carries (id, cell, codes) ONLY — raw corpus vectors re-attach
-    * by id AFTER the rerank cut, so the wide rows never enter the
-    * candidate shuffle.
+    * candidates are re-ranked with exact cosine over raw vectors.
+    *
+    * Round 10: the ADC shortlist runs in the same bucketed primitive-array
+    * kernel as [[ivfTopK]] (per-cell blocks of ids + packed code BYTES,
+    * per-query lut as one primitive double array, bounded top-`rerank`
+    * insertion per block, map-side reduceByKey merge) instead of a Catalyst
+    * join+groupBy over every candidate row — at the ×100 tier the row form
+    * spent ~13× plain IVF's cost moving ~360M candidates through row
+    * machinery while PQ's entire point is a CHEAPER per-candidate score
+    * (M byte-indexed lut adds vs a d-float dot). Arithmetic is bit-identical
+    * to [[ivfPqTopKPlan]], the Catalyst twin the DuckDB oracle replays —
+    * `IvfPqKernelSpec` asserts exact result equality between the two.
     *
     * `trainedPq` must be trained on RESIDUALS of `trainedCells` (see
     * [[withCellResiduals]]); pass both from the same training run.
     */
   def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      rerank: Int = 50,
+      nProbe: Int = 4,
+      numCells: Int = 16,
+      numSubspaces: Int = 8,
+      numCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      seed: Long = 42L,
+      trainedCells: Option[Array[Array[Float]]] = None,
+      trainedPq: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val cells = trainedCells.getOrElse(codebook(dim, numCells, seed))
+    val pq = trainedPq.getOrElse(pqInit(dim, numSubspaces, numCentroids, seed))
+    require(pq.head.length <= 256, "kernel packs PQ codes as bytes: numCentroids must be <= 256")
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    val numSub = pq.length
+    val numCent = pq.head.length
+    val subDim = pq.head.head.length
+    val bcCells = sc.broadcast(cells)
+    val bcPq = sc.broadcast(pq)
+    // per-(m, code) additive bias, EXACTLY as bestCodesCol builds it:
+    // −‖c‖²/2 with left-to-right double accumulation of the squares
+    val bcBias = sc.broadcast(
+      pq.map(cb => cb.map(c => -(c.map(x => x.toDouble * x).sum / 2.0))))
+
+    // ---- corpus encode: one pass → (cell, (id, M code bytes)) ----------
+    // cell = argmax-dot lowest-id-tie (TopCellsExpr n=1), residual = FLOAT
+    // v − centroid (zip_with a − b), code_m = argmax over centroids of
+    // (left-to-right double dot of the residual slice) + bias, lowest code
+    // on ties — each step the exact arithmetic of the Catalyst twin.
+    val corpusRdd = Parallelism.widen(corpus)
+      .select(col(idCol).cast("long"), col(vecCol)).rdd
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val parts = math.max(corpusRdd.getNumPartitions, 2)
+    val partitioner = new org.apache.spark.HashPartitioner(parts)
+
+    val assigned = corpusRdd.mapPartitions { it =>
+      val cs = bcCells.value
+      val pqv = bcPq.value
+      val bias = bcBias.value
+      it.map { case (id, v) =>
+        // TopCellsExpr with n=1: strict > keeps the LOWEST cell id on ties
+        var best = 0.0
+        var bestC = -1
+        var c = 0
+        while (c < cs.length) {
+          val row = cs(c)
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i).toDouble * row(i); i += 1 }
+          if (bestC < 0 || s > best) { best = s; bestC = c }
+          c += 1
+        }
+        val cent = cs(bestC)
+        val resid = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { resid(i) = v(i) - cent(i); i += 1 }
+        val codes = new Array[Byte](numSub)
+        var m = 0
+        while (m < numSub) {
+          val cb = pqv(m)
+          val bm = bias(m)
+          var bs = 0.0
+          var bk = -1
+          var kk = 0
+          while (kk < numCent) {
+            val cc = cb(kk)
+            var s = 0.0
+            var j = 0
+            while (j < subDim) { s += resid(m * subDim + j).toDouble * cc(j); j += 1 }
+            s += bm(kk)
+            if (bk < 0 || s > bs) { bs = s; bk = kk }
+            kk += 1
+          }
+          codes(m) = bk.toByte
+          m += 1
+        }
+        (bestC, (id, codes))
+      }
+    }
+
+    // per-cell blocks of (ids, packed codes), bounded like the IVF kernel's
+    // 65,536-row blocks — skew produces MORE blocks, never a bigger one
+    val subBlockRows = 65536
+    val cellBlocks = assigned
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions({ it =>
+        val buf = it.buffered
+        new Iterator[(Int, (Array[Long], Array[Byte]))] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Int, (Array[Long], Array[Byte])) = {
+            val cell = buf.head._1
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+            while (buf.hasNext && buf.head._1 == cell && rows.length < subBlockRows)
+              rows += buf.next()._2
+            val n = rows.length
+            val ids = new Array[Long](n)
+            val packed = new Array[Byte](n * numSub)
+            var i = 0
+            while (i < n) {
+              ids(i) = rows(i)._1
+              System.arraycopy(rows(i)._2, 0, packed, i * numSub, numSub)
+              i += 1
+            }
+            (cell, (ids, packed))
+          }
+        }
+      }, preservesPartitioning = true)
+
+    // ---- query side: lut (M×K double dots) + top-nProbe cells ----------
+    // probes rank ALL cells (the twin explodes topCellsCol over the full
+    // codebook; empty cells simply produce no candidates in the join)
+    val probedQ = Parallelism.widen(queries)
+      .select(col(idCol).cast("long"), col(vecCol)).rdd
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .mapPartitions { it =>
+        val cs = bcCells.value
+        val pqv = bcPq.value
+        val idxCells: Seq[(Int, Array[Float])] = cs.indices.map(i => (i, cs(i)))
+        it.flatMap { case (qid, qv) =>
+          val lut = new Array[Double](numSub * numCent)
+          var m = 0
+          while (m < numSub) {
+            val cb = pqv(m)
+            var kk = 0
+            while (kk < numCent) {
+              val cc = cb(kk)
+              var s = 0.0
+              var j = 0
+              while (j < subDim) { s += qv(m * subDim + j).toDouble * cc(j); j += 1 }
+              lut(m * numCent + kk) = s
+              kk += 1
+            }
+            m += 1
+          }
+          probeCellsSubset(qv, idxCells, nProbe).map { cell =>
+            val cent = cs(cell)
+            var s = 0.0
+            var j = 0
+            while (j < qv.length) { s += qv(j).toDouble * cent(j); j += 1 }
+            (cell, (qid, lut, s))
+          }
+        }
+      }
+
+    // ---- ADC scoring: per (query, block) bounded top-`rerank` buffer ----
+    val partial = probedQ.join(cellBlocks, partitioner).map {
+      case (_, ((qid, lut, qdotcell), (ids, packed))) =>
+        val topIds = new Array[Long](rerank)
+        val topScores = Array.fill(rerank)(Double.NegativeInfinity)
+        var size = 0
+        val nI = ids.length
+        var i = 0
+        while (i < nI) {
+          if (ids(i) != qid) {
+            // lutSum left-associative from m=0, then qdotcell + lutSum —
+            // the twin's `col("qdotcell") + (l0 + l1 + …)` fold order
+            val off = i * numSub
+            var ls = lut(packed(off) & 0xff)
+            var m = 1
+            while (m < numSub) { ls += lut(m * numCent + (packed(off + m) & 0xff)); m += 1 }
+            val s = qdotcell + ls
+            val isWorseThanLast = size == rerank &&
+              (s < topScores(rerank - 1) ||
+                (s == topScores(rerank - 1) && ids(i) > topIds(rerank - 1)))
+            if (!isWorseThanLast) {
+              var pos = if (size < rerank) size else rerank - 1
+              while (pos > 0 && (topScores(pos - 1) < s ||
+                     (topScores(pos - 1) == s && topIds(pos - 1) > ids(i)))) {
+                topScores(pos) = topScores(pos - 1)
+                topIds(pos) = topIds(pos - 1)
+                pos -= 1
+              }
+              topScores(pos) = s
+              topIds(pos) = ids(i)
+              if (size < rerank) size += 1
+            }
+          }
+          i += 1
+        }
+        (qid, (topIds.take(size), topScores.take(size)))
+    }
+
+    // merge per-query shortlists across probed cells — (adc desc, id asc)
+    val merged = partial.reduceByKey {
+      (a: (Array[Long], Array[Double]), b: (Array[Long], Array[Double])) =>
+        val pairs = (a._1.zip(a._2) ++ b._1.zip(b._2))
+          .sortBy { case (id, s) => (-s, id) }
+          .take(rerank)
+        (pairs.map(_._1), pairs.map(_._2))
+    }
+
+    import spark.implicits._
+    val candidates = merged
+      .flatMap { case (qid, (ids, _)) => ids.map(nid => (qid, nid)) }
+      .toDF("query_id", "neighbor_id")
+
+    // ---- exact re-rank of the bounded candidate set (queries × rerank
+    // rows): raw vectors and norms re-attach here, identical to the twin
+    val queriesBase = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+        VectorFunctions.norm(col(vecCol)).as("qn"))
+    val corpusBase = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"),
+        VectorFunctions.norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    candidates
+      .join(queriesBase, "query_id")
+      .join(corpusBase, "neighbor_id")
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** The Catalyst-expression form of [[ivfPqTopK]] — every stage a
+    * DataFrame op over codegen expressions, which is exactly what the
+    * sim_topk_ivfpq DuckDB oracle replays stage by stage. Kept as the
+    * kernel's semantic twin (`IvfPqKernelSpec` pins exact equality) and as
+    * the reference description of the ADC arithmetic contract.
+    */
+  def ivfPqTopKPlan(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int = 10,
@@ -789,16 +1023,19 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", col("qdotcell") + lutSum)
       .groupBy("query_id")
-      .agg(
-        graft.functions.TopKAggregator.topK(rerank)(col("neighbor_id"), col("adc")).as("tk"),
-        first(col("qv")).as("qv"),
-        first(col("qn")).as("qn"))
-      .select(col("query_id"), explode(col("tk").getField("ids")).as("neighbor_id"),
-        col("qv"), col("qn"))
+      .agg(graft.functions.TopKAggregator.topK(rerank)(col("neighbor_id"), col("adc")).as("tk"))
+      .select(col("query_id"), explode(col("tk").getField("ids")).as("neighbor_id"))
 
-    // exact re-rank of the bounded candidate set: raw vectors re-attach here
+    // exact re-rank of the bounded candidate set: raw vectors and norms
+    // re-attach by id here (round-10 ADVICE: the former first(qv)/first(qn)
+    // aggregates leaned on an unstated qv-is-constant-per-query_id invariant
+    // and Spark flags first() non-deterministic — a join states the intent)
+    val queriesBase = Parallelism.widen(queries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFunctions.norm(col(vecCol)).as("qn"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     candidates
+      .join(queriesBase, "query_id")
       .join(corpusBase, "neighbor_id")
       .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
