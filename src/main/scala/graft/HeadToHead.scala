@@ -12,8 +12,17 @@ import org.apache.spark.sql.SparkSession
   * `Bench` forks this main as a child process and merges the four rows into
   * its JSON, so the official record now measures the protocol, not JVM decay.
   *
-  * Usage: graft.HeadToHead <outFile> — writes one JSON object
+  * Usage: graft.HeadToHead <outFile> [side] — writes one JSON object
   * {"als_train_graft":sec,...,"blas":"<impl>"} to outFile.
+  *
+  * `side` (round-10, verdict #2): `all` (default) runs the original
+  * 4-row sequence; `graft` / `mllib` runs ONLY that engine's train +
+  * transform, so a repeat harness ([[HeadToHeadRepeats]]) can give both
+  * engines an IDENTICAL JVM history (warmup → train → settle → transform,
+  * each side in its own fresh fork). The round-9 ×100 transform reading
+  * (1.72×) rode a fixed fork order where graft's transform ran third and
+  * MLlib's fourth in one JVM — per-side isolation removes that asymmetry
+  * instead of arguing about it.
   */
 object HeadToHead {
   /** JDK17 module opens Spark needs when launched outside spark-submit.
@@ -42,6 +51,8 @@ object HeadToHead {
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("/tmp/graft_headtohead.json")
+    val side = args.lift(1).getOrElse("all")
+    require(Set("all", "graft", "mllib")(side), s"side must be all|graft|mllib, got $side")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,7 +81,7 @@ object HeadToHead {
     val ratings = graft.queries.Queries.ratingsDF(spark, sfDir)
 
     var graftModel: graft.als.GraftALSModel = null
-    timed("als_train_graft") {
+    if (side != "mllib") timed("als_train_graft") {
       graftModel = graft.als.GraftALS(
         rank = 8, maxIter = 5, regParam = 0.1,
         numUserBlocks = 8, numItemBlocks = 8,
@@ -79,9 +90,9 @@ object HeadToHead {
         .fit(ratings)
       graftModel.userFactors.write.format("noop").mode("overwrite").save()
     }
-    settle()
+    if (side != "mllib") settle()
     var mllibModel: org.apache.spark.ml.recommendation.ALSModel = null
-    timed("als_train_mllib") {
+    if (side != "graft") timed("als_train_mllib") {
       import org.apache.spark.ml.recommendation.ALS
       mllibModel = new ALS()
         .setRank(8).setMaxIter(5).setRegParam(0.1)
@@ -91,13 +102,13 @@ object HeadToHead {
         .fit(ratings)
       mllibModel.userFactors.write.format("noop").mode("overwrite").save()
     }
-    settle()
-    timed("als_transform_graft") {
+    if (side != "graft") settle()
+    if (side != "mllib") timed("als_transform_graft") {
       graftModel.transform(ratings)
         .write.format("noop").mode("overwrite").save()
     }
-    settle()
-    timed("als_transform_mllib") {
+    if (side == "all") settle()
+    if (side != "graft") timed("als_transform_mllib") {
       mllibModel.transform(ratings)
         .write.format("noop").mode("overwrite").save()
     }

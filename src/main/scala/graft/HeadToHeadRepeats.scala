@@ -1,0 +1,83 @@
+package graft
+
+/** Order-symmetric ALS head-to-head: forks [[HeadToHead]] once PER SIDE
+  * per round (graft fork, then MLlib fork, alternating), `n` rounds, and
+  * reports per-row medians plus the train/transform ratios of medians.
+  *
+  * Why (round-10 verdict #2): the single-fork protocol ran the four rows
+  * in one fixed order inside one JVM, so the ×100 transform comparison
+  * (graft third, MLlib fourth) embedded a warmup asymmetry that could only
+  * be argued about. Here each side's fork performs the IDENTICAL sequence
+  * — session warmup → train → settle → transform — in a fresh JVM, and
+  * the alternation means neither side systematically benefits from page
+  * cache warmed by the other. Median-of-n matches the sf0.1 N=5 repeat
+  * discipline (`bench_artifacts/headtohead_repeats_r09.json`).
+  *
+  * Usage: runMain graft.HeadToHeadRepeats <outFile> [rounds=3]
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_H2H_XMX (default
+  * 8g — raise for scale tiers).
+  */
+object HeadToHeadRepeats {
+  def main(args: Array[String]): Unit = {
+    val outFile = args.headOption.getOrElse("/tmp/graft_h2h_repeats.json")
+    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_H2H_XMX", "8g")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+
+    val samples = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    var blas = "unavailable"
+
+    def fork(side: String): Unit = {
+      val out = java.nio.file.Files.createTempFile(s"graft_h2h_$side", ".json")
+      val cmd: Seq[String] =
+        Seq(javaBin) ++ HeadToHead.jdk17AddOpens ++ Seq(
+          s"-Xmx$xmx", "-XX:ReservedCodeCacheSize=512m",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.HeadToHead", out.toString, side)
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      val exit = pb.start().waitFor()
+      val text = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+      if (exit != 0 || text.isEmpty)
+        sys.error(s"head-to-head fork ($side) exited $exit with ${text.length}B output")
+      val num = """"(\w+)":([0-9.eE+-]+)""".r
+      num.findAllMatchIn(text).foreach { m =>
+        samples.getOrElseUpdate(m.group(1), scala.collection.mutable.ArrayBuffer.empty)
+          .append(m.group(2).toDouble)
+      }
+      """"blas":"(\w+)"""".r.findFirstMatchIn(text).foreach(m => blas = m.group(1))
+    }
+
+    (0 until rounds).foreach { r =>
+      println(s"[h2h-repeats] round ${r + 1}/$rounds")
+      fork("graft")
+      fork("mllib")
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val rows = Seq("als_train_graft", "als_train_mllib",
+      "als_transform_graft", "als_transform_mllib")
+    val med = rows.map(r => r -> median(samples(r).toSeq)).toMap
+    val ratioTrain = med("als_train_graft") / med("als_train_mllib")
+    val ratioTransform = med("als_transform_graft") / med("als_transform_mllib")
+
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val body = rows.map(r =>
+      s""""$r":{"samples":${arr(samples(r).toSeq)},"median":${f"${med(r)}%.3f"}}""")
+      .mkString(",")
+    val line = s"""{"sf_dir":"$sfDir","rounds":$rounds,"protocol":"per-side fresh-JVM forks, alternating graft/mllib","""+
+      s"""$body,"ratio_train":${f"$ratioTrain%.3f"},"ratio_transform":${f"$ratioTransform%.3f"},"blas":"$blas"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile), (line + "\n").getBytes("UTF-8"))
+    println(line)
+  }
+}

@@ -3627,6 +3627,16 @@ object Queries {
       concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)).as("embedding"))
   }
 
+  /** Recall budget for [[simDriftRecall]]'s `retrain_recommended` flag: a
+    * retrain is recommended when retraining the codebook on base ∪ appended
+    * mass would recover MORE than this much recall@5 (`fresh − stale >
+    * margin`). 0.02 ≈ the measurement's own sampling CI at the fixture
+    * tiers, so the flag trips only on decay distinguishable from noise —
+    * below it, the stale index is within measurement error of retrained.
+    * Public so `DriftThresholdSpec` pins the decision rule.
+    */
+  val retrainGainMargin: Double = 0.02
+
   /** Codebook freshly retrained on base ∪ drifted, with the SAME cell
     * count as the stale per-dir codebook so the drift meter isolates
     * centroid placement from probe-fraction effects.
@@ -3665,7 +3675,7 @@ object Queries {
     */
   private def duckDriftRecallOracle: String = {
     val samp =
-      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 8 = 0"
+      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 16 = 0"
     def cosExpr(qa: String, na: String, ca: String, nb: String) =
       s"""CASE WHEN $na.nrm = 0 OR $nb.nrm = 0 THEN 0.0
          |         ELSE (${duckEmbEmbDot(s"$qa.embedding", s"$ca.embedding")}) / ($na.nrm * $nb.nrm)
@@ -3729,17 +3739,17 @@ object Queries {
        |m AS (SELECT
        |  (SELECT COUNT(*) FROM bf) AS n,
        |  (SELECT COUNT(*) FROM bf JOIN sttop USING (query_id, neighbor_id)) AS sh,
-       |  (SELECT COUNT(*) FROM bf JOIN frtop USING (query_id, neighbor_id)) AS fh)
-       |SELECT CAST(n AS BIGINT) AS n_exact_pairs,
+       |  (SELECT COUNT(*) FROM bf JOIN frtop USING (query_id, neighbor_id)) AS fh),
+       |r AS (SELECT CAST(n AS BIGINT) AS n_exact_pairs,
        |  CASE WHEN n = 0 THEN 1.0
        |       ELSE CAST(sh AS DOUBLE) / CAST(n AS DOUBLE) END AS stale_recall,
        |  CASE WHEN n = 0 THEN 1.0
-       |       ELSE CAST(fh AS DOUBLE) / CAST(n AS DOUBLE) END AS fresh_recall,
-       |  (CASE WHEN n = 0 THEN 1.0
-       |        ELSE CAST(fh AS DOUBLE) / CAST(n AS DOUBLE) END) -
-       |  (CASE WHEN n = 0 THEN 1.0
-       |        ELSE CAST(sh AS DOUBLE) / CAST(n AS DOUBLE) END) AS retrain_gain
-       |FROM m""".stripMargin
+       |       ELSE CAST(fh AS DOUBLE) / CAST(n AS DOUBLE) END AS fresh_recall
+       |  FROM m)
+       |SELECT n_exact_pairs, stale_recall, fresh_recall,
+       |  fresh_recall - stale_recall AS retrain_gain,
+       |  (fresh_recall - stale_recall) > $retrainGainMargin AS retrain_recommended
+       |FROM r""".stripMargin
   }
 
   /** Recall-drift meter for [[Similarity.appendToCellIndex]] (round-8
@@ -3766,8 +3776,12 @@ object Queries {
     val base = t(s, dir, "embeddings").select("vec_id", "embedding")
     val drifted = driftedEmbeddings(s, dir)
     val union = base.unionByName(drifted).persist()
+    // 1/16 drifted-mass sample (round-10 verdict #4, was 1/8): the meter's
+    // dominant cost is brute-force truth over |sample|·|union| pairs;
+    // halving the sample halves it while the decay signal — a ~0.1-scale
+    // recall gap — stays far outside the sample's ~±0.03 CI
     val hashSampled: Column => Column =
-      id => TextOps.portableHash56(id.cast("string")) % 8 === 0
+      id => TextOps.portableHash56(id.cast("string")) % 16 === 0
     val qs = drifted.where(hashSampled(col("vec_id")))
     val queries = if (qs.isEmpty) drifted else qs
     val exact = Similarity.bruteForceTopK(queries, union, k = 5)
@@ -3788,8 +3802,15 @@ object Queries {
       else (staleHits.toDouble / n, freshHits.toDouble / n)
     val spark = s
     import spark.implicits._
-    Seq((n, sr, fr, fr - sr))
-      .toDF("n_exact_pairs", "stale_recall", "fresh_recall", "retrain_gain")
+    // retrain_recommended (round-10 verdict #8): the meter's consumer
+    // contract — appendToCellIndex's doc promises a retrain-cadence
+    // SIGNAL, so emit the decision, not just two floats the operator has
+    // to subtract. The margin is the recall budget an append window may
+    // burn before a retrain pays for itself; oracle re-derives the same
+    // comparison over identical integer-division doubles.
+    Seq((n, sr, fr, fr - sr, (fr - sr) > retrainGainMargin))
+      .toDF("n_exact_pairs", "stale_recall", "fresh_recall", "retrain_gain",
+        "retrain_recommended")
   }
 
   /** BPE-ish subword-count estimate (long words cost ≈ len/4 extra
@@ -3844,7 +3865,7 @@ object Queries {
     */
   private def duckSimRecallOracle: String = {
     val samp =
-      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 4 = 0"
+      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 8 = 0"
     def cosExpr(qa: String, na: String, ca: String, nb: String) =
       s"""CASE WHEN $na.nrm = 0 OR $nb.nrm = 0 THEN 0.0
          |         ELSE (${duckEmbEmbDot(s"$qa.embedding", s"$ca.embedding")}) / ($na.nrm * $nb.nrm)
@@ -4017,9 +4038,13 @@ object Queries {
     duckSimRecallOracle) { (s, dir) =>
     val e = t(s, dir, "embeddings")
     // fall back to the unsampled query set on a corpus so small the hash
-    // sample is empty — otherwise nExact=0 and recall silently reports NaN
+    // sample is empty — otherwise nExact=0 and recall silently reports NaN.
+    // 1/8 sample (round-10 verdict #4, was 1/4): the brute-force truth is
+    // |sample|·|corpus| pairs and topped the sf0.1 bill; recall is a
+    // population statistic, so at sf0.1's ~2500 sampled pairs the 95% CI
+    // is ±√(r(1−r)/n) ≈ ±0.02 — ample for a 3-tier quality meter
     val hashSampled: Column => Column =
-      id => TextOps.portableHash56(id.cast("string")) % 4 === 0
+      id => TextOps.portableHash56(id.cast("string")) % 8 === 0
     val sampled: Column => Column =
       if (e.where(hashSampled(col("vec_id"))).isEmpty) (_: Column) => lit(true)
       else hashSampled
