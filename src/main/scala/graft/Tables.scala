@@ -43,26 +43,24 @@ object Tables {
     * full precision) and parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
     * which Spark 4 infers as TIMESTAMP_NTZ.
     *
-    * The NTZ→LTZ cast interprets the stored wall clock in
-    * `spark.sql.session.timeZone`, so it is pinned to UTC for the duration
-    * of the cast's ANALYSIS (Cast captures its timeZoneId when the Dataset
-    * is eagerly analyzed, not at execution) and restored after. This makes
-    * the read correct in any session — a non-UTC notebook no longer
-    * silently shifts every event instant — while leaving session state
-    * untouched.
+    * The NTZ→LTZ cast interprets the stored wall clock in a time zone; it
+    * is built HERE as a Catalyst `Cast` with an explicit
+    * `timeZoneId=Some("UTC")` (round-10 ADVICE) rather than by toggling
+    * `spark.sql.session.timeZone` around eager analysis — the toggle was
+    * correct single-threaded but raced any concurrent analysis in the same
+    * session (which would silently run under UTC), and two concurrent
+    * loads could restore the wrong zone. The explicit-tz expression is
+    * thread-safe by construction and leaves session state untouched.
     */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        val conf = df.sparkSession.conf
-        val prev = conf.getOption("spark.sql.session.timeZone")
-        conf.set("spark.sql.session.timeZone", "UTC")
-        try df.withColumn("ts", col("ts").cast(TimestampType))
-        finally prev match {
-          case Some(tz) => conf.set("spark.sql.session.timeZone", tz)
-          case None     => conf.unset("spark.sql.session.timeZone")
-        }
+        df.withColumn("ts",
+          org.apache.spark.sql.GraftSqlShims.column(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.GraftSqlShims.expression(col("ts")),
+              TimestampType, timeZoneId = Some("UTC"))))
       case _                => df
     }
 

@@ -1,7 +1,7 @@
 package graft.als
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -94,7 +94,8 @@ case class GraftALSModel(
     userCol: String = "user",
     itemCol: String = "item",
     coldStartStrategy: String = "nan",
-    backingRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
+    backingRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil,
+    intKeyTransform: Boolean = false) {
 
   /** Frees the persisted factor RDDs this model was fit on (no-op for
     * loaded/derived models). The factor DataFrames stay usable — they
@@ -103,12 +104,49 @@ case class GraftALSModel(
     */
   def unpersist(): Unit = backingRdds.foreach(_.unpersist(blocking = false))
 
+  /** Opt-in INT-key scoring (round-10 verdict #5): when EVERY trained id
+    * fits in an Int, returns a model whose [[transform]] joins on INT keys
+    * instead of LONG — `TransformProbe` measured BIGINT join keys at ~29%
+    * over INT on the identical ×100 plan, a tax the LONG-id API pays even
+    * when ids are small (MLlib's ids are natively Int, so this also makes
+    * the head-to-head key-width-symmetric). Model-load-time check: two
+    * tiny min/max aggregates; no other serving path changes (factor
+    * tables stay LONG-keyed for fold-in/recommend/save). Returns `this`
+    * unchanged when any id needs the full Long range.
+    */
+  def withCompactIds(): GraftALSModel = {
+    def fitsInt(df: DataFrame): Boolean = {
+      val r = df.agg(min(col("id")), max(col("id"))).head()
+      !r.isNullAt(0) &&
+        r.getLong(0) >= Int.MinValue.toLong && r.getLong(1) <= Int.MaxValue.toLong
+    }
+    if (fitsInt(userFactors) && fitsInt(itemFactors)) copy(intKeyTransform = true)
+    else this
+  }
+
   def transform(df: DataFrame): DataFrame = {
-    val uf = userFactors.select(col("id").as("__uid"), col("features").as("__ufeat"))
-    val itf = itemFactors.select(col("id").as("__iid"), col("features").as("__ifeat"))
+    val (uf, itf, uCond, iCond) =
+      if (intKeyTransform) {
+        // INT-keyed factor sides. try_cast keeps semantics exact for
+        // out-of-Int-range incoming ids: such ids trained no factor row,
+        // and under ANSI a plain cast("int") would THROW on them (and with
+        // ANSI off would WRAP onto a real key) — try_cast yields NULL,
+        // which is a join miss (cold-start NaN), identical to the LONG path.
+        val u = userFactors.select(col("id").cast("int").as("__uid"),
+          col("features").as("__ufeat"))
+        val i = itemFactors.select(col("id").cast("int").as("__iid"),
+          col("features").as("__ifeat"))
+        def cond(c: Column, key: Column): Column = c.try_cast("int") === key
+        (u, i, cond(df(userCol), u("__uid")), cond(df(itemCol), i("__iid")))
+      } else {
+        val u = userFactors.select(col("id").as("__uid"), col("features").as("__ufeat"))
+        val i = itemFactors.select(col("id").as("__iid"), col("features").as("__ifeat"))
+        (u, i, df(userCol).cast("long") === u("__uid"),
+          df(itemCol).cast("long") === i("__iid"))
+      }
     val joined = df
-      .join(uf, df(userCol).cast("long") === uf("__uid"), "left")
-      .join(itf, df(itemCol).cast("long") === itf("__iid"), "left")
+      .join(uf, uCond, "left")
+      .join(itf, iCond, "left")
       .withColumn(
         "prediction",
         when(col("__ufeat").isNull || col("__ifeat").isNull, lit(Float.NaN))

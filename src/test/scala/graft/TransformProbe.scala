@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** THROWAWAY probe (not part of the driver contract): isolate whether the
+/** THROWAWAY probe (test scope — run with `sbt "Test/runMain graft.TransformProbe"`;
+  * round-10 ADVICE: keep throwaway harnesses out of the shipped binary): isolate whether the
   * ×100 transform gap vs MLlib is join-key width (our BIGINT ids vs
   * MLlib's INT) by timing the identical two-join + dot plan with long vs
   * int keys on the same data and model.
@@ -65,6 +66,13 @@ object TransformProbe {
     settle()
     timed("transform_model_api") {
       model.transform(ratings).write.format("noop").mode("overwrite").save()
+    }
+    settle()
+    // the opt-in INT-key serving path (GraftALSModel.withCompactIds) — the
+    // model-API row that should close the measured long-vs-int key gap
+    val compact = model.withCompactIds()
+    timed("transform_model_int") {
+      compact.transform(ratings).write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

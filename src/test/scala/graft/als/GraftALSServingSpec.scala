@@ -217,4 +217,37 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("withCompactIds transform is bit-identical to the LONG-key path") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = 4
+    val users = syntheticFactors(n = 40, dim = dim, seed = 31L)
+    val items = syntheticFactors(n = 25, dim = dim, seed = 32L)
+    val model = GraftALSModel(rank = dim, userFactors = users, itemFactors = items,
+      userCol = "user", itemCol = "item")
+    // scoring input includes unseen ids AND a long id whose Int wrap
+    // (2^32 + 3 -> 3) collides with a REAL user — the compact path's
+    // range guard must treat it as a cold-start miss, not user 3
+    val wrapId = (1L << 32) + 3L
+    val scoreIn = (Seq((wrapId, 5L), (999L, 3L)) ++
+      (for (u <- 0L until 40L; i <- 0L until 25L if (u + i) % 3 == 0) yield (u, i)))
+      .toDF("user", "item")
+    val compact = model.withCompactIds()
+    assert(compact.intKeyTransform, "all ids fit Int, so compaction must engage")
+    def rows(m: GraftALSModel) = m.transform(scoreIn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), {
+        val p = r.getFloat(2); if (p.isNaN) "NaN" else p.toString
+      })).toSet
+    assert(rows(compact) == rows(model))
+    // and the wrap id specifically scored NaN (no factor row), not user 3's dot
+    val wrapRow = compact.transform(scoreIn)
+      .where(col("user") === wrapId).select("prediction").head()
+    assert(wrapRow.getFloat(0).isNaN, "wrapped Long id must be a cold-start miss")
+    // ids beyond Int range leave the model un-compacted
+    val bigUsers = users.withColumn("id", col("id") + (Long.MaxValue / 2))
+    val m2 = GraftALSModel(rank = dim, userFactors = bigUsers, itemFactors = items)
+      .withCompactIds()
+    assert(!m2.intKeyTransform)
+  }
 }

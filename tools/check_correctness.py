@@ -31,6 +31,25 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def run_diag(con, name: str, out_dir: str) -> None:
+    """Enforcing oracles (WHERE-clause quality gates like sketch_aggregates'
+    sketch-error bounds) fail as a bare rows mismatch; when tools/diag/<name>
+    .sql exists, run it and print the side-by-side values so the failure is
+    diagnosable from the gate output (round-10 ADVICE)."""
+    import os
+    diag = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "diag", f"{name}.sql")
+    if not os.path.exists(diag):
+        return
+    with open(diag) as fh:
+        sql = fh.read().replace("{{OUT}}", os.path.abspath(out_dir))
+    try:
+        print(f"{'':28s} DIAG ({name}):")
+        print(con.execute(sql).df().to_string(index=False))
+    except Exception as e:
+        print(f"{'':28s} DIAG-ERROR {e}")
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -81,6 +100,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         if len(s) != len(o):
             print(f"{name:28s} ROWS-MISMATCH spark={len(s)} duck={len(o)}")
             failures += 1
+            run_diag(con, name, out_dir)
             continue
         bad = None
         for col in s.columns:
