@@ -50,9 +50,13 @@ object Bench {
       try {
         body
         timings(name) = (System.nanoTime() - t0) / 1e9
+        // stderr progress: long scale-tier runs are monitored live, and a
+        // hung query is indistinguishable from a slow one without this.
+        System.err.println(f"[bench] $name ${timings(name)}%.2fs")
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
       }
     }
 
