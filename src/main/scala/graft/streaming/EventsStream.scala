@@ -169,9 +169,17 @@ object EventsStream {
   }
 
   /** Runs a streaming transform to completion over the fixture files with
-    * `Trigger.AvailableNow` and returns the accumulated result as a batch
-    * DataFrame (memory sink). Used by the verify harness so the streaming
-    * path is DuckDB-oracle-checkable.
+    * `Trigger.AvailableNow` and returns the result as a batch DataFrame.
+    * Used by the verify harness so the streaming path is
+    * DuckDB-oracle-checkable.
+    *
+    * The sink is a parquet FILE sink read back after termination — NOT the
+    * memory sink: the memory sink collects every result row onto the
+    * driver heap, which held to the ×10 tier but OOM'd an 8g driver at
+    * ×100 (`stream_dedup` emits ~10M wide rows there). The file round-trip
+    * keeps the result distributed end-to-end (executors → parquet →
+    * batch scan) at the cost of one scratch write, which is the only
+    * shape that survives a 100 TB stream.
     */
   def runToBatch(
       spark: SparkSession,
@@ -179,14 +187,25 @@ object EventsStream {
       transform: DataFrame => DataFrame,
       queryName: String): DataFrame = {
     val out = transform(readEvents(spark, sfDir))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$queryName"
+    // fresh scratch per run: a stale sink dir + fresh checkpoint would
+    // double rows (AvailableNow re-offers all input under a new query id)
+    deleteRecursively(new java.io.File(base))
     val q = out.writeStream
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    try spark.read.parquet(s"$base/out")
+    catch {
+      // zero micro-batches committed → no part files to infer from
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], out.schema)
+    }
   }
 
   /** Micro-batch merge-on-write index maintenance via `foreachBatch`: for
