@@ -92,6 +92,15 @@ object Bench {
       // GC-driven; with a large heap nothing collects between queries and
       // accumulated state slows later queries by an order of magnitude)
       spark.catalog.clearCache()
+      // catalog.clearCache() misses RDD-level persists (blocked-ALS
+      // intermediates, checkpointed component frontiers); a leak here
+      // occupies storage memory for the REST of the suite and shows up as
+      // late-suite inflation, so unpersist and name the leaker.
+      val leaked = spark.sparkContext.getPersistentRDDs
+      if (leaked.nonEmpty) {
+        System.err.println(s"[bench] $name leaked ${leaked.size} persistent RDD(s)")
+        leaked.valuesIterator.foreach(_.unpersist(blocking = false))
+      }
       System.gc()
     }
 
