@@ -168,6 +168,20 @@ object EventsStream {
         col("purchase_value").cast("double").as("purchase_value"))
   }
 
+  /** Default state-partition count for the fixture-tier streams. Stateful
+    * operators pay a per-partition, per-micro-batch fixed cost (state-store
+    * open/commit/snapshot against the checkpoint dir; a stream-stream join
+    * runs FOUR stores per partition), measured at ~250 ms/partition/batch —
+    * so state partitioning must be sized to STATE VOLUME, not inherited
+    * from the session's batch shuffle width: at 32 partitions the interval
+    * join reads ~8.7 s per run, at 8 it reads ~3.0 s, with identical
+    * results. A production deployment sizes this as state bytes / target
+    * store size (and can only grow it by starting a fresh checkpoint —
+    * Spark pins it per checkpoint); the fixture tiers' watermark-bounded
+    * state fits comfortably in 8.
+    */
+  val defaultStatePartitions: Int = 8
+
   /** Runs a streaming transform to completion over the fixture files with
     * `Trigger.AvailableNow` and returns the result as a batch DataFrame.
     * Used by the verify harness so the streaming path is
@@ -180,13 +194,22 @@ object EventsStream {
     * keeps the result distributed end-to-end (executors → parquet →
     * batch scan) at the cost of one scratch write, which is the only
     * shape that survives a 100 TB stream.
+    *
+    * The stream runs on a CLONED session (`spark.newSession()` — shared
+    * SparkContext, independent SQLConf) with `spark.sql.shuffle.partitions`
+    * set to `statePartitions`, so stateful-operator state is partitioned by
+    * state volume while the caller's session — and any concurrent analysis
+    * in it — keeps its batch shuffle width untouched.
     */
   def runToBatch(
       spark: SparkSession,
       sfDir: String,
       transform: DataFrame => DataFrame,
-      queryName: String): DataFrame = {
-    val out = transform(readEvents(spark, sfDir))
+      queryName: String,
+      statePartitions: Int = defaultStatePartitions): DataFrame = {
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val out = transform(readEvents(streamSession, sfDir))
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$queryName"
     // fresh scratch per run: a stale sink dir + fresh checkpoint would
     // double rows (AvailableNow re-offers all input under a new query id)
