@@ -452,7 +452,16 @@ object Dedup {
       pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
       .localCheckpoint(true)
     var prevIds = persistedIds -- before0
-    var done = edges.isEmpty
+    // (count, sum(u), sum(v)) fingerprint for the cheap fixpoint test:
+    // one tiny aggregate job instead of a per-round except() shuffle
+    def fingerprint(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var edgesFp = fingerprint(edges)
+    var done = edgesFp._1 == 0L
     var iter = 0
     while (!done && iter < maxIterations) {
       // large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u})
@@ -473,11 +482,17 @@ object Dedup {
           .union(withM.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
       val newIds = persistedIds -- beforeN
-      // fixpoint: the star edge set reproduces itself exactly. (distinct
-      // sets + equal counts + empty difference ⇒ equality; at extreme
-      // scale swap the except() for a cheap monotone edge-count check —
-      // the star set only shrinks once components are resolved)
-      done = afterSmall.count() == edges.count() && afterSmall.except(edges).isEmpty
+      // fixpoint, two tiers: both star steps are pointwise non-increasing
+      // on edge endpoints (each rewrites an endpoint to a min over a set
+      // containing it), so the (count, Σu, Σv) fingerprint is monotone —
+      // an unchanged fingerprint is a near-certain fixpoint flagged by ONE
+      // tiny aggregate per round. Only then does the exact except()
+      // confirmation run (a full distinct-shuffle set-difference that used
+      // to run EVERY round and dominated round cost at the ×100 tier); a
+      // false positive just costs that one confirmation and iterates on.
+      val afterFp = fingerprint(afterSmall)
+      done = afterFp == edgesFp && afterSmall.except(edges).isEmpty
+      edgesFp = afterFp
       prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevIds = newIds
       edges = afterSmall
