@@ -95,8 +95,14 @@ object Bench {
       // catalog.clearCache() misses RDD-level persists (blocked-ALS
       // intermediates, checkpointed component frontiers); a leak here
       // occupies storage memory for the REST of the suite and shows up as
-      // late-suite inflation, so unpersist and name the leaker.
+      // late-suite inflation, so unpersist and name the leaker. The
+      // memoized session models' factor RDDs are EXEMPT: they are the
+      // documented one-model-per-sfDir session cache, and sweeping them
+      // forces every later ALS query to recompute factors from lineage
+      // (measured als_item_neighbors 21→56 s at ×10 under such a sweep).
+      val pinned = graft.queries.Queries.pinnedRddIds
       val leaked = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !pinned.contains(id) }
       if (leaked.nonEmpty) {
         System.err.println(s"[bench] $name leaked ${leaked.size} persistent RDD(s)")
         leaked.valuesIterator.foreach(_.unpersist(blocking = false))

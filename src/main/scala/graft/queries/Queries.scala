@@ -1294,10 +1294,24 @@ object Queries {
     * models otherwise pin executor memory for the session lifetime).
     */
   def clearModels(): Unit = {
-    (modelCache.values ++ implicitModelCache.values).foreach(_.unpersist())
+    (modelCache.values ++ implicitModelCache.values ++ nnModelCache.values)
+      .foreach(_.unpersist())
     modelCache.clear()
     implicitModelCache.clear()
+    nnModelCache.clear()
   }
+
+  /** RDD ids pinned by the memoized session models: deliberate cross-query
+    * session state ("ALS queries share one trained model per sfDir per
+    * JVM"), NOT leaks — a harness sweeping `sc.getPersistentRDDs` between
+    * queries must exempt these or every later ALS query recomputes its
+    * factors from lineage (and localCheckpointed factors cannot recompute
+    * at all: measured als_item_neighbors 21→56 s at ×10 when a round-10
+    * bench sweep unpersisted them).
+    */
+  def pinnedRddIds: Set[Int] =
+    (modelCache.values ++ implicitModelCache.values ++ nnModelCache.values)
+      .flatMap(_.backingRdds.map(_.id)).toSet
 
   private def implicitModel(s: SparkSession, dir: String): GraftALSModel =
     implicitModelCache.getOrElseUpdate((sessionKey(s), dir), {
