@@ -230,4 +230,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == got)
     EventsStream.deleteRecursively(new java.io.File(root))
   }
+
+  test("state-partition count never changes stream results, or the caller's session conf") {
+    // state partitioning is a COST knob (state-store instances per
+    // stateful op), sized to state volume in runToBatch; results must be
+    // partitioning-invariant and the caller's session must keep its own
+    // shuffle width (the stream runs on a cloned session)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def rows(parts: Int): Set[(Long, Long, Long)] = EventsStream.runToBatch(
+      spark, sfDir, EventsStream.purchaseViewJoin(_), s"spec_pv_parts_$parts",
+      statePartitions = parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r4 = rows(4)
+    val r32 = rows(32)
+    assert(r4 == r32, s"4-part run ${r4.size} rows vs 32-part ${r32.size}")
+    assert(r4.nonEmpty)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
