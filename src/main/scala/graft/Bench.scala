@@ -119,28 +119,12 @@ object Bench {
     if (only.isEmpty && skip.isEmpty) locally {
       val h2hNames = Seq("als_train_graft", "als_train_mllib",
         "als_transform_graft", "als_transform_mllib")
-      val out = java.nio.file.Files.createTempFile("graft_h2h", ".json")
-      val javaBin = java.nio.file.Paths.get(
-        System.getProperty("java.home"), "bin", "java").toString
-      val cmd: Seq[String] =
-        Seq(javaBin) ++ HeadToHead.jdk17AddOpens ++ Seq(
-          "-Xmx8g", "-XX:ReservedCodeCacheSize=512m",
-          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-          "-cp", System.getProperty("java.class.path"),
-          "graft.HeadToHead", out.toString)
       try {
-        val pb = new ProcessBuilder(cmd: _*).inheritIO()
-        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-        val exit = pb.start().waitFor()
-        val text = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
-        if (exit != 0 || text.isEmpty)
-          sys.error(s"head-to-head child exited $exit with ${text.length}B output")
-        val num = """"(\w+)":([0-9.eE+-]+)""".r
-        num.findAllMatchIn(text).foreach { m =>
-          if (h2hNames.contains(m.group(1))) timings(m.group(1)) = m.group(2).toDouble
+        val (rows, b) = HeadToHead.forkAndParse(sfDir, cpus)
+        rows.foreach { case (k, v) =>
+          if (h2hNames.contains(k)) timings(k) = v
         }
-        """"blas":"(\w+)"""".r.findFirstMatchIn(text).foreach(m => blas = m.group(1))
+        b.foreach(blas = _)
         val missing = h2hNames.filterNot(timings.contains)
         if (missing.nonEmpty) sys.error(s"head-to-head rows missing: $missing")
       } catch {
@@ -188,8 +172,6 @@ object Bench {
             mllibModel.transform(graft.queries.Queries.ratingsDF(spark, sfDir))
               .write.format("noop").mode("overwrite").save()
           }
-      } finally {
-        try java.nio.file.Files.deleteIfExists(out) catch { case _: Throwable => () }
       }
     }
 

@@ -49,6 +49,44 @@ object HeadToHead {
       cls.getMethod("getInstance").invoke(null).getClass.getSimpleName
     } catch { case _: Throwable => "unavailable" }
 
+  /** Forks `graft.HeadToHead` in a fresh JVM (optionally one `side`:
+    * "graft" | "mllib") and returns its parsed numeric rows plus the BLAS
+    * impl it reported. The ONE place the fork command line and output
+    * parsing live — shared by [[Bench]]'s in-suite fork and
+    * [[HeadToHeadRepeats]]' per-side alternation, so the two protocols
+    * cannot silently diverge on JVM flags or format.
+    */
+  def forkAndParse(
+      sfDir: String,
+      cpus: String,
+      xmx: String = "8g",
+      side: Option[String] = None): (Map[String, Double], Option[String]) = {
+    val out = java.nio.file.Files.createTempFile(
+      s"graft_h2h${side.fold("")("_" + _)}", ".json")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cmd: Seq[String] =
+      Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+        s"-Xmx$xmx", "-XX:ReservedCodeCacheSize=512m",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.HeadToHead", out.toString) ++ side.toSeq
+    val pb = new ProcessBuilder(cmd: _*).inheritIO()
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    val exit = pb.start().waitFor()
+    val text = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    try java.nio.file.Files.deleteIfExists(out) catch { case _: Throwable => () }
+    if (exit != 0 || text.isEmpty)
+      sys.error(s"head-to-head fork${side.fold("")(" (" + _ + ")")} " +
+        s"exited $exit with ${text.length}B output")
+    val num = """"(\w+)":([0-9.eE+-]+)""".r
+    val rows = num.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val blas = """"blas":"(\w+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    (rows, blas)
+  }
+
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("/tmp/graft_headtohead.json")
     val side = args.lift(1).getOrElse("all")

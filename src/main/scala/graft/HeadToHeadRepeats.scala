@@ -24,34 +24,18 @@ object HeadToHeadRepeats {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val xmx = sys.env.getOrElse("SPARK_GRAFT_H2H_XMX", "8g")
-    val javaBin = java.nio.file.Paths.get(
-      System.getProperty("java.home"), "bin", "java").toString
 
     val samples = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     var blas = "unavailable"
 
     def fork(side: String): Unit = {
-      val out = java.nio.file.Files.createTempFile(s"graft_h2h_$side", ".json")
-      val cmd: Seq[String] =
-        Seq(javaBin) ++ HeadToHead.jdk17AddOpens ++ Seq(
-          s"-Xmx$xmx", "-XX:ReservedCodeCacheSize=512m",
-          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-          "-cp", System.getProperty("java.class.path"),
-          "graft.HeadToHead", out.toString, side)
-      val pb = new ProcessBuilder(cmd: _*).inheritIO()
-      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-      val exit = pb.start().waitFor()
-      val text = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
-      if (exit != 0 || text.isEmpty)
-        sys.error(s"head-to-head fork ($side) exited $exit with ${text.length}B output")
-      val num = """"(\w+)":([0-9.eE+-]+)""".r
-      num.findAllMatchIn(text).foreach { m =>
-        samples.getOrElseUpdate(m.group(1), scala.collection.mutable.ArrayBuffer.empty)
-          .append(m.group(2).toDouble)
+      val (rows, b) = HeadToHead.forkAndParse(sfDir, cpus, xmx, Some(side))
+      rows.foreach { case (k, v) =>
+        samples.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty)
+          .append(v)
       }
-      """"blas":"(\w+)"""".r.findFirstMatchIn(text).foreach(m => blas = m.group(1))
+      b.foreach(blas = _)
     }
 
     (0 until rounds).foreach { r =>
@@ -70,12 +54,16 @@ object HeadToHeadRepeats {
     val ratioTrain = med("als_train_graft") / med("als_train_mllib")
     val ratioTransform = med("als_transform_graft") / med("als_transform_mllib")
 
-    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: f"" uses the JVM default locale, which can render
+    // 1.234 as "1,234" and corrupt the JSON artifact
+    def num(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    def arr(xs: Seq[Double]) = xs.map(num).mkString("[", ",", "]")
     val body = rows.map(r =>
-      s""""$r":{"samples":${arr(samples(r).toSeq)},"median":${f"${med(r)}%.3f"}}""")
+      s""""$r":{"samples":${arr(samples(r).toSeq)},"median":${num(med(r))}}""")
       .mkString(",")
     val line = s"""{"sf_dir":"$sfDir","rounds":$rounds,"protocol":"per-side fresh-JVM forks, alternating graft/mllib","""+
-      s"""$body,"ratio_train":${f"$ratioTrain%.3f"},"ratio_transform":${f"$ratioTransform%.3f"},"blas":"$blas"}"""
+      s"""$body,"ratio_train":${num(ratioTrain)},"ratio_transform":${num(ratioTransform)},"blas":"$blas"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), (line + "\n").getBytes("UTF-8"))
     println(line)

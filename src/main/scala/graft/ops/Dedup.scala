@@ -454,11 +454,17 @@ object Dedup {
     var prevIds = persistedIds -- before0
     // (count, sum(u), sum(v)) fingerprint for the cheap fixpoint test:
     // one tiny aggregate job instead of a per-round except() shuffle
-    def fingerprint(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+    // set fingerprint = (count, XOR of a 64-bit edge hash): exact,
+    // order-independent, and overflow-free — ids may be hash-derived longs
+    // (~2^62, this module's own xxhash64 keys), so a SUM-based fingerprint
+    // would overflow and THROW under ANSI mode. Equal sets always give
+    // equal fingerprints (no false "changed" → no missed fixpoint); a
+    // 2^-64-probability xor collision only triggers the exact except()
+    // confirmation, which remains the arbiter.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var edgesFp = fingerprint(edges)
     var done = edgesFp._1 == 0L
@@ -482,14 +488,13 @@ object Dedup {
           .union(withM.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
       val newIds = persistedIds -- beforeN
-      // fixpoint, two tiers: both star steps are pointwise non-increasing
-      // on edge endpoints (each rewrites an endpoint to a min over a set
-      // containing it), so the (count, Σu, Σv) fingerprint is monotone —
-      // an unchanged fingerprint is a near-certain fixpoint flagged by ONE
-      // tiny aggregate per round. Only then does the exact except()
-      // confirmation run (a full distinct-shuffle set-difference that used
-      // to run EVERY round and dominated round cost at the ×100 tier); a
-      // false positive just costs that one confirmation and iterates on.
+      // fixpoint, two tiers: an unchanged (count, xor-hash) fingerprint is
+      // a near-certain set equality flagged by ONE tiny aggregate per
+      // round. Only then does the exact except() confirmation run (a full
+      // distinct-shuffle set-difference that used to run EVERY round and
+      // dominated round cost at the ×100 tier); a fingerprint collision
+      // just costs that one confirmation and iterates on, so exactness is
+      // unconditional.
       val afterFp = fingerprint(afterSmall)
       done = afterFp == edgesFp && afterSmall.except(edges).isEmpty
       edgesFp = afterFp

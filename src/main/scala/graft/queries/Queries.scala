@@ -3651,6 +3651,13 @@ object Queries {
     */
   val retrainGainMargin: Double = 0.02
 
+  /** The drift meter's decision rule, shared by the query body and pinned
+    * by `DriftThresholdSpec`: STRICT inequality — a gain equal to the
+    * noise budget is not evidence of decay. The DuckDB oracle re-derives
+    * the identical comparison over the same doubles.
+    */
+  def retrainDecision(gain: Double): Boolean = gain > retrainGainMargin
+
   /** Codebook freshly retrained on base ∪ drifted, with the SAME cell
     * count as the stale per-dir codebook so the drift meter isolates
     * centroid placement from probe-fraction effects.
@@ -3822,7 +3829,7 @@ object Queries {
     // to subtract. The margin is the recall budget an append window may
     // burn before a retrain pays for itself; oracle re-derives the same
     // comparison over identical integer-division doubles.
-    Seq((n, sr, fr, fr - sr, (fr - sr) > retrainGainMargin))
+    Seq((n, sr, fr, fr - sr, retrainDecision(fr - sr)))
       .toDF("n_exact_pairs", "stale_recall", "fresh_recall", "retrain_gain",
         "retrain_recommended")
   }

@@ -210,7 +210,13 @@ object EventsStream {
     val streamSession = spark.newSession()
     streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions)
     val out = transform(readEvents(streamSession, sfDir))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$queryName"
+    // pid-scoped scratch: a world-shared path would let a concurrent
+    // process running the same queryName delete this run's live
+    // checkpoint mid-stream (and read back the wrong rows). The returned
+    // DataFrame stays lazily backed by these files, so cleanup is
+    // deferred to the next same-process run / tmp reaping, not done here.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+      s"${ProcessHandle.current().pid()}_$queryName"
     // fresh scratch per run: a stale sink dir + fresh checkpoint would
     // double rows (AvailableNow re-offers all input under a new query id)
     deleteRecursively(new java.io.File(base))

@@ -26,33 +26,23 @@ object StreamProbe {
     graft.Tables.load(spark, sfDir, "region")
       .write.format("noop").mode("overwrite").save()
 
+    // NOTE: runToBatch now runs the stream on a CLONED session pinned to
+    // the statePartitions argument (the production fix this probe's first
+    // sweep motivated), so the sweep passes the count explicitly — setting
+    // the parent session's shuffle conf would be a silent no-op, and a
+    // listener on the parent session would never see the cloned session's
+    // progress events.
     def run(tag: String, parts: Int): Unit = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
       val t0 = System.nanoTime()
       val df = graft.streaming.EventsStream.runToBatch(
         spark, sfDir, graft.streaming.EventsStream.purchaseViewJoin(_),
-        s"probe_${tag}_$parts")
+        s"probe_${tag}_$parts", statePartitions = parts)
       val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] parts=$parts%3d rows=$n%8d  $sec%6.2f s")
       spark.streams.resetTerminated()
       spark.catalog.clearCache(); System.gc()
     }
-
-    // batch-count visibility: listener prints each progress line
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val p = e.progress
-        println(f"[probe]   batch=${p.batchId}%2d rows=${p.numInputRows}%8d " +
-          f"durMs=${p.batchDuration}%6d addBatch=${p.durationMs.getOrDefault("addBatch", -1L)}%6d " +
-          f"commit=${p.durationMs.getOrDefault("commitOffsets", -1L)}%5d " +
-          f"getBatch=${p.durationMs.getOrDefault("getBatch", -1L)}%5d " +
-          f"plan=${p.durationMs.getOrDefault("queryPlanning", -1L)}%5d")
-      }
-    })
 
     Seq(32, 32, 8, 8, 4, 64).foreach(p => run("pv", p))
     spark.stop()

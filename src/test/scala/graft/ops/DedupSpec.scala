@@ -232,6 +232,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(_.getLong(1) == 0L), "every chain node must label to the min id 0")
   }
 
+  test("connected components accept hash-magnitude ids without ANSI overflow") {
+    // ids near Long.MaxValue, as produced by this module's own xxhash64
+    // content keys: a SUM-based fixpoint fingerprint overflows long
+    // arithmetic here and THROWS under Spark 4's default ANSI mode — the
+    // xor fingerprint must not
+    val spark2 = spark
+    import spark2.implicits._
+    val big = Long.MaxValue - 10L
+    val edges = Seq(
+      (big, big - 1L), (big - 1L, big - 2L),       // one component of three
+      (big - 5L, big - 6L))                        // and a separate pair
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      big -> (big - 2L), (big - 1L) -> (big - 2L), (big - 2L) -> (big - 2L),
+      (big - 5L) -> (big - 6L), (big - 6L) -> (big - 6L)))
+  }
+
   test("incremental keepers admit only content absent from the index") {
     val corpus = docsDF(Seq(1L -> base, 2L -> "already indexed body of text"))
     val batch = docsDF(Seq(

@@ -14,8 +14,12 @@ class DriftThresholdSpec extends AnyFunSuite with SparkFixture {
   test("margin is a strict threshold at the documented noise budget") {
     val m = Queries.retrainGainMargin
     assert(m == 0.02, "margin is the documented sampling-CI-scale budget")
-    assert(!(m > m), "gain == margin must NOT recommend a retrain")
-    assert(m + 1e-9 > m, "any gain above the margin must recommend one")
+    // the PRODUCTION decision rule (the one simDriftRecall emits), not a
+    // tautology over the raw comparison operator
+    assert(!Queries.retrainDecision(m), "gain == margin must NOT recommend a retrain")
+    assert(Queries.retrainDecision(m + 1e-9), "any gain above the margin must")
+    assert(!Queries.retrainDecision(0.0))
+    assert(!Queries.retrainDecision(-0.1), "improving recall never recommends")
   }
 
   test("sim_drift_recall emits a flag consistent with its own gain column") {
