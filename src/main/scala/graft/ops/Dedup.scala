@@ -259,6 +259,14 @@ object Dedup {
     * Recall note: a pair sharing only stop-shingles is missed — at any
     * reasonable cap such pairs are far below near-dup thresholds anyway.
     */
+  /** @param idAPredicate when set, restricts the PAIR LISTING to pairs
+    *   whose canonical smaller id (`id_a`) satisfies the predicate — the
+    *   filter is pushed into candidate generation (the x-side postings),
+    *   so the candidate join and exact-Jaccard verify shrink with the
+    *   sample instead of filtering after the fact. Used by recall meters
+    *   that estimate pair recall over a deterministic hash sample of
+    *   anchor documents; similarity values are unaffected.
+    */
   def ngramJaccardPairs(
       documents: DataFrame,
       textCol: String = "text",
@@ -266,7 +274,8 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxDocFrequency: Int = 100,
-      minSharedShingles: Int = 2): DataFrame = {
+      minSharedShingles: Int = 2,
+      idAPredicate: Option[Column => Column] = None): DataFrame = {
     // persisted: feeds the inverted index AND both sides of the verify
     // join — without the cache the (HOF) shingle computation runs 3×
     val sh = Parallelism.widen(documents).select(
@@ -284,8 +293,11 @@ object Dedup {
     val postings = inverted.join(rare, "sh_hash")
     // candidate = pair sharing >= minSharedShingles discriminative shingles:
     // a codegen'd count-aggregate prunes the long random-collision tail
-    // BEFORE the (expensive) exact array-intersection verify
-    val candidates = postings.as("x")
+    // BEFORE the (expensive) exact array-intersection verify. The x side
+    // carries the pair's smaller id (the join enforces x.id < y.id), so an
+    // id_a sample predicate applies here and shrinks everything downstream.
+    val xPostings = idAPredicate.fold(postings)(p => postings.where(p(col("id"))))
+    val candidates = xPostings.as("x")
       .join(postings.as("y"),
         col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -250,6 +250,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (big - 5L) -> (big - 6L), (big - 6L) -> (big - 6L)))
   }
 
+  test("ngram pair sampling equals the unsampled listing filtered on id_a") {
+    // the predicate is pushed into candidate generation for cost, so pin
+    // that it changes WHICH pairs are listed, never their similarity
+    val docs = docsDF(Seq(
+      1L -> base, 2L -> base.replace("lazy", "sleepy"),
+      3L -> base.replace("quick", "slow"), 4L -> base,
+      5L -> "something else entirely unrelated"))
+    def pairs(pred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      Dedup.ngramJaccardPairs(docs, threshold = 0.3, maxDocFrequency = 10,
+        minSharedShingles = 1, idAPredicate = pred)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(None)
+    val evenA = pairs(Some(id => id % 2 === 0))
+    assert(evenA == full.filter(_._1 % 2 == 0))
+    assert(evenA.nonEmpty && evenA != full)
+  }
+
   test("incremental keepers admit only content absent from the index") {
     val corpus = docsDF(Seq(1L -> base, 2L -> "already indexed body of text"))
     val batch = docsDF(Seq(
