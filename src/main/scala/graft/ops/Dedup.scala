@@ -258,8 +258,8 @@ object Dedup {
     *
     * Recall note: a pair sharing only stop-shingles is missed — at any
     * reasonable cap such pairs are far below near-dup thresholds anyway.
-    */
-  /** @param idAPredicate when set, restricts the PAIR LISTING to pairs
+    *
+    * @param idAPredicate when set, restricts the PAIR LISTING to pairs
     *   whose canonical smaller id (`id_a`) satisfies the predicate — the
     *   filter is pushed into candidate generation (the x-side postings),
     *   so the candidate join and exact-Jaccard verify shrink with the
@@ -464,8 +464,6 @@ object Dedup {
       pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
       .localCheckpoint(true)
     var prevIds = persistedIds -- before0
-    // (count, sum(u), sum(v)) fingerprint for the cheap fixpoint test:
-    // one tiny aggregate job instead of a per-round except() shuffle
     // set fingerprint = (count, XOR of a 64-bit edge hash): exact,
     // order-independent, and overflow-free — ids may be hash-derived longs
     // (~2^62, this module's own xxhash64 keys), so a SUM-based fingerprint

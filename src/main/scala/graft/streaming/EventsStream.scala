@@ -215,6 +215,7 @@ object EventsStream {
     // checkpoint mid-stream (and read back the wrong rows). The returned
     // DataFrame stays lazily backed by these files, so cleanup is
     // deferred to the next same-process run / tmp reaping, not done here.
+    sweepStaleScratch
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
       s"${ProcessHandle.current().pid()}_$queryName"
     // fresh scratch per run: a stale sink dir + fresh checkpoint would
@@ -340,6 +341,31 @@ object EventsStream {
       .map(_.getName.stripPrefix("v").toLong)
     require(vs.nonEmpty, s"no committed index version under $indexDir")
     spark.read.parquet(s"$indexDir/v${vs.max}")
+  }
+
+  /** Deletes `graft_stream_<pid>_*` scratch dirs left by DEAD processes:
+    * the per-run delete above only covers this pid's own paths, so repeated
+    * bench/verify JVMs would otherwise accumulate multi-GB parquet +
+    * checkpoint dirs in java.io.tmpdir at the scale tiers. Live pids
+    * (including this one) are never touched, so a concurrent run's
+    * in-flight checkpoint is safe. Runs once per JVM.
+    */
+  private lazy val sweepStaleScratch: Unit = {
+    val self = ProcessHandle.current().pid()
+    val re = "graft_stream_(\\d+)_.*".r
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).toSeq.flatten.filter(_.isDirectory).foreach { f =>
+      f.getName match {
+        case re(pidStr) =>
+          val pid = pidStr.toLong
+          val alive = pid == self || {
+            val h = ProcessHandle.of(pid)
+            h.isPresent && h.get.isAlive
+          }
+          if (!alive) deleteRecursively(f)
+        case _ => ()
+      }
+    }
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

@@ -36,6 +36,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val pathRe = """read_parquet\('([^']+)'\)""".r
+    // bare identifiers in table position: FROM/JOIN followed by a plain
+    // name (a trailing paren marks a table FUNCTION — range(), read_parquet
+    // — which the path check above owns)
+    val identRe = """(?i)\b(?:FROM|JOIN)\s+([a-zA-Z_]\w*)\b(?!\s*\()""".r
+    val cteRe = """(?i)\b([a-zA-Z_]\w*)\s*(?:\([^)]*\))?\s+AS\s*\(""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       pathRe.findAllMatchIn(sql).foreach { m =>
         val p = m.group(1)
@@ -43,7 +48,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
           s"$name oracle reads a non-dump path: $p")
       }
       assert(!sql.contains("/tmp/"), s"$name oracle hardcodes a /tmp path")
+      val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      identRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { id =>
+        assert(tables.contains(id) || ctes.contains(id),
+          s"$name oracle reads unknown table '$id' (not a fixture or CTE)")
+      }
     }
-    assert(tables.nonEmpty)
   }
 }
