@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -238,48 +238,116 @@ object EventsStream {
     }
   }
 
+  /** Key → hash-bucket of the merge-on-write index layout. A pure
+    * function of the key, so it never needs storing: reads of raw version
+    * dirs re-derive it.
+    */
+  private def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
+
+  /** Latest committed version number under one `bucket=<b>` dir. */
+  private def latestVersion(bucketDir: java.io.File): Option[Long] =
+    Option(bucketDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.stripPrefix("v").toLong).sorted.lastOption
+
+  private def bucketDirs(indexDir: String): Seq[java.io.File] =
+    Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+
+  /** Commits `merged` (rows of the touched buckets, carrying a `bucket`
+    * column) as version `v<batchId>` of each touched bucket: one
+    * partitioned staging write, then a per-bucket dir rename (the atomic
+    * commit), then pruning of exactly the versions this batch replaced.
+    * Untouched buckets are never read, written, or renamed — their files
+    * stay byte-identical, which is the whole point of the layout.
+    */
+  private def commitBuckets(
+      merged: DataFrame,
+      indexDir: String,
+      batchId: Long,
+      touched: Seq[Int],
+      replaced: Map[Int, Long]): Unit = {
+    if (touched.isEmpty) return
+    val staging = new java.io.File(s"$indexDir/.staging_v$batchId")
+    deleteRecursively(staging)
+    merged.write.partitionBy("bucket").parquet(staging.getPath)
+    touched.foreach { b =>
+      val src = new java.io.File(staging, s"bucket=$b")
+      if (src.isDirectory) {
+        val bucketDir = new java.io.File(s"$indexDir/bucket=$b")
+        bucketDir.mkdirs()
+        val dst = new java.io.File(bucketDir, s"v$batchId")
+        // a crashed earlier attempt of the SAME batch may have left a
+        // partial v<batchId>; replace it (the merge is idempotent)
+        deleteRecursively(dst)
+        require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
+        replaced.get(b).filter(_ != batchId).foreach { v =>
+          deleteRecursively(new java.io.File(bucketDir, s"v$v"))
+        }
+      }
+    }
+    deleteRecursively(staging)
+  }
+
   /** Micro-batch merge-on-write index maintenance via `foreachBatch`: for
     * a streaming `(content_hash, event_id)` frame, keeps a parquet index
-    * of the FIRST event id seen per content hash, merged and atomically
-    * versioned per micro-batch (`v<batchId>` dirs; readers take the
-    * latest, the writer prunes the rest after a successful commit). This
-    * is the streaming twin of [[graft.ops.Dedup.exactHashIndex]] — the
-    * daily-crawl index that batch `dedup_incremental` consults, kept
-    * fresh by the stream itself.
+    * of the FIRST event id seen per content hash. This is the streaming
+    * twin of [[graft.ops.Dedup.exactHashIndex]] — the daily-crawl index
+    * that batch `dedup_incremental` consults, kept fresh by the stream
+    * itself.
+    *
+    * Layout: `indexDir/bucket=<b>/v<batchId>/` — the index is hash-bucket
+    * partitioned on the key (`numBuckets` dirs), and each micro-batch
+    * reads, re-mins, and rewrites ONLY the buckets its keys hash into.
+    * Per-trigger cost is O(touched buckets × bucket size), i.e. O(batch)
+    * once `numBuckets` is sized so a bucket holds a bounded key range —
+    * NOT O(index), which a full-index rewrite pays and which is fatal at
+    * 100 TB where the index dwarfs every batch. Versioned per-bucket
+    * commit: a reader takes each bucket's latest `v` dir, the writer
+    * renames a staged dir in and prunes the replaced version after.
     *
     * Exactly-once posture: the merge is `min`, a commutative/idempotent
     * reduction, so a replayed micro-batch (checkpoint recovery re-offers
     * the same files) converges to the same index instead of double
     * counting — the property that makes merge-on-write safe without a
     * transactional table format. At scale the index would live in a
-    * transactional format with compaction; the versioned-dir swap is the
-    * format-free equivalent, and the merge plan (old index ∪ batch minima
-    * → re-min) shuffles only hashes and ids, never payloads.
+    * transactional format with compaction; the per-bucket versioned-dir
+    * swap is the format-free equivalent, and the merge plan (touched old
+    * buckets ∪ batch minima → re-min) shuffles only hashes and ids,
+    * never payloads.
     */
   def firstSeenIndex(
       keyed: DataFrame,
       indexDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      numBuckets: Int = 8): Unit = {
     val spark = keyed.sparkSession
-    def versions: Seq[Long] =
-      Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("v"))
-        .map(_.getName.stripPrefix("v").toLong).sorted
     val q = keyed.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val newMin = batch.groupBy("content_hash")
+        val newMin = batch
+          .withColumn("bucket", bucketOf(col("content_hash"), numBuckets))
+          .groupBy("bucket", "content_hash")
           .agg(min(col("event_id")).as("first_event_id"))
-        val prior = versions
-        val merged = prior.lastOption match {
-          case Some(v) =>
-            spark.read.parquet(s"$indexDir/v$v")
+          .persist()
+        try {
+          // bounded collect: at most numBuckets values
+          val touched = newMin.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          val replaced = touched.flatMap { b =>
+            latestVersion(new java.io.File(s"$indexDir/bucket=$b")).map(b -> _)
+          }.toMap
+          val oldPaths = replaced.toSeq.sorted
+            .map { case (b, v) => s"$indexDir/bucket=$b/v$v" }
+          val merged =
+            if (oldPaths.isEmpty) newMin
+            else spark.read.parquet(oldPaths: _*)
+              .withColumn("bucket", bucketOf(col("content_hash"), numBuckets))
               .unionByName(newMin)
-              .groupBy("content_hash")
+              .groupBy("bucket", "content_hash")
               .agg(min(col("first_event_id")).as("first_event_id"))
-          case None => newMin
-        }
-        merged.write.mode("overwrite").parquet(s"$indexDir/v$batchId")
-        prior.foreach(v => deleteRecursively(new java.io.File(s"$indexDir/v$v")))
+          commitBuckets(merged, indexDir, batchId, touched, replaced)
+        } finally newMin.unpersist(blocking = false): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -295,36 +363,44 @@ object EventsStream {
     * refreshes within one micro-batch of their new ratings, while the
     * item side stays the (periodically retrained) batch model.
     *
-    * The merge keys on (user id, version) — last writer wins — so a
-    * checkpoint-replayed batch converges to the same table. Same
-    * versioned-dir commit discipline as [[firstSeenIndex]].
+    * The merge is last-writer-wins per user id, so a checkpoint-replayed
+    * batch converges to the same table. Same hash-bucketed layout and
+    * per-bucket versioned commit as [[firstSeenIndex]]: each micro-batch
+    * anti-joins and rewrites ONLY the buckets containing its users —
+    * O(touched buckets), not O(factor table) — while untouched buckets'
+    * files are never opened.
     */
   def onlineUserRefresh(
       ratings: DataFrame,
       model: graft.als.GraftALSModel,
       regParam: Double,
       factorsDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      numBuckets: Int = 8): Unit = {
     val spark = ratings.sparkSession
-    def versions: Seq[Long] =
-      Option(new java.io.File(factorsDir).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("v"))
-        .map(_.getName.stripPrefix("v").toLong).sorted
     val q = ratings.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val folded = model.foldInUsers(batch, regParam)
           .withColumn("updated_batch", lit(batchId))
-        val prior = versions
-        val merged = prior.lastOption match {
-          case Some(v) =>
-            val old = spark.read.parquet(s"$factorsDir/v$v")
-            // newest fold-in wins per user; untouched users carry forward
-            old.join(folded.select("id"), Seq("id"), "left_anti")
+          .withColumn("bucket", bucketOf(col("id"), numBuckets))
+          .persist()
+        try {
+          val touched = folded.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          val replaced = touched.flatMap { b =>
+            latestVersion(new java.io.File(s"$factorsDir/bucket=$b")).map(b -> _)
+          }.toMap
+          val oldPaths = replaced.toSeq.sorted
+            .map { case (b, v) => s"$factorsDir/bucket=$b/v$v" }
+          val merged =
+            if (oldPaths.isEmpty) folded
+            else spark.read.parquet(oldPaths: _*)
+              .withColumn("bucket", bucketOf(col("id"), numBuckets))
+              // newest fold-in wins per user; untouched users carry forward
+              .join(folded.select("id"), Seq("id"), "left_anti")
               .unionByName(folded)
-          case None => folded
-        }
-        merged.write.mode("overwrite").parquet(s"$factorsDir/v$batchId")
-        prior.foreach(v => deleteRecursively(new java.io.File(s"$factorsDir/v$v")))
+          commitBuckets(merged, factorsDir, batchId, touched, replaced)
+        } finally folded.unpersist(blocking = false): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -332,15 +408,16 @@ object EventsStream {
     q.awaitTermination()
   }
 
-  /** The current contents of a [[firstSeenIndex]] directory (its latest
-    * committed version).
+  /** The current contents of a [[firstSeenIndex]]/[[onlineUserRefresh]]
+    * directory: the union of every bucket's latest committed version.
+    * (`bucket` is a pure function of the key, re-derivable — so version
+    * dirs are read raw and the column is simply absent here.)
     */
   def latestIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val vs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .map(_.getName.stripPrefix("v").toLong)
-    require(vs.nonEmpty, s"no committed index version under $indexDir")
-    spark.read.parquet(s"$indexDir/v${vs.max}")
+    val paths = bucketDirs(indexDir)
+      .flatMap(bd => latestVersion(bd).map(v => s"${bd.getPath}/v$v"))
+    require(paths.nonEmpty, s"no committed index version under $indexDir")
+    spark.read.parquet(paths: _*)
   }
 
   /** Deletes `graft_stream_<pid>_*` scratch dirs left by DEAD processes:

@@ -220,14 +220,66 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val got = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 10L, "b" -> 5L, "c" -> 30L, "d" -> 50L))
-    // superseded versions are pruned: exactly one committed version remains
-    val vs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("v"))
-    assert(vs.length == 1)
+    // superseded versions are pruned: every bucket dir holds exactly one
+    // committed version (its latest), nothing else
+    val buckets = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    buckets.foreach { b =>
+      val vs = b.listFiles().filter(_.getName.startsWith("v"))
+      assert(vs.length == 1, s"${b.getName} kept ${vs.length} versions")
+    }
     // re-running against the same checkpoint is a no-op (no new files)
     EventsStream.firstSeenIndex(keyed, idx, ck)
     val again = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == got)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("firstSeenIndex rewrites ONLY the buckets a batch's keys hash into") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsib").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    // run 1: 64 keys spread across all 8 buckets
+    (0 until 64).map(i => (s"key_$i", 1000L + i)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    EventsStream.firstSeenIndex(stream, idx, ck)
+    // snapshot every committed file: untouched buckets must stay
+    // byte-identical (same paths, lengths, mtimes) across the next batch
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(idx))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = snapshot()
+    // run 2 (same checkpoint — AvailableNow offers only the new file):
+    // ONE new key, whose bucket we derive with the layout's own hash
+    val newKey = "key_one_more"
+    val touchedBucket = Seq(newKey).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(8L)).cast("int")).head().getInt(0)
+    Seq((newKey, 7L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, ck)
+    val after = snapshot()
+    val touchedPrefix = s"$idx/bucket=$touchedBucket/"
+    // untouched buckets: identical file set and metadata
+    assert(before.view.filterKeys(!_.startsWith(touchedPrefix)).toMap ==
+      after.view.filterKeys(!_.startsWith(touchedPrefix)).toMap,
+      "an untouched bucket was rewritten")
+    // the touched bucket WAS rewritten (new version dir)
+    assert(before.keySet.filter(_.startsWith(touchedPrefix)) !=
+      after.keySet.filter(_.startsWith(touchedPrefix)))
+    // and the merged content is still the global minimum per key
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 65 && got(newKey) == 7L && got("key_0") == 1000L)
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
