@@ -271,7 +271,11 @@ object EventsStream {
     if (touched.isEmpty) return
     val staging = new java.io.File(s"$indexDir/.staging_v$batchId")
     deleteRecursively(staging)
-    merged.write.partitionBy("bucket").parquet(staging.getPath)
+    // co-locate each bucket in one task before the partitioned write: one
+    // parquet file per bucket version instead of (tasks x buckets) shards
+    // — without this the bulk-load batch writes numBuckets files from
+    // EVERY shuffle task (32k files at 1024 buckets)
+    merged.repartition(col("bucket")).write.partitionBy("bucket").parquet(staging.getPath)
     touched.foreach { b =>
       val src = new java.io.File(staging, s"bucket=$b")
       if (src.isDirectory) {
