@@ -209,6 +209,17 @@ object EventsStream {
       statePartitions: Int = defaultStatePartitions): DataFrame = {
     val streamSession = spark.newSession()
     streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // RocksDB state store: the 100 TB posture. The default HDFS-backed
+    // provider keeps every stateful operator's state in executor HEAP —
+    // fine at fixture scale, an OOM at production state volumes. RocksDB
+    // spills to local disk with bounded memory, at equal results (the
+    // provider is a storage backend, not a semantics change; the
+    // state-partition sizing note above still governs per-batch cost).
+    // SPARK_GRAFT_STATE_STORE=hdfs restores the in-memory provider for
+    // A/B measurement.
+    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs"))
+      streamSession.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val out = transform(readEvents(streamSession, sfDir))
     // pid-scoped scratch: a world-shared path would let a concurrent
     // process running the same queryName delete this run's live
