@@ -23,12 +23,25 @@ object Verify {
       Files.createTempDirectory("graft_verify_ck").toString)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // gate-only orderings (QueryDef.dumpSort) are applied HERE, at dump
+    // time: the driver's compare is row-positional, so dumps must match
+    // the oracle's ORDER BY — but that sort is harness determinism, not
+    // query semantics, so it must not sit inside the plan Bench times
+    val dumpSorts = graft.queries.Queries.all
+      .collect { case (n, q) if q.dumpSort.nonEmpty => n -> q.dumpSort }.toMap
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val ordered = dumpSorts.get(name) match {
+          case Some(cols) =>
+            df.orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+          case None => df
+        }
+        ordered.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = String.valueOf(e.getMessage)
       }

@@ -159,8 +159,7 @@ object Queries {
       .where(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_totalprice").cast("double").as("o_totalprice"), col("rn"))
-      .orderBy("o_custkey", "rn")
-  }
+  }.sortedDump("o_custkey", "rn")
 
   /** Semi join: customers having at least one big order. */
   val q08SemiJoin: QueryDef = QueryDef.withOracle(
@@ -689,8 +688,7 @@ object Queries {
         col("pair.ids").as("o_orderkey"),
         (col("pos") + 1).cast("int").as("rn"),
         col("pair.scores").as("o_totalprice"))
-      .orderBy("o_custkey", "rn")
-  }
+  }.sortedDump("o_custkey", "rn")
 
   // ------------------------------------------------------------------
   // ALS surface (the reference's own capability)
@@ -705,7 +703,8 @@ object Queries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS rating
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin) { (s, dir) => ratingsDF(s, dir).orderBy("user_id", "item_id") }
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) => ratingsDF(s, dir) }
+    .sortedDump("user_id", "item_id")
 
   /** Unordered — training consumers don't pay a global sort; the oracle
     * query (als_ratings) adds its own ORDER BY.
@@ -1537,8 +1536,7 @@ object Queries {
         sum(col("k")).cast("bigint").as("sum_k"),
         min(col("k")).cast("bigint").as("min_k"),
         max(col("k")).cast("bigint").as("max_k"))
-      .orderBy("event_type")
-  }
+  }.sortedDump("event_type")
 
   /** Per-user temporal holdout over events (leave-last-2-out by event
     * time, event_id tie-break): the causality-respecting eval split.
@@ -1557,8 +1555,7 @@ object Queries {
       t(s, dir, "events"), entityCol = "user_id", tsCol = "ts",
       tieBreakCol = "event_id", holdout = 2)
       .select("event_id", "user_id", "split")
-      .orderBy("event_id")
-  }
+  }.sortedDump("event_id")
 
   /** Deterministic negative sampling over the ratings derivation: 4
     * hash-drawn unrated items per user from 12 candidate draws — the
@@ -1594,8 +1591,7 @@ object Queries {
       .select(col("p_partkey").as("item_idx"), col("p_partkey").as("item_id"))
     PipelineOps.negativeSamples(
       positives, items, numItems = items.count(), k = 4, candidatesPerUser = 12)
-      .orderBy("user_id", "rk")
-  }
+  }.sortedDump("user_id", "rk")
 
   /** CSV ingestion round-trip (S2): the ratings derivation is dumped to a
     * headerless `user,item,rating` CSV (the reference's input format,
@@ -1617,8 +1613,8 @@ object Queries {
       ratingsDF(s, dir).write.mode("overwrite").option("header", "false").csv(csvDir)
       csvWritten.add(csvDir)
     }
-    graft.sources.RatingsSource.fromCsv(s, csvDir).orderBy("user_id", "item_id")
-  }
+    graft.sources.RatingsSource.fromCsv(s, csvDir)
+  }.sortedDump("user_id", "item_id")
 
   /** BASELINE.md's correctness floor (graft RMSE ≤ MLlib RMSE + tolerance)
     * surfaced as a driver-visible row, so fit-quality regressions show in
@@ -2979,8 +2975,7 @@ object Queries {
         col("event_id"),
         PipelineOps.redact(col("props"), "[0-9]+", "<NUM>").as("props_redacted"),
         PipelineOps.charClassCount(col("props"), "[0-9]").as("n_digits"))
-      .orderBy("event_id")
-  }
+  }.sortedDump("event_id")
 
   /** Streaming content dedup: first occurrence of each (user_id,
     * event_type, props) key survives, every later duplicate is dropped
@@ -2997,8 +2992,7 @@ object Queries {
       _.select("user_id", "event_type", "props")
         .dropDuplicates("user_id", "event_type", "props"),
       s"stream_dedup_${math.abs(dir.hashCode)}")
-      .orderBy("user_id", "event_type", "props")
-  }
+  }.sortedDump("user_id", "event_type", "props")
 
   /** Length-distribution audit: equi-width histogram of document n_chars
     * (12 buckets over [0, 600), under/overflow clamped into the edge
