@@ -206,8 +206,23 @@ object TextOps {
 
   /** Word n-gram shingles (default 3) for MinHash/Jaccard dedup. Documents
     * shorter than n words contribute their full text as one shingle.
+    *
+    * A native codegen expression ([[graft.functions.ShinglesExpr]]):
+    * the former `transform(sequence)`/`concat_ws(slice(split))` HOF
+    * composition evaluated interpreted — the dedup tier's last
+    * non-codegen island and its cold-JIT noise source. [[shinglesHof]]
+    * keeps the declarative form as the spec's equality oracle.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(text), n))
+
+  /** The higher-order-function form of [[shingles]] — semantically
+    * identical, interpreted; retained as the independent oracle
+    * ShinglesExprSpec checks the codegen kernel against.
+    */
+  private[graft] def shinglesHof(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array(text)).otherwise(
       transform(
