@@ -334,11 +334,24 @@ case class GraftALSModel(
       k: Int,
       nProbe: Int = 0,
       numCells: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      userShard: Option[(Int, Int)] = None): DataFrame = {
     val items = itemFactors.cache()
     val (probes, cells) = ivfSizing(items.count(), nProbe, numCells)
+    // deterministic user shard (shard, numShards): per-user results are
+    // independent and the trained item index is shared, so serving shard
+    // s of N costs ~1/N of the full serve and the union over shards
+    // EQUALS the full serve row-for-row (GraftALSServingSpec pins it) —
+    // the horizontal scale-out of the whole-catalog i·√i serve: N jobs,
+    // each one shard against the same driver-cached MIPS index
+    val users = userShard match {
+      case Some((shard, numShards)) =>
+        require(shard >= 0 && shard < numShards, s"shard $shard of $numShards")
+        userFactors.where(pmod(col("id"), lit(numShards.toLong)) === shard.toLong)
+      case None => userFactors
+    }
     val out = graft.ops.Similarity.mipsIvfTopK(
-      userFactors, items, k = k, nProbe = probes, numCells = cells,
+      users, items, k = k, nProbe = probes, numCells = cells,
       queryIdCol = "id", corpusIdCol = "id", vecCol = "features", dim = rank,
       seed = seed, trainedIndex = Some(servingMipsIndex(cells, seed)))
       .toDF("user_id", "item_id", "rank", "score")
@@ -528,15 +541,6 @@ case class GraftALSModel(
       normalize = true, excludeSelf = true)
       .toDF("item_id", "neighbor_item_id", "rank", "cosine")
 
-  /** Approximate item neighbors routed through the IVF ANN tier — the
-    * 100× escape hatch from the exact kernel's inherent O(items²·rank):
-    * a k-means codebook is trained on the item factors themselves, each
-    * item probes only its `nProbe` nearest cells, and candidate scoring
-    * touches ~(nProbe/numCells) of all pairs. Recall vs the exact kernel
-    * is asserted in GraftALSServingSpec (and measured driver-side by
-    * `als_item_neighbors_approx`'s shape); tune numCells ~ sqrt(items) at
-    * scale, same as the embedding index ([[graft.ops.Similarity.ivfTopK]]).
-    */
   /** IVF sizing for a corpus of `n`: cells ≈ √n (the standard inverted-
     * list rule — per-cell list length and cell count grow together, so
     * per-query candidate volume is O(nProbe·√n), not O(n)) and a CONSTANT
@@ -556,6 +560,15 @@ case class GraftALSModel(
     (probes, cells)
   }
 
+  /** Approximate item neighbors routed through the IVF ANN tier — the
+    * 100× escape hatch from the exact kernel's inherent O(items²·rank):
+    * a k-means codebook is trained on the item factors themselves, each
+    * item probes only its `nProbe` nearest cells, and candidate scoring
+    * touches ~(nProbe/numCells) of all pairs. Recall vs the exact kernel
+    * is asserted in GraftALSServingSpec (and measured driver-side by
+    * `als_item_neighbors_approx`'s shape); tune numCells ~ sqrt(items) at
+    * scale, same as the embedding index ([[graft.ops.Similarity.ivfTopK]]).
+    */
   def itemNeighborsApprox(
       k: Int,
       nProbe: Int = 0,

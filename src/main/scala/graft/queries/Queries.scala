@@ -1191,8 +1191,8 @@ object Queries {
     * TRUE raw dot (score desc, item asc, top-3, self-matches kept by MIPS
     * semantics). Recall vs the exact kernel stays spec-asserted.
     */
-  val alsRecommendApprox: QueryDef = QueryDef.withOracle(
-    s"""WITH ${duckFactorCte("uf", "als_user_factors", "u")},
+  private def duckRecommendApproxSql(ufCte: String): String =
+    s"""WITH $ufCte,
        |${duckFactorCte("itf", "als_item_factors", "f")},
        |${duckServingCbCte("cb", "mips", 9)},
        |nc AS (SELECT COUNT(*) AS n FROM cb),
@@ -1233,8 +1233,27 @@ object Queries {
        |      ORDER BY score DESC, item_id ASC) AS INT) AS rank
        |  FROM sc)
        |SELECT user_id, item_id, rank, score FROM ranked WHERE rank <= 3
-       |ORDER BY user_id, rank""".stripMargin) { (s, dir) =>
+       |ORDER BY user_id, rank""".stripMargin
+
+  val alsRecommendApprox: QueryDef = QueryDef.withOracle(
+    duckRecommendApproxSql(duckFactorCte("uf", "als_user_factors", "u"))) { (s, dir) =>
     model(s, dir).recommendForAllUsersApprox(3).orderBy("user_id", "rank")
+  }
+
+  /** One deterministic user shard (1 of 4, id % 4) of the MIPS-routed
+    * recommend — the horizontal scale-out of the whole-catalog serve: at
+    * 100 TB the i·√i batch serve runs as N independent shard jobs against
+    * the SHARED trained index, each O(full/N), and the shard union equals
+    * the full serve row-for-row because per-user results are independent
+    * (GraftALSServingSpec pins the union identity; the oracle replays the
+    * same MIPS path with the user CTE filtered to the shard).
+    */
+  val alsRecommendSharded: QueryDef = QueryDef.withOracle(
+    duckRecommendApproxSql(
+      s"""${duckFactorCte("uf_all", "als_user_factors", "u")},
+         |uf AS (SELECT * FROM uf_all WHERE id % 4 = 1)""".stripMargin)) { (s, dir) =>
+    model(s, dir).recommendForAllUsersApprox(3, userShard = Some((1, 4)))
+      .orderBy("user_id", "rank")
   }
 
   /** Serving-index BUILD step: trains the model's item-factor ANN indexes
@@ -4546,6 +4565,7 @@ object Queries {
     "als_index_build" -> alsIndexBuild,
     "als_item_neighbors_approx" -> alsItemNeighborsApprox,
     "als_recommend_approx" -> alsRecommendApprox,
+    "als_recommend_sharded" -> alsRecommendSharded,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

@@ -98,6 +98,25 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row.getDouble(3) - expected) < 1e-6)
   }
 
+  test("sharded approx serve: union over shards equals the full serve row-for-row") {
+    val dim = 8
+    val users = syntheticFactors(n = 150, dim = dim, seed = 21L)
+    val items = syntheticFactors(n = 300, dim = dim, seed = 22L)
+    val model = GraftALSModel(rank = dim, userFactors = users, itemFactors = items)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val full = rows(model.recommendForAllUsersApprox(5, nProbe = 6, numCells = 16))
+    val shards = (0 until 4).map(sh => rows(
+      model.recommendForAllUsersApprox(5, nProbe = 6, numCells = 16,
+        userShard = Some((sh, 4)))))
+    // shards are disjoint (deterministic id partition) and their union is
+    // EXACTLY the full serve — per-user results are independent of which
+    // other users share the job, so N shard jobs replace one full job
+    assert(shards.map(_.size).sum == full.size)
+    assert(shards.reduce(_ ++ _) == full)
+  }
+
   test("auto IVF sizing scales cells as sqrt(n) and respects explicit overrides") {
     val dim = 4
     val factors = syntheticFactors(n = 300, dim = dim, seed = 31L)
