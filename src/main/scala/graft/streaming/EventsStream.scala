@@ -217,9 +217,17 @@ object EventsStream {
     // state-partition sizing note above still governs per-batch cost).
     // SPARK_GRAFT_STATE_STORE=hdfs restores the in-memory provider for
     // A/B measurement.
-    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs"))
+    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs")) {
       streamSession.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commit the per-batch DELTA instead of a
+      // full RocksDB snapshot per store per trigger — the snapshot upload
+      // was 1-3x per-row overhead in the x100 A/B (stream_purchase_views
+      // runs 4 stores x 8 partitions x every micro-batch)
+      streamSession.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     val out = transform(readEvents(streamSession, sfDir))
     // pid-scoped scratch: a world-shared path would let a concurrent
     // process running the same queryName delete this run's live
