@@ -264,6 +264,32 @@ object EventsStream {
   private def bucketOf(key: Column, numBuckets: Int): Column =
     pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
 
+  /** Pins the index's bucket count in the index itself. The bucket
+    * function must be IDENTICAL across every batch that ever merged into
+    * an index — a caller re-opening an existing index with a different
+    * `numBuckets` would re-hash keys into different buckets, silently
+    * missing prior rows in the merge and leaving duplicate keys across
+    * buckets. The count is written once at index creation and every
+    * later invocation is held to it (fail-fast, never silent corruption).
+    */
+  private def pinnedNumBuckets(indexDir: String, requested: Int): Int = {
+    require(requested > 0, s"numBuckets must be positive, got $requested")
+    val meta = new java.io.File(indexDir, "_num_buckets")
+    if (meta.isFile) {
+      val pinned = new String(
+        java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8").trim.toInt
+      require(pinned == requested,
+        s"index $indexDir was created with numBuckets=$pinned; " +
+          s"re-opening it with numBuckets=$requested would corrupt the " +
+          "bucket layout (rebuild the index to change the count)")
+      pinned
+    } else {
+      new java.io.File(indexDir).mkdirs()
+      java.nio.file.Files.write(meta.toPath, requested.toString.getBytes("UTF-8"))
+      requested
+    }
+  }
+
   /** Latest committed version number under one `bucket=<b>` dir. */
   private def latestVersion(bucketDir: java.io.File): Option[Long] =
     Option(bucketDir.listFiles()).toSeq.flatten
@@ -346,10 +372,11 @@ object EventsStream {
       checkpointDir: String,
       numBuckets: Int = 8): Unit = {
     val spark = keyed.sparkSession
+    val nb = pinnedNumBuckets(indexDir, numBuckets)
     val q = keyed.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val newMin = batch
-          .withColumn("bucket", bucketOf(col("content_hash"), numBuckets))
+          .withColumn("bucket", bucketOf(col("content_hash"), nb))
           .groupBy("bucket", "content_hash")
           .agg(min(col("event_id")).as("first_event_id"))
           .persist()
@@ -365,7 +392,7 @@ object EventsStream {
           val merged =
             if (oldPaths.isEmpty) newMin
             else spark.read.parquet(oldPaths: _*)
-              .withColumn("bucket", bucketOf(col("content_hash"), numBuckets))
+              .withColumn("bucket", bucketOf(col("content_hash"), nb))
               .unionByName(newMin)
               .groupBy("bucket", "content_hash")
               .agg(min(col("first_event_id")).as("first_event_id"))
@@ -401,11 +428,12 @@ object EventsStream {
       checkpointDir: String,
       numBuckets: Int = 8): Unit = {
     val spark = ratings.sparkSession
+    val nb = pinnedNumBuckets(factorsDir, numBuckets)
     val q = ratings.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val folded = model.foldInUsers(batch, regParam)
           .withColumn("updated_batch", lit(batchId))
-          .withColumn("bucket", bucketOf(col("id"), numBuckets))
+          .withColumn("bucket", bucketOf(col("id"), nb))
           .persist()
         try {
           val touched = folded.select("bucket").distinct()
@@ -418,7 +446,7 @@ object EventsStream {
           val merged =
             if (oldPaths.isEmpty) folded
             else spark.read.parquet(oldPaths: _*)
-              .withColumn("bucket", bucketOf(col("id"), numBuckets))
+              .withColumn("bucket", bucketOf(col("id"), nb))
               // newest fold-in wins per user; untouched users carry forward
               .join(folded.select("id"), Seq("id"), "left_anti")
               .unionByName(folded)

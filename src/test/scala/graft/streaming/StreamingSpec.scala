@@ -283,6 +283,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
+  test("re-opening an index with a different numBuckets fails fast instead of corrupting it") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsip").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    Seq(("a", 1L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f1")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 8)
+    // a different count would re-hash keys into different buckets and the
+    // merge would silently miss prior rows — the pinned meta rejects it
+    Seq(("b", 2L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f2")
+    val e = intercept[Exception](
+      EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 16))
+    assert(e.getMessage != null && e.getMessage.contains("numBuckets"))
+    // the SAME count continues cleanly
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 8)
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L))
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
   test("state-partition count never changes stream results, or the caller's session conf") {
     // state partitioning is a COST knob (state-store instances per
     // stateful op), sized to state volume in runToBatch; results must be
