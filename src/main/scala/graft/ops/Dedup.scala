@@ -631,15 +631,17 @@ object Dedup {
       documents: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      spanWords: Int = 16): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val spans = transform(
-      sequence(lit(0), greatest(size(ws) - spanWords, lit(0))),
-      i => TextOps.portableHash56(concat_ws(" ", slice(ws, i + 1, lit(spanWords)))))
+      spanWords: Int = 16): DataFrame =
+    // spans ARE stride-1 word shingles at n = spanWords (including the
+    // whole-text-when-shorter edge), so the codegen shingle kernel
+    // applies: zero-copy byte-slice spans, hash in codegen post-explode —
+    // replaces a transform() HOF that did O(spanWords) interpreted
+    // concat_ws(slice()) string work per span per document
     Parallelism.widen(documents)
-      .select(col(idCol).as("id"), explode(spans).as("h"))
+      .select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), spanWords)).as("s"))
+      .select(col("id"), TextOps.portableHash56(col("s")).as("h"))
       .distinct()
-  }
 
   /** Exact duplicate-span detection (the exact-substring dedup signal of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
