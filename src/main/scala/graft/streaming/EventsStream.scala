@@ -309,6 +309,7 @@ object EventsStream {
     */
   private def commitBuckets(
       merged: DataFrame,
+      keyCol: String,
       indexDir: String,
       batchId: Long,
       touched: Seq[Int],
@@ -316,11 +317,16 @@ object EventsStream {
     if (touched.isEmpty) return
     val staging = new java.io.File(s"$indexDir/.staging_v$batchId")
     deleteRecursively(staging)
-    // co-locate each bucket in one task before the partitioned write: one
-    // parquet file per bucket version instead of (tasks x buckets) shards
-    // — without this the bulk-load batch writes numBuckets files from
-    // EVERY shuffle task (32k files at 1024 buckets)
-    merged.repartition(col("bucket")).write.partitionBy("bucket").parquet(staging.getPath)
+    // shuffle on (bucket, bounded key salt) before the partitioned write:
+    // bounds files per bucket version at <= 4 WITHOUT capping write
+    // parallelism at the bucket count. Plain task-partitioned writes made
+    // (tasks x buckets) shards (32k files for a 1024-bucket bulk load,
+    // measured 116.6s vs 12.9s); plain repartition(bucket) made exactly
+    // one file per bucket but serialized an 8-bucket bulk load onto 8
+    // of 32 cores
+    val salt = pmod(xxhash64(col(keyCol)), lit(4L))
+    merged.repartition(col("bucket"), salt)
+      .write.partitionBy("bucket").parquet(staging.getPath)
     touched.foreach { b =>
       val src = new java.io.File(staging, s"bucket=$b")
       if (src.isDirectory) {
@@ -396,7 +402,7 @@ object EventsStream {
               .unionByName(newMin)
               .groupBy("bucket", "content_hash")
               .agg(min(col("first_event_id")).as("first_event_id"))
-          commitBuckets(merged, indexDir, batchId, touched, replaced)
+          commitBuckets(merged, "content_hash", indexDir, batchId, touched, replaced)
         } finally newMin.unpersist(blocking = false): Unit
       }
       .option("checkpointLocation", checkpointDir)
@@ -450,7 +456,7 @@ object EventsStream {
               // newest fold-in wins per user; untouched users carry forward
               .join(folded.select("id"), Seq("id"), "left_anti")
               .unionByName(folded)
-          commitBuckets(merged, factorsDir, batchId, touched, replaced)
+          commitBuckets(merged, "id", factorsDir, batchId, touched, replaced)
         } finally folded.unpersist(blocking = false): Unit
       }
       .option("checkpointLocation", checkpointDir)
