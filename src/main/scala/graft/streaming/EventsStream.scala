@@ -303,29 +303,34 @@ object EventsStream {
   /** Commits `merged` (rows of the touched buckets, carrying a `bucket`
     * column) as version `v<batchId>` of each touched bucket: one
     * partitioned staging write, then a per-bucket dir rename (the atomic
-    * commit), then pruning of exactly the versions this batch replaced.
-    * Untouched buckets are never read, written, or renamed — their files
-    * stay byte-identical, which is the whole point of the layout.
+    * commit), then pruning of EVERY other version in the bucket — not
+    * just the one this batch read: a crash between a prior batch's rename
+    * and its prune can orphan an older version, and pruning only the
+    * known-replaced one would leak that orphan's files forever.
+    * Checkpoint replay only ever re-runs the LAST uncommitted batch, so
+    * anything other than `v<batchId>` is strictly stale. Untouched
+    * buckets are never read, written, or renamed — their files stay
+    * byte-identical, which is the whole point of the layout.
     */
   private def commitBuckets(
       merged: DataFrame,
-      keyCol: String,
       indexDir: String,
       batchId: Long,
-      touched: Seq[Int],
-      replaced: Map[Int, Long]): Unit = {
+      touched: Seq[Int]): Unit = {
     if (touched.isEmpty) return
     val staging = new java.io.File(s"$indexDir/.staging_v$batchId")
     deleteRecursively(staging)
-    // shuffle on (bucket, bounded key salt) before the partitioned write:
-    // bounds files per bucket version at <= 4 WITHOUT capping write
-    // parallelism at the bucket count. Plain task-partitioned writes made
-    // (tasks x buckets) shards (32k files for a 1024-bucket bulk load,
-    // measured 116.6s vs 12.9s); plain repartition(bucket) made exactly
-    // one file per bucket but serialized an 8-bucket bulk load onto 8
-    // of 32 cores
-    val salt = pmod(xxhash64(col(keyCol)), lit(4L))
-    merged.repartition(col("bucket"), salt)
+    // co-locate each bucket in one task before the partitioned write: ONE
+    // parquet file per bucket version. Plain task-partitioned writes made
+    // (tasks x buckets) shards — 32k files for a 1024-bucket bulk load,
+    // measured 116.6s vs 12.9s co-located. Salting the shuffle key to
+    // raise write parallelism above the bucket count was measured and
+    // REJECTED: a key-salt at nb=1024 read the x100 bulk load at 24.1s vs
+    // 12.4s (4x the files, zero parallelism gain), and even in its target
+    // case — 8 buckets on 32 cores — a warmed A/B read build 6.6s/incr
+    // 2.6s salted vs 6.3s/2.2s unsalted at x10: the 8-task write stage is
+    // never the bottleneck, and extra files tax every later read.
+    merged.repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(staging.getPath)
     touched.foreach { b =>
       val src = new java.io.File(staging, s"bucket=$b")
@@ -337,12 +342,53 @@ object EventsStream {
         // partial v<batchId>; replace it (the merge is idempotent)
         deleteRecursively(dst)
         require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
-        replaced.get(b).filter(_ != batchId).foreach { v =>
-          deleteRecursively(new java.io.File(bucketDir, s"v$v"))
-        }
+        Option(bucketDir.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+            f.getName != s"v$batchId")
+          .foreach(deleteRecursively)
       }
     }
     deleteRecursively(staging)
+  }
+
+  /** The shared per-micro-batch maintenance sequence of both
+    * merge-on-write index families — kept in ONE place because every line
+    * is crash-safety-critical: persist the batch's bucketed delta, find
+    * the touched buckets (bounded collect: at most `nb` values) and their
+    * latest committed versions, `merge` the old rows with the delta, and
+    * commit the result as each touched bucket's next version.
+    *
+    * `bucketed` must already carry the `bucket` column (via [[bucketOf]]
+    * on `keyCol`); `merge(old, delta)` defines the index's semantics —
+    * re-min for [[firstSeenIndex]], last-writer-wins for
+    * [[onlineUserRefresh]] — and must be idempotent under checkpoint
+    * replay of the same delta.
+    */
+  private def mergeTouchedBuckets(
+      indexDir: String,
+      nb: Int,
+      batchId: Long,
+      bucketed: DataFrame,
+      keyCol: String)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val spark = bucketed.sparkSession
+    val delta = bucketed.persist()
+    try {
+      val touched = delta.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val replaced = touched.flatMap { b =>
+        latestVersion(new java.io.File(s"$indexDir/bucket=$b")).map(b -> _)
+      }.toMap
+      val oldPaths = replaced.toSeq.sorted
+        .map { case (b, v) => s"$indexDir/bucket=$b/v$v" }
+      val merged =
+        if (oldPaths.isEmpty) delta
+        else merge(
+          spark.read.parquet(oldPaths: _*)
+            .withColumn("bucket", bucketOf(col(keyCol), nb)),
+          delta)
+      commitBuckets(merged, indexDir, batchId, touched)
+    } finally delta.unpersist(blocking = false): Unit
   }
 
   /** Micro-batch merge-on-write index maintenance via `foreachBatch`: for
@@ -377,7 +423,6 @@ object EventsStream {
       indexDir: String,
       checkpointDir: String,
       numBuckets: Int = 8): Unit = {
-    val spark = keyed.sparkSession
     val nb = pinnedNumBuckets(indexDir, numBuckets)
     val q = keyed.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -385,25 +430,12 @@ object EventsStream {
           .withColumn("bucket", bucketOf(col("content_hash"), nb))
           .groupBy("bucket", "content_hash")
           .agg(min(col("event_id")).as("first_event_id"))
-          .persist()
-        try {
-          // bounded collect: at most numBuckets values
-          val touched = newMin.select("bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted
-          val replaced = touched.flatMap { b =>
-            latestVersion(new java.io.File(s"$indexDir/bucket=$b")).map(b -> _)
-          }.toMap
-          val oldPaths = replaced.toSeq.sorted
-            .map { case (b, v) => s"$indexDir/bucket=$b/v$v" }
-          val merged =
-            if (oldPaths.isEmpty) newMin
-            else spark.read.parquet(oldPaths: _*)
-              .withColumn("bucket", bucketOf(col("content_hash"), nb))
-              .unionByName(newMin)
+        mergeTouchedBuckets(indexDir, nb, batchId, newMin, "content_hash") {
+          (old, delta) =>
+            old.unionByName(delta)
               .groupBy("bucket", "content_hash")
               .agg(min(col("first_event_id")).as("first_event_id"))
-          commitBuckets(merged, "content_hash", indexDir, batchId, touched, replaced)
-        } finally newMin.unpersist(blocking = false): Unit
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -433,31 +465,18 @@ object EventsStream {
       factorsDir: String,
       checkpointDir: String,
       numBuckets: Int = 8): Unit = {
-    val spark = ratings.sparkSession
     val nb = pinnedNumBuckets(factorsDir, numBuckets)
     val q = ratings.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val folded = model.foldInUsers(batch, regParam)
           .withColumn("updated_batch", lit(batchId))
           .withColumn("bucket", bucketOf(col("id"), nb))
-          .persist()
-        try {
-          val touched = folded.select("bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted
-          val replaced = touched.flatMap { b =>
-            latestVersion(new java.io.File(s"$factorsDir/bucket=$b")).map(b -> _)
-          }.toMap
-          val oldPaths = replaced.toSeq.sorted
-            .map { case (b, v) => s"$factorsDir/bucket=$b/v$v" }
-          val merged =
-            if (oldPaths.isEmpty) folded
-            else spark.read.parquet(oldPaths: _*)
-              .withColumn("bucket", bucketOf(col("id"), nb))
-              // newest fold-in wins per user; untouched users carry forward
-              .join(folded.select("id"), Seq("id"), "left_anti")
-              .unionByName(folded)
-          commitBuckets(merged, "id", factorsDir, batchId, touched, replaced)
-        } finally folded.unpersist(blocking = false): Unit
+        mergeTouchedBuckets(factorsDir, nb, batchId, folded, "id") {
+          // newest fold-in wins per user; untouched users carry forward
+          (old, delta) =>
+            old.join(delta.select("id"), Seq("id"), "left_anti")
+              .unionByName(delta)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -481,13 +500,26 @@ object EventsStream {
     * the per-run delete above only covers this pid's own paths, so repeated
     * bench/verify JVMs would otherwise accumulate multi-GB parquet +
     * checkpoint dirs in java.io.tmpdir at the scale tiers. Live pids
-    * (including this one) are never touched, so a concurrent run's
-    * in-flight checkpoint is safe. Runs once per JVM.
+    * (including this one) are never touched, and — because pid liveness is
+    * only observable inside THIS process's pid namespace — a dir is swept
+    * only when nothing under it (checkpoint commit markers advance every
+    * micro-batch) has been written for 30 minutes, so a live run in a
+    * sibling container sharing the same tmpdir is not torn down mid-stream
+    * just because its pid is invisible here. Runs once per JVM.
     */
   private lazy val sweepStaleScratch: Unit = {
     val self = ProcessHandle.current().pid()
     val re = "graft_stream_(\\d+)_.*".r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val staleAfterMs = 30L * 60 * 1000
+    // newest mtime among the dir, its children, and grandchildren — depth 2
+    // reaches ckpt/commits, whose listing changes on every committed batch
+    def newestMtime(f: java.io.File, depth: Int): Long = {
+      val own = f.lastModified()
+      if (depth == 0 || !f.isDirectory) own
+      else (own +: Option(f.listFiles()).toSeq.flatten
+        .map(newestMtime(_, depth - 1))).max
+    }
     Option(tmp.listFiles()).toSeq.flatten.filter(_.isDirectory).foreach { f =>
       f.getName match {
         case re(pidStr) =>
@@ -496,7 +528,9 @@ object EventsStream {
             val h = ProcessHandle.of(pid)
             h.isPresent && h.get.isAlive
           }
-          if (!alive) deleteRecursively(f)
+          if (!alive &&
+            System.currentTimeMillis() - newestMtime(f, 2) > staleAfterMs)
+            deleteRecursively(f)
         case _ => ()
       }
     }

@@ -42,14 +42,28 @@ class ShinglesExprSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("interpreted eval (nullSafeEval) matches the codegen path and nulls pass through") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // direct Expression.eval: UnaryExpression.eval -> nullSafeEval, the
+    // interpreted path that codegen-disabled plans and fallback take
+    def interp(text: String, n: Int): List[String] = {
+      val got = ShinglesExpr(Literal(text), n).eval(null)
+      got.asInstanceOf[ArrayData].toObjectArray(StringType)
+        .map(_.toString).toList
+    }
+    assert(interp("a b c d", 2) == List("a b", "b c", "c d"))
+    assert(interp("x y", 2) == List("x y"))
+    assert(interp("", 3) == List(""))
+    // interpreted == codegen on the same inputs, via the DataFrame path
     val spark2 = spark
     import spark2.implicits._
-    // a non-deterministic wrapper forces interpreted evaluation off the
-    // codegen path for the same expression tree
-    val df = Seq("a b c d", "x y").toDF("t")
-    val viaKernel = df.select(graft.ops.TextOps.shingles(col("t"), 2)).collect()
+    val viaCodegen = Seq("a b c d", "x y").toDF("t")
+      .select(graft.ops.TextOps.shingles(col("t"), 2)).collect()
       .map(_.getSeq[String](0).toList)
-    assert(viaKernel.toList == List(List("a b", "b c", "c d"), List("x y")))
+    assert(viaCodegen.toList == List(interp("a b c d", 2), interp("x y", 2)))
+    // null in -> null out, on both paths
+    assert(ShinglesExpr(Literal(null, StringType), 2).eval(null) == null)
     val withNull = Seq(Some("a b c"), None).toDF("t")
       .select(graft.ops.TextOps.shingles(col("t"), 2).as("s")).collect()
     assert(withNull(0).getSeq[String](0).toList == List("a b", "b c"))

@@ -237,6 +237,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
+  test("commitBuckets prunes orphaned older versions left by a crash window") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsio").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    Seq(("a", 10L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f1")
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
+    Seq(("b", 20L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
+    val bucketDir = new java.io.File(idx, "bucket=0")
+    assert(bucketDir.listFiles().map(_.getName).toSet == Set("v1"))
+    // a crash between a batch's rename and its prune leaves an older
+    // version behind; the next commit must sweep it, not just the version
+    // it read (pruning only the known-replaced one would leak it forever)
+    new java.io.File(bucketDir, "v0").mkdirs()
+    Seq(("c", 30L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f3")
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
+    assert(bucketDir.listFiles().map(_.getName).toSet == Set("v2"),
+      "orphaned version was not pruned")
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 10L, "b" -> 20L, "c" -> 30L))
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
   test("firstSeenIndex rewrites ONLY the buckets a batch's keys hash into") {
     val spark2 = spark
     import spark2.implicits._
