@@ -300,17 +300,41 @@ object EventsStream {
     Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
 
+  /** Removes everything a crashed run can leave behind that the
+    * per-commit prune would not reach: stale `.staging_*` dirs and, in
+    * EVERY bucket, all versions older than the latest — commitBuckets
+    * prunes only the buckets a batch touches, so an orphan in a bucket
+    * no later batch ever touches again would otherwise leak forever.
+    * Safe at stream start: the latest committed version is always the
+    * valid one (a crash between rename and checkpoint-commit replays the
+    * same batch, whose idempotent merge reads that latest version).
+    */
+  private def sweepStaleCommits(indexDir: String): Unit = {
+    Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging_"))
+      .foreach(deleteRecursively)
+    bucketDirs(indexDir).foreach { bd =>
+      latestVersion(bd).foreach { latest =>
+        Option(bd.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+            f.getName != s"v$latest")
+          .foreach(deleteRecursively)
+      }
+    }
+  }
+
   /** Commits `merged` (rows of the touched buckets, carrying a `bucket`
     * column) as version `v<batchId>` of each touched bucket: one
     * partitioned staging write, then a per-bucket dir rename (the atomic
-    * commit), then pruning of EVERY other version in the bucket — not
-    * just the one this batch read: a crash between a prior batch's rename
-    * and its prune can orphan an older version, and pruning only the
-    * known-replaced one would leak that orphan's files forever.
-    * Checkpoint replay only ever re-runs the LAST uncommitted batch, so
-    * anything other than `v<batchId>` is strictly stale. Untouched
-    * buckets are never read, written, or renamed — their files stay
-    * byte-identical, which is the whole point of the layout.
+    * commit), then pruning of every other version in the touched bucket —
+    * not just the one this batch read: a crash between a prior batch's
+    * rename and its prune can orphan an older version, and pruning only
+    * the known-replaced one would leak it ([[sweepStaleCommits]] covers
+    * orphans in buckets never touched again). Checkpoint replay only
+    * ever re-runs the LAST uncommitted batch, so anything other than
+    * `v<batchId>` is strictly stale. Untouched buckets are never read,
+    * written, or renamed — their files stay byte-identical, which is the
+    * whole point of the layout.
     */
   private def commitBuckets(
       merged: DataFrame,
@@ -338,10 +362,18 @@ object EventsStream {
         val bucketDir = new java.io.File(s"$indexDir/bucket=$b")
         bucketDir.mkdirs()
         val dst = new java.io.File(bucketDir, s"v$batchId")
-        // a crashed earlier attempt of the SAME batch may have left a
-        // partial v<batchId>; replace it (the merge is idempotent)
-        deleteRecursively(dst)
-        require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
+        // An existing v<batchId> can only have come from a prior attempt
+        // of THIS batch completing its rename — and rename is atomic, so
+        // it holds a complete staged dir, and the merge is idempotent, so
+        // its content is exactly what this attempt staged. KEEP it rather
+        // than delete-and-re-rename: deleting the bucket's only committed
+        // version first would open a crash window (between delete and
+        // rename, after the replay's own startup already wiped the
+        // staging dir) in which the bucket has ZERO versions and the next
+        // replay would silently commit the delta alone, losing every key
+        // earlier batches merged into this bucket.
+        if (!dst.isDirectory)
+          require(src.renameTo(dst), s"commit rename failed: $src -> $dst")
         Option(bucketDir.listFiles()).toSeq.flatten
           .filter(f => f.isDirectory && f.getName.startsWith("v") &&
             f.getName != s"v$batchId")
@@ -424,6 +456,7 @@ object EventsStream {
       checkpointDir: String,
       numBuckets: Int = 8): Unit = {
     val nb = pinnedNumBuckets(indexDir, numBuckets)
+    sweepStaleCommits(indexDir)
     val q = keyed.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val newMin = batch
@@ -466,6 +499,7 @@ object EventsStream {
       checkpointDir: String,
       numBuckets: Int = 8): Unit = {
     val nb = pinnedNumBuckets(factorsDir, numBuckets)
+    sweepStaleCommits(factorsDir)
     val q = ratings.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val folded = model.foldInUsers(batch, regParam)
@@ -501,24 +535,25 @@ object EventsStream {
     * bench/verify JVMs would otherwise accumulate multi-GB parquet +
     * checkpoint dirs in java.io.tmpdir at the scale tiers. Live pids
     * (including this one) are never touched, and — because pid liveness is
-    * only observable inside THIS process's pid namespace — a dir is swept
-    * only when nothing under it (checkpoint commit markers advance every
-    * micro-batch) has been written for 30 minutes, so a live run in a
-    * sibling container sharing the same tmpdir is not torn down mid-stream
-    * just because its pid is invisible here. Runs once per JVM.
+    * only observable inside THIS process's pid namespace — a dir is also
+    * kept while ANYTHING under it was written in the last 5 minutes: a
+    * live stream writes continuously (state-store files, sink parts,
+    * offsets/commits every micro-batch — the scan is full-depth precisely
+    * so a long micro-batch's deep state writes count), so a pid-dead AND
+    * everywhere-quiet dir is not a live sibling-container run whose pid
+    * is merely invisible here. The scan only runs for pid-dead candidate
+    * dirs (&&-short-circuit), so the live-path cost is zero. Runs once
+    * per JVM.
     */
   private lazy val sweepStaleScratch: Unit = {
     val self = ProcessHandle.current().pid()
     val re = "graft_stream_(\\d+)_.*".r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val staleAfterMs = 30L * 60 * 1000
-    // newest mtime among the dir, its children, and grandchildren — depth 2
-    // reaches ckpt/commits, whose listing changes on every committed batch
-    def newestMtime(f: java.io.File, depth: Int): Long = {
+    val staleAfterMs = 5L * 60 * 1000
+    def newestMtime(f: java.io.File): Long = {
       val own = f.lastModified()
-      if (depth == 0 || !f.isDirectory) own
-      else (own +: Option(f.listFiles()).toSeq.flatten
-        .map(newestMtime(_, depth - 1))).max
+      if (!f.isDirectory) own
+      else (own +: Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
     }
     Option(tmp.listFiles()).toSeq.flatten.filter(_.isDirectory).foreach { f =>
       f.getName match {
@@ -529,7 +564,7 @@ object EventsStream {
             h.isPresent && h.get.isAlive
           }
           if (!alive &&
-            System.currentTimeMillis() - newestMtime(f, 2) > staleAfterMs)
+            System.currentTimeMillis() - newestMtime(f) > staleAfterMs)
             deleteRecursively(f)
         case _ => ()
       }

@@ -263,6 +263,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val got = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 10L, "b" -> 20L, "c" -> 30L))
+    // orphans in buckets NO later batch touches are handled by the
+    // startup sweep: plant an orphan version + a stale staging dir, then
+    // re-open the stream with no new data at all
+    new java.io.File(bucketDir, "v0").mkdirs()
+    new java.io.File(idx, ".staging_99/bucket=0").mkdirs()
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
+    assert(bucketDir.listFiles().map(_.getName).toSet == Set("v2"),
+      "startup sweep left the orphaned version")
+    assert(!new java.io.File(idx, ".staging_99").exists(),
+      "startup sweep left the stale staging dir")
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("replaying a batch whose version is already committed keeps it (no zero-version window)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsir").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(("b", 5L), ("c", 30L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, ck)
+    val want = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(want == Map("a" -> 10L, "b" -> 5L, "c" -> 30L))
+    // a FRESH checkpoint re-offers every file as batch 0 against the
+    // existing index — for buckets whose committed latest is v0 this
+    // re-runs commitBuckets with dst already present, the replayed-batch
+    // shape whose old delete-then-rename could leave a bucket with zero
+    // versions; the idempotent merge must leave the index unchanged
+    EventsStream.firstSeenIndex(stream, idx, s"$root/ck2")
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
