@@ -643,14 +643,20 @@ object Similarity {
     val subDim = dim / numSubspaces
     require(subDim * numSubspaces == dim, s"dim $dim not divisible by $numSubspaces")
     var cb = pqInit(dim, numSubspaces, numCentroids, seed)
-    val n = vectors.count()
+    // sampling disabled → skip the sizing count entirely: the input is
+    // typically an unpersisted projection, so an extra full-corpus action
+    // is not free
     val train =
-      if (maxTrainRows <= 0 || n <= maxTrainRows) vectors
+      if (maxTrainRows <= 0) vectors
       else {
-        // every ~(n/maxTrainRows)-th id by seeded hash — a fixed-rate,
-        // order-independent sample the same corpus always reproduces
-        val rate = (n + maxTrainRows - 1) / maxTrainRows
-        vectors.where(pmod(xxhash64(col(sampleIdCol), lit(seed)), lit(rate)) === 0)
+        val n = vectors.count()
+        if (n <= maxTrainRows) vectors
+        else {
+          // every ~(n/maxTrainRows)-th id by seeded hash — a fixed-rate,
+          // order-independent sample the same corpus always reproduces
+          val rate = (n + maxTrainRows - 1) / maxTrainRows
+          vectors.where(pmod(xxhash64(col(sampleIdCol), lit(seed)), lit(rate)) === 0)
+        }
       }
     val subs = Parallelism.widen(train)
       .select(posexplode(subvecsCol(col(vecCol), numSubspaces, subDim)).as(Seq("m", "sv")))

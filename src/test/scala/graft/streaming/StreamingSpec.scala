@@ -220,14 +220,17 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val got = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 10L, "b" -> 5L, "c" -> 30L, "d" -> 50L))
-    // superseded versions are pruned: every bucket dir holds exactly one
-    // committed version (its latest), nothing else
+    // append-only layout: every bucket dir holds only recognized
+    // generation dirs, and at most compactEvery live deltas
     val buckets = new java.io.File(idx).listFiles()
       .filter(_.getName.startsWith("bucket="))
     assert(buckets.nonEmpty)
     buckets.foreach { b =>
-      val vs = b.listFiles().filter(_.getName.startsWith("v"))
-      assert(vs.length == 1, s"${b.getName} kept ${vs.length} versions")
+      val gens = b.listFiles().map(_.getName)
+      assert(gens.forall(n => n.startsWith("base-") || n.startsWith("delta-")),
+        s"${b.getName} holds unrecognized dirs: ${gens.mkString(",")}")
+      assert(gens.count(_.startsWith("delta-")) <= 8,
+        s"${b.getName} kept ${gens.length} deltas past the compaction bound")
     }
     // re-running against the same checkpoint is a no-op (no new files)
     EventsStream.firstSeenIndex(keyed, idx, ck)
@@ -237,48 +240,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
-  test("commitBuckets prunes orphaned older versions left by a crash window") {
+  test("startup sweep removes crash leftovers: folded generations and stale staging dirs") {
     val spark2 = spark
     import spark2.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_fsio").toString
     val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
     def stream = spark.readStream
       .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
       .parquet(s"$src/*")
       .select(col("k").as("content_hash"), col("event_id"))
     Seq(("a", 10L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f1")
-    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
-    Seq(("b", 20L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f2")
-    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
+    Seq(("a", 40L), ("b", 20L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    // compactEvery=2: the second batch folds both deltas into base-2
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1, compactEvery = 2)
     val bucketDir = new java.io.File(idx, "bucket=0")
-    assert(bucketDir.listFiles().map(_.getName).toSet == Set("v1"))
-    // a crash between a batch's rename and its prune leaves an older
-    // version behind; the next commit must sweep it, not just the version
-    // it read (pruning only the known-replaced one would leak it forever)
-    new java.io.File(bucketDir, "v0").mkdirs()
-    Seq(("c", 30L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f3")
-    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
-    assert(bucketDir.listFiles().map(_.getName).toSet == Set("v2"),
-      "orphaned version was not pruned")
-    val got = EventsStream.latestIndex(spark, idx)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == Map("a" -> 10L, "b" -> 20L, "c" -> 30L))
-    // orphans in buckets NO later batch touches are handled by the
-    // startup sweep: plant an orphan version + a stale staging dir, then
-    // re-open the stream with no new data at all
-    new java.io.File(bucketDir, "v0").mkdirs()
-    new java.io.File(idx, ".staging_99/bucket=0").mkdirs()
-    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1)
-    assert(bucketDir.listFiles().map(_.getName).toSet == Set("v2"),
-      "startup sweep left the orphaned version")
-    assert(!new java.io.File(idx, ".staging_99").exists(),
+    assert(bucketDir.listFiles().map(_.getName).toSet == Set("base-2"))
+    val want = Map("a" -> 10L, "b" -> 20L)
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    // a crash between a compaction's base rename and its prune leaves the
+    // folded generations behind; they are non-live (seq <= base) so reads
+    // ignore them, and the startup sweep must remove them — plus any
+    // stale staging dir — even if NO later batch ever touches the bucket
+    new java.io.File(bucketDir, "delta-1-b0-deadbeef").mkdirs()
+    new java.io.File(bucketDir, "base-1").mkdirs()
+    new java.io.File(idx, ".staging_b99-deadbeef/bucket=0").mkdirs()
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1, compactEvery = 2)
+    assert(bucketDir.listFiles().map(_.getName).toSet == Set("base-2"),
+      "startup sweep left folded generations behind")
+    assert(!new java.io.File(idx, ".staging_b99-deadbeef").exists(),
       "startup sweep left the stale staging dir")
     assert(EventsStream.latestIndex(spark, idx)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
-  test("replaying a batch whose version is already committed keeps it (no zero-version window)") {
+  test("a fresh checkpoint over an existing index resolves idempotently (duplicate deltas)") {
     val spark2 = spark
     import spark2.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_fsir").toString
@@ -296,15 +295,149 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val want = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(want == Map("a" -> 10L, "b" -> 5L, "c" -> 30L))
-    // a FRESH checkpoint re-offers every file as batch 0 against the
-    // existing index — for buckets whose committed latest is v0 this
-    // re-runs commitBuckets with dst already present, the replayed-batch
-    // shape whose old delete-then-rename could leave a bucket with zero
-    // versions; the idempotent merge must leave the index unchanged
+    // a FRESH checkpoint re-offers every file with batch numbering
+    // restarting at 0 — its deltas carry a NEW checkpoint id, so they are
+    // NOT deduped against the old generation's b0 tag (they are genuinely
+    // new commits); the min resolution folds the duplicates away
     EventsStream.firstSeenIndex(stream, idx, s"$root/ck2")
     val got = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("a fresh checkpoint's batch 0 with NEW keys is never deduped against an old batch 0") {
+    // the round-11 design deduped replays by batchId alone: re-using an
+    // index under a fresh checkpoint (batchIds restart at 0) silently
+    // DROPPED a new batch-0 delta in any bucket whose latest version was
+    // v0 — the delta tag now namespaces batchIds by checkpoint query id
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsin").toString
+    val (src, idx) = (s"$root/src", s"$root/idx")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    Seq(("a", 10L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f1")
+    // numBuckets=1 forces the new keys into a bucket that already has a
+    // batch-0 delta from the first checkpoint generation
+    EventsStream.firstSeenIndex(stream, idx, s"$root/ck1", numBuckets = 1)
+    Seq(("fresh_key", 99L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, s"$root/ck2", numBuckets = 1)
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 10L, "fresh_key" -> 99L),
+      s"fresh checkpoint's batch-0 keys were lost: $got")
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("a batch touching EVERY bucket appends O(batch) deltas without rewriting bases") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsia").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    // bulk load 64 keys across all 8 buckets, compacted to one base each
+    (0 until 64).map(i => (s"key_$i", 1000L + i)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 1)
+    def files(prefix: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(idx)).filter(_.getPath.contains(prefix))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val basesBefore = files("/base-")
+    assert(basesBefore.nonEmpty)
+    // the large-batch regime: a second 64-key batch also spans all 8
+    // buckets — the round-11 read-modify-write design rewrote the whole
+    // index here; the append-only commit must write ONLY delta dirs,
+    // leaving every base file byte-identical
+    (0 until 64).map(i => (s"other_$i", 2000L + i)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 8)
+    assert(files("/base-") == basesBefore,
+      "an all-bucket batch rewrote base generations (O(index) write)")
+    val deltaCounts = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.startsWith("delta-")))
+    assert(deltaCounts.forall(_ == 1), s"deltas per bucket: ${deltaCounts.toSeq}")
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 128 && got("key_3") == 1003L && got("other_3") == 2003L)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("compaction folds a bucket's deltas into one base at the threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsic").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(("b", 5L), ("c", 30L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    Seq(("a", 40L), ("d", 50L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f3")
+    // batch 0 -> delta-1; batch 1 -> delta-2 then compaction to base-2;
+    // batch 2 -> delta-3 on top of the base
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1, compactEvery = 2)
+    val bucketDir = new java.io.File(idx, "bucket=0")
+    val names = bucketDir.listFiles().map(_.getName).sorted
+    assert(names.length == 2 && names(0) == "base-2" &&
+      names(1).startsWith("delta-3-b2-"), s"bucket holds: ${names.mkString(",")}")
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 10L, "b" -> 5L, "c" -> 30L, "d" -> 50L))
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("rebucketIndex preserves contents and the stream resumes under the new count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsiw").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(("b", 5L), ("c", 30L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 2)
+    val want = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // offline growth path: 2 -> 8 buckets, contents must be identical
+    EventsStream.rebucketIndex(spark, idx, 8)
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "_num_buckets")), "UTF-8").trim == "8")
+    // the old count is now rejected...
+    Seq(("d", 50L), ("a", 5L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f3")
+    val e = intercept[Exception](
+      EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 2))
+    assert(e.getMessage != null && e.getMessage.contains("numBuckets"))
+    // ...and the SAME checkpoint resumes under the new count, merging the
+    // next batch into the re-bucketed layout
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 8)
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 5L, "b" -> 5L, "c" -> 30L, "d" -> 50L))
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
