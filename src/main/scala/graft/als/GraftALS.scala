@@ -573,13 +573,26 @@ case class GraftALSModel(
       k: Int,
       nProbe: Int = 0,
       numCells: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      itemShard: Option[(Int, Int)] = None): DataFrame = {
     // cache the factor table: the assignment + probe passes reuse it, and
     // the size stats let the planner broadcast the cell join
     val items = itemFactors.cache()
     val (probes, cells0) = ivfSizing(items.count(), nProbe, numCells)
+    // deterministic QUERY-side shard (shard, numShards): each item's
+    // neighbor list is independent and the corpus + codebook are shared,
+    // so shard s of N costs ~1/N of the whole-catalog i·√i pass and the
+    // union over shards EQUALS the full serve row-for-row
+    // (GraftALSServingSpec pins it) — the same horizontal decomposition
+    // as recommendForAllUsersApprox's userShard
+    val queries = itemShard match {
+      case Some((shard, numShards)) =>
+        require(shard >= 0 && shard < numShards, s"shard $shard of $numShards")
+        items.where(pmod(col("id"), lit(numShards.toLong)) === shard.toLong)
+      case None => items
+    }
     val out = graft.ops.Similarity.ivfTopK(
-      items, items, k = k, nProbe = probes, numCells = cells0,
+      queries, items, k = k, nProbe = probes, numCells = cells0,
       idCol = "id", vecCol = "features", dim = rank, seed = seed,
       trainedCodebook = Some(servingItemCodebook(numCells, seed)))
       .toDF("item_id", "neighbor_item_id", "rank", "cosine")

@@ -1141,7 +1141,7 @@ object Queries {
     * path end-to-end. Recall vs the exact kernel stays spec-asserted in
     * GraftALSServingSpec.
     */
-  val alsItemNeighborsApprox: QueryDef = QueryDef.withOracle(
+  private def duckItemNeighborsApproxSql(queryPred: String): String =
     s"""WITH ${duckFactorCte("itf", "als_item_factors", "f")},
        |${duckServingCbCte("cb", "cosine", 8)},
        |nc AS (SELECT COUNT(*) AS n FROM cb),
@@ -1159,7 +1159,8 @@ object Queries {
        |  SELECT id AS query_id, cell FROM (
        |    SELECT sc.id, sc.cell,
        |      ROW_NUMBER() OVER (PARTITION BY sc.id ORDER BY sc.s DESC, sc.cell ASC) AS r
-       |    FROM scores sc JOIN occ USING (cell)) z
+       |    FROM scores sc JOIN occ USING (cell)
+       |    WHERE $queryPred) z
        |  WHERE r <= 4),
        |cos AS (
        |  SELECT p.query_id, a.id AS neighbor_id,
@@ -1178,8 +1179,26 @@ object Queries {
        |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM cos)
        |SELECT item_id, neighbor_item_id, rank, cosine FROM ranked WHERE rank <= 3
-       |ORDER BY item_id, rank""".stripMargin) { (s, dir) =>
+       |ORDER BY item_id, rank""".stripMargin
+
+  val alsItemNeighborsApprox: QueryDef = QueryDef.withOracle(
+    duckItemNeighborsApproxSql("TRUE")) { (s, dir) =>
     model(s, dir).itemNeighborsApprox(3).orderBy("item_id", "rank")
+  }
+
+  /** One deterministic item shard (1 of 4, id % 4) of the IVF-routed
+    * related-items serve — the horizontal scale-out twin of
+    * als_recommend_sharded for the OTHER whole-catalog i·√i pass: the
+    * corpus, assignment and codebook are shared across shards, only the
+    * query side is partitioned, so N shard jobs each cost ~1/N of the
+    * full serve and their union equals it row-for-row
+    * (GraftALSServingSpec pins the union identity; the oracle replays
+    * the same IVF path with the probe CTE filtered to the shard).
+    */
+  val alsItemNeighborsSharded: QueryDef = QueryDef.withOracle(
+    duckItemNeighborsApproxSql("sc.id % 4 = 1")) { (s, dir) =>
+    model(s, dir).itemNeighborsApprox(3, itemShard = Some((1, 4)))
+      .orderBy("item_id", "rank")
   }
 
   /** Recommendations via MIPS-routed IVF — the sub-quadratic twin of
@@ -4566,6 +4585,7 @@ object Queries {
     "als_item_neighbors_approx" -> alsItemNeighborsApprox,
     "als_recommend_approx" -> alsRecommendApprox,
     "als_recommend_sharded" -> alsRecommendSharded,
+    "als_item_neighbors_sharded" -> alsItemNeighborsSharded,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

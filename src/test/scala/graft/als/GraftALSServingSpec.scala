@@ -117,6 +117,23 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     assert(shards.reduce(_ ++ _) == full)
   }
 
+  test("sharded item-neighbors serve: union over shards equals the full serve row-for-row") {
+    val dim = 8
+    val items = syntheticFactors(n = 300, dim = dim, seed = 23L)
+    val model = GraftALSModel(rank = dim, userFactors = items, itemFactors = items)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val full = rows(model.itemNeighborsApprox(5, nProbe = 6, numCells = 16))
+    val shards = (0 until 4).map(sh => rows(
+      model.itemNeighborsApprox(5, nProbe = 6, numCells = 16,
+        itemShard = Some((sh, 4)))))
+    // the corpus, assignment and codebook are shard-invariant; only the
+    // query side is partitioned, so the shard union IS the full serve
+    assert(shards.map(_.size).sum == full.size)
+    assert(shards.reduce(_ ++ _) == full)
+  }
+
   test("auto IVF sizing scales cells as sqrt(n) and respects explicit overrides") {
     val dim = 4
     val factors = syntheticFactors(n = 300, dim = dim, seed = 31L)
