@@ -3739,8 +3739,8 @@ object Queries {
     * arithmetic as the sim_topk_ivf oracle.
     */
   private def duckDriftRecallOracle: String = {
-    val samp =
-      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 16 = 0"
+    val anchorHash =
+      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT"
     def cosExpr(qa: String, na: String, ca: String, nb: String) =
       s"""CASE WHEN $na.nrm = 0 OR $nb.nrm = 0 THEN 0.0
          |         ELSE (${duckEmbEmbDot(s"$qa.embedding", s"$ca.embedding")}) / ($na.nrm * $nb.nrm)
@@ -3784,8 +3784,8 @@ object Queries {
        |emb AS (SELECT * FROM emb0 UNION ALL SELECT * FROM drift),
        |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
        |  FROM emb e),
-       |smp AS (SELECT vec_id FROM drift WHERE $samp),
-       |qset AS (SELECT vec_id FROM drift WHERE (SELECT COUNT(*) FROM smp) = 0 OR $samp),
+       |qset AS (SELECT vec_id FROM drift
+       |  ORDER BY $anchorHash, vec_id LIMIT $recallAnchorBudget),
        |bf AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT s.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -3841,14 +3841,12 @@ object Queries {
     val base = t(s, dir, "embeddings").select("vec_id", "embedding")
     val drifted = driftedEmbeddings(s, dir)
     val union = base.unionByName(drifted).persist()
-    // 1/16 drifted-mass sample (round-10 verdict #4, was 1/8): the meter's
-    // dominant cost is brute-force truth over |sample|·|union| pairs;
-    // halving the sample halves it while the decay signal — a ~0.1-scale
-    // recall gap — stays far outside the sample's ~±0.03 CI
-    val hashSampled: Column => Column =
-      id => TextOps.portableHash56(id.cast("string")) % 16 === 0
-    val qs = drifted.where(hashSampled(col("vec_id")))
-    val queries = if (qs.isEmpty) drifted else qs
+    // fixed anchor budget over the drifted mass (round-11 verdict #4, was
+    // a 1/16 rate sample): truth cost O(anchors × union) — flat per
+    // corpus scan — while the decay signal, a ~0.1-scale recall gap,
+    // stays far outside the 256-anchor estimate's ~±0.014 std
+    val anchorSet = recallAnchorIds(drifted, "vec_id")
+    val queries = drifted.where(col("vec_id").isin(anchorSet.map(Long.box): _*))
     val exact = Similarity.bruteForceTopK(queries, union, k = 5)
       .select("query_id", "neighbor_id").persist()
     val stale = Similarity
@@ -3899,13 +3897,15 @@ object Queries {
     * paths against the exact brute-force neighbors — the accuracy/cost
     * trade of the approximate tiers as driver-readable numbers.
     *
-    * Recall is ESTIMATED on a deterministic hash-sample of the query side
-    * (~1/4 of ids) while every tier still searches the FULL corpus: recall
-    * is a population statistic, so a fixed-fraction sample answers it with
-    * the exact ground truth costing n/4 · m instead of n·m — the only way
-    * this measurement stays runnable at 100 TB. The three per-tier result
-    * sets are tiny (≤ k rows per sampled query) and are persisted so the
-    * hit-count joins don't re-run a search lineage per count.
+    * Recall is ESTIMATED on a FIXED-COUNT deterministic anchor set
+    * ([[recallAnchorBudget]] ids by hash order) while every tier still
+    * searches the FULL corpus: recall is a population statistic, so a
+    * fixed anchor budget answers it with exact ground truth costing
+    * anchors·m — flat per corpus scan at any scale, where a fixed-RATE
+    * sample still grew O(m²) and priced the meter out at ×100. The
+    * per-tier result sets are tiny (≤ k rows per anchor) and are
+    * persisted so the hit-count joins don't re-run a search lineage per
+    * count.
     *
     * Hash-checked (round-7 verdict #3): every side of every recall
     * fraction now has its own green DuckDB replay (brute via the exact
@@ -3929,8 +3929,8 @@ object Queries {
     * engines.
     */
   private def duckSimRecallOracle: String = {
-    val samp =
-      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT % 8 = 0"
+    val anchorHash =
+      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT"
     def cosExpr(qa: String, na: String, ca: String, nb: String) =
       s"""CASE WHEN $na.nrm = 0 OR $nb.nrm = 0 THEN 0.0
          |         ELSE (${duckEmbEmbDot(s"$qa.embedding", s"$ca.embedding")}) / ($na.nrm * $nb.nrm)
@@ -3967,8 +3967,8 @@ object Queries {
     s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
        |norms AS (SELECT vec_id, SQRT(${duckEmbEmbDot("e.embedding", "e.embedding")}) AS nrm
        |  FROM emb e),
-       |smp AS (SELECT vec_id FROM emb WHERE $samp),
-       |qset AS (SELECT vec_id FROM emb WHERE (SELECT COUNT(*) FROM smp) = 0 OR $samp),
+       |qset AS (SELECT vec_id FROM emb
+       |  ORDER BY $anchorHash, vec_id LIMIT $recallAnchorBudget),
        |bf AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT s.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -4099,20 +4099,40 @@ object Queries {
        |FROM nn, lhit, ihit, phit""".stripMargin
   }
 
+  /** FIXED anchor budget of the recall meters: the truth tier is exact
+    * top-k for exactly this many deterministically-chosen anchor queries,
+    * so its cost is O(anchors × corpus) — flat per corpus SCAN at any
+    * scale — where the earlier fixed-RATE sample made it O(corpus²/rate)
+    * and priced the meter out at ×100 (241.9 s measured in round 11). At
+    * 256 anchors × k=5 the estimate rests on 1,280 truth pairs: ±0.014
+    * std at the recall levels the tiers run, ample for a 3-tier quality
+    * meter (RecallAnchorSpec pins the anchored estimate against full
+    * truth at sf0.1). A compile-time constant (no type ascription): the
+    * drift meter's oracle string interpolates it during object init,
+    * before a plain val here would be assigned.
+    */
+  final val recallAnchorBudget = 256
+
+  /** The deterministic anchor set: the `recallAnchorBudget` ids smallest
+    * by (portable md5 hash, id) — a fixed-size, order-independent choice
+    * both engines reproduce (the oracle replays it as ORDER BY hash, id
+    * LIMIT n). Collected to the driver: bounded at the budget.
+    */
+  def recallAnchorIds(ids: DataFrame, idCol: String): Array[Long] =
+    ids.select(col(idCol))
+      .orderBy(TextOps.portableHash56(col(idCol).cast("string")), col(idCol))
+      .limit(recallAnchorBudget)
+      .collect().map(_.getLong(0))
+
   val simRecall: QueryDef = QueryDef.withOracle(
     duckSimRecallOracle) { (s, dir) =>
     val e = t(s, dir, "embeddings")
-    // fall back to the unsampled query set on a corpus so small the hash
-    // sample is empty — otherwise nExact=0 and recall silently reports NaN.
-    // 1/8 sample (round-10 verdict #4, was 1/4): the brute-force truth is
-    // |sample|·|corpus| pairs and topped the sf0.1 bill; recall is a
-    // population statistic, so at sf0.1's ~2500 sampled pairs the 95% CI
-    // is ±√(r(1−r)/n) ≈ ±0.02 — ample for a 3-tier quality meter
-    val hashSampled: Column => Column =
-      id => TextOps.portableHash56(id.cast("string")) % 8 === 0
-    val sampled: Column => Column =
-      if (e.where(hashSampled(col("vec_id"))).isEmpty) (_: Column) => lit(true)
-      else hashSampled
+    // fixed anchor budget (round-11 verdict #4, was a 1/8 rate sample):
+    // truth cost O(anchors × corpus), not O(corpus²/8); below the budget
+    // the anchor set is the whole corpus, so small-sf oracle tiers keep
+    // full truth
+    val anchorSet = recallAnchorIds(e, "vec_id")
+    val sampled: Column => Column = id => id.isin(anchorSet.map(Long.box): _*)
     val queries = e.where(sampled(col("vec_id")))
     val exact = Similarity.bruteForceTopK(queries, e, k = 5)
       .select("query_id", "neighbor_id").persist()

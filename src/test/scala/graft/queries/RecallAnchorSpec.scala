@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.{SparkFixture, Tables}
+import graft.ops.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the recall meters' fixed anchor budget: the anchored estimate
+  * (exact truth for [[Queries.recallAnchorBudget]] hash-chosen queries)
+  * must track the full-truth recall (exact truth for EVERY query) — the
+  * bound that justifies running the ×100 meter at O(anchors × corpus)
+  * instead of the O(corpus²) full truth the small-sf oracle tiers keep.
+  */
+class RecallAnchorSpec extends AnyFunSuite with SparkFixture {
+
+  test("anchor selection is deterministic, bounded, and degenerates to the full set below budget") {
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val a1 = Queries.recallAnchorIds(e, "vec_id")
+    val a2 = Queries.recallAnchorIds(e, "vec_id")
+    assert(a1.toSeq == a2.toSeq)
+    assert(a1.length == math.min(Queries.recallAnchorBudget, e.count()).toInt)
+    // a corpus at or below the budget keeps FULL truth
+    val small = e.limit(Queries.recallAnchorBudget / 2)
+    assert(Queries.recallAnchorIds(small, "vec_id").length == small.count().toInt)
+  }
+
+  test("anchored IVF recall tracks full-truth recall at sf0.1") {
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    val cb = Similarity.trainCodebook(
+      e, numCells = Similarity.defaultNumCells(e.count()))
+    def recall(queries: DataFrame): Double = {
+      val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+        .select("query_id", "neighbor_id").persist()
+      val ivf = Similarity.ivfTopK(queries, e, k = 5, trainedCodebook = Some(cb))
+        .select("query_id", "neighbor_id")
+      val n = exact.count()
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id")).count()
+      exact.unpersist(blocking = false)
+      hits.toDouble / n
+    }
+    val full = recall(e)
+    val anchors = Queries.recallAnchorIds(e, "vec_id")
+    assert(anchors.length == Queries.recallAnchorBudget)
+    val anchored = recall(e.where(col("vec_id").isin(anchors.map(Long.box): _*)))
+    // 256 anchors × k=5 = 1,280 truth pairs → ±0.014 std on the estimate;
+    // 0.05 is ~3.5σ of headroom while still catching a broken anchor tier
+    // (the meter reads tier gaps at the ~0.1 scale)
+    assert(math.abs(full - anchored) <= 0.05,
+      s"anchored recall $anchored vs full-truth $full")
+  }
+}
