@@ -77,6 +77,16 @@ object Similarity {
     * three (norms are per-ROW and must be computed before the pairwise join,
     * not inside it — n+m norm evals instead of n·m).
     */
+  /** Explicit shuffle width for the cell-clustered index writes: a
+    * count-less `repartition(col)` is an AQE-coalescible shuffle, and for
+    * a small batch AQE merges the write to ONE task that emits every cell
+    * file serially (measured 13.9 s vs 3.4 s on the bucket-index twin of
+    * this layout). Pinning the session's shuffle width keeps cell
+    * co-location (one file per cell) at fixed parallelism.
+    */
+  private def clusterWidth(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   private def cosineWithNorms(qv: Column, cv: Column, qn: Column, cn: Column): Column =
     when(qn === 0.0 || cn === 0.0, 0.0)
       .otherwise(VectorFunctions.dot(qv, cv) / (qn * cn))
@@ -445,7 +455,7 @@ object Similarity {
       // write task emits a sliver into every cell dir (tasks × cells tiny
       // files — measured 2.3x serve wall at a √n-sized codebook); with it
       // each cell is one file and dir listings stay O(cells)
-      .repartition(col("cell"))
+      .repartition(clusterWidth(corpus), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Driver-side probe selection for ONE query vector: its `nProbe`
@@ -481,7 +491,7 @@ object Similarity {
       path: String,
       vecCol: String = "embedding"): Unit =
     withCellAssignment(Parallelism.widen(newVectors), cells, vecCol)
-      .repartition(col("cell"))   // one file per touched cell per batch
+      .repartition(clusterWidth(newVectors), col("cell"))   // one file per touched cell per batch
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Point-lookup serving over a [[writeCellIndex]] layout: scan only the

@@ -3,19 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale probe (test scope): per-batch cost of the bucketed merge-on-write
-  * first-seen index vs index size — the measurement behind the round-11
-  * O(batch) claim.
+/** Scale probe (test scope): per-trigger cost of the append-only
+  * merge-on-write first-seen index vs BATCH size and vs INDEX size — the
+  * measurement behind the round-12 "O(batch) in every regime" claim.
   *
   * For each `dir:numBuckets` argument: build the index from the tier's
   * full events table (one AvailableNow batch — the bulk load), then apply
-  * two small incremental batches of `batchKeys` fresh keys each (the
-  * second is the measured one; the first warms stream/codegen machinery).
-  * With numBuckets sized so a bucket holds a bounded key count, the
-  * incremental batch reads only the <=batchKeys buckets its keys hash
-  * into — so the measured maintenance cost should track BATCH size and
-  * stay ~flat across a 10x index-size decade, where the old full-rewrite
-  * design paid the whole index every trigger.
+  * incremental batches of 64, 100k and 1M FRESH keys (a 64-key warm batch
+  * first absorbs stream/codegen startup). The 64-key trickle touches ≤64
+  * buckets; the 100k/1M batches hash into EVERY bucket — the regime where
+  * the round-11 read-modify-write design degraded to an O(index) full
+  * rewrite. The append-only commit must show per-trigger cost tracking
+  * batch size (1M ≳ 100k ≫ 64 only by its own write volume) and staying
+  * ~flat across the ×10→×100 index-size decade. A final 1M batch runs
+  * with compactEvery=1, forcing every bucket to fold base+deltas — the
+  * amortized compaction ceiling, reported separately from the append
+  * path it amortizes.
+  *
+  * SPARK_GRAFT_PROBE_STAGES=1 prints per-stage timings (>0.5 s).
   *
   * Run: sbt "Test/runMain graft.StreamIndexProbe /tmp/graft_scale_full_x10:128 /tmp/graft_scale_full_x100:1024"
   */
@@ -23,7 +28,6 @@ object StreamIndexProbe {
   def main(args: Array[String]): Unit = {
     val tiers = (if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1:32"))
       .map { a => val Array(d, b) = a.split(":"); (d, b.toInt) }
-    val batchKeys = 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +36,19 @@ object StreamIndexProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield (c - s) / 1000.0
+          if (dur.exists(_ > 0.5))
+            println(f"[stage] ${si.stageId}%4d ${dur.getOrElse(0.0)}%7.2f s  " +
+              f"tasks=${si.numTasks}  ${si.name.take(90)}")
+        }
+      })
 
     val out = new StringBuilder("[\n")
     tiers.zipWithIndex.foreach { case ((dir, numBuckets), ti) =>
@@ -49,35 +65,47 @@ object StreamIndexProbe {
       def stream = spark.readStream
         .schema("content_hash STRING, event_id BIGINT")
         .parquet(s"$src/*")
-      def runOnce(): Double = {
+      def runOnce(compactEvery: Int = 8): Double = {
         val t0 = System.nanoTime()
-        graft.streaming.EventsStream.firstSeenIndex(stream, idx, ck, numBuckets)
+        graft.streaming.EventsStream.firstSeenIndex(
+          stream, idx, ck, numBuckets, compactEvery)
         spark.streams.resetTerminated()
         (System.nanoTime() - t0) / 1e9
       }
       val buildSec = runOnce()
-      // two incremental batches of fresh keys; warm first, measure second
-      def incr(tag: String): Double = {
-        (0 until batchKeys).map(i => (s"${tag}_probe_key_$i", 1L + i))
-          .toDF("content_hash", "event_id")
-          .coalesce(1).write.parquet(s"$src/$tag")
-        runOnce()
+      // fresh-key incremental batches; a small warm batch first
+      def incr(tag: String, keys: Long, compactEvery: Int = 8): Double = {
+        spark.range(keys)
+          .select(
+            concat(lit(s"${tag}_k"), col("id").cast("string")).as("content_hash"),
+            (col("id") + 1L).as("event_id"))
+          .coalesce(math.max(1, (keys / 250000L).toInt))
+          .write.parquet(s"$src/$tag")
+        println(s"[probe] --- batch $tag ($keys keys) ---")
+        runOnce(compactEvery)
       }
-      val warmSec = incr("w1")
-      val incrSec = incr("w2")
+      val warmSec = incr("w1", 64)
+      val incr64 = incr("w2", 64)
+      val incr100k = incr("m100k", 100000)
+      val incr1m = incr("m1m", 1000000)
+      // amortization ceiling: same 1M append + every bucket folds
+      val incr1mCompact = incr("m1mc", 1000000, compactEvery = 1)
       val indexRows = graft.streaming.EventsStream.latestIndex(spark, idx).count()
       println(f"[probe] $dir buckets=$numBuckets%5d index=$indexRows%9d " +
-        f"build=$buildSec%7.2f warm=$warmSec%6.2f incr=$incrSec%6.2f")
+        f"build=$buildSec%7.2f warm=$warmSec%6.2f incr64=$incr64%6.2f " +
+        f"incr100k=$incr100k%6.2f incr1m=$incr1m%6.2f compact1m=$incr1mCompact%7.2f")
       out.append(s"""  {"dir":"$dir","num_buckets":$numBuckets,""" +
-        s""""index_rows":$indexRows,"batch_keys":$batchKeys,""" +
-        f""""build_sec":$buildSec%.2f,"incr_warm_sec":$warmSec%.2f,"incr_sec":$incrSec%.2f}""" +
+        s""""index_rows":$indexRows,""" +
+        f""""build_sec":$buildSec%.2f,"incr_warm_sec":$warmSec%.2f,""" +
+        f""""incr64_sec":$incr64%.2f,"incr100k_sec":$incr100k%.2f,""" +
+        f""""incr1m_sec":$incr1m%.2f,"incr1m_compact_sec":$incr1mCompact%.2f}""" +
         (if (ti == tiers.size - 1) "\n" else ",\n"))
       graft.streaming.EventsStream.deleteRecursively(new java.io.File(root))
       spark.catalog.clearCache(); System.gc()
     }
     out.append("]\n")
     val dst = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
-      "/root/repo/bench_artifacts/stream_index_probe_r11.json")
+      "/root/repo/bench_artifacts/stream_index_probe_r12.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(dst),
       out.toString.getBytes("UTF-8"))
     spark.stop()
