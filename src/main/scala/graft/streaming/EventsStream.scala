@@ -182,6 +182,25 @@ object EventsStream {
     */
   val defaultStatePartitions: Int = 8
 
+  /** Volume-scaled state width: `defaultStatePartitions` at the small
+    * tiers, growing with the events table's on-disk size up to the core
+    * count. The constant (4 MB of compressed input per state partition)
+    * is calibrated by the ×100 RocksDB A/B: at that tier's state volume,
+    * 8 partitions SERIALIZE the per-row RocksDB work (stream_dedup +
+    * purchase_views read 44-58 s) while 32 parallelize it (26.9 s) — the
+    * fixed ~250 ms/partition/batch store cost that makes narrow state
+    * right at sf0.1 is dwarfed there by per-row JNI time. A production
+    * deployment sizes this from state-bytes telemetry; input volume is
+    * the static proxy a fixture bench can derive deterministically.
+    */
+  private def autoStatePartitions(sfDir: String): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(sizeOf).sum
+      else f.length()
+    val mb = sizeOf(new java.io.File(sfDir, "events.parquet")) >> 20
+    math.max(defaultStatePartitions, math.min(32, (mb / 4).toInt))
+  }
+
   /** Runs a streaming transform to completion over the fixture files with
     * `Trigger.AvailableNow` and returns the result as a batch DataFrame.
     * Used by the verify harness so the streaming path is
@@ -206,15 +225,15 @@ object EventsStream {
       sfDir: String,
       transform: DataFrame => DataFrame,
       queryName: String,
-      statePartitions: Int = defaultStatePartitions): DataFrame = {
+      statePartitions: Int = -1): DataFrame = {
     val streamSession = spark.newSession()
-    // ops override for scale A/Bs: state width is sized to state VOLUME
-    // (see defaultStatePartitions), and the right width at a 100x fixture
-    // tier is not the right width at sf0.001 — the env lets a bench probe
-    // vary it without touching every call site (results are
-    // width-invariant, StreamingSpec pins that)
-    val stateParts = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
-      .map(_.toInt).getOrElse(statePartitions)
+    // state width precedence: explicit caller value (specs pin
+    // width-invariance with it) > env override (scale A/Bs) >
+    // volume-scaled auto ([[autoStatePartitions]])
+    val stateParts =
+      if (statePartitions > 0) statePartitions
+      else sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt)
+        .getOrElse(autoStatePartitions(sfDir))
     streamSession.conf.set("spark.sql.shuffle.partitions", stateParts)
     // RocksDB state store: the 100 TB posture. The default HDFS-backed
     // provider keeps every stateful operator's state in executor HEAP —
@@ -241,14 +260,18 @@ object EventsStream {
       streamSession.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
         "false")
-      // A/B hook for further RocksDB tuning without a code change:
+      // A/B hook for further state-store tuning without a code change:
       // SPARK_GRAFT_ROCKSDB_OPTS="boundedMemoryUsage=true,maxMemoryUsageMB=2048"
-      // applies each pair under spark.sql.streaming.stateStore.rocksdb.
+      // applies each pair under spark.sql.streaming.stateStore.rocksdb.;
+      // a key already starting with "spark." is set verbatim (e.g. the
+      // state-row encoding format spark.sql.streaming.stateStore.encodingFormat)
       sys.env.get("SPARK_GRAFT_ROCKSDB_OPTS").foreach { opts =>
         opts.split(',').filter(_.contains("=")).foreach { kv =>
-          val Array(k, v) = kv.split("=", 2)
+          val Array(k0, v) = kv.split("=", 2)
+          val k = k0.trim
           streamSession.conf.set(
-            s"spark.sql.streaming.stateStore.rocksdb.${k.trim}", v.trim)
+            if (k.startsWith("spark.")) k
+            else s"spark.sql.streaming.stateStore.rocksdb.$k", v.trim)
         }
       }
     }
