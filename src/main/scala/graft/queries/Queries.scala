@@ -1582,20 +1582,33 @@ object Queries {
   }.sortedDump("event_type")
 
   /** The shredded-at-ingest events layout: full events schema with the
-    * `props` JSON parsed once into a stored VARIANT column. Materialized
-    * once per (JVM, sfDir) like the other ingest layouts
-    * (docsSortedScan's range-sorted files, the stream index builds);
-    * warmed reads then measure the read path alone.
+    * `props` JSON parsed once into a stored VARIANT column. Unlike the
+    * per-JVM scratch layouts, this one PERSISTS across JVMs — parsing at
+    * ingest means the parse is paid when the data lands, not once per
+    * process that later reads it — guarded by a staleness marker (source
+    * events dir size + newest mtime): a changed fixture rebuilds, a
+    * matching marker reuses the layout as-is.
     */
   private def shreddedEvents(s: SparkSession, dir: String): DataFrame = {
     val root = s"/tmp/graft_events_shredded_${dirKey(dir)}"
-    if (!csvWritten.contains(root)) {
+    val marker = new java.io.File(root, "_graft_source_stamp")
+    def stampOf: String = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val files = walk(new java.io.File(dir, "events.parquet"))
+      s"${files.map(_.length()).sum}|${files.map(_.lastModified()).max}"
+    }
+    val stamp = stampOf
+    val fresh = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!fresh) {
       EventsStream.deleteRecursively(new java.io.File(root))
       t(s, dir, "events")
         .withColumn("props_var", parse_json(col("props")))
         .drop("props")
         .write.parquet(root)
-      csvWritten.add(root)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8")): Unit
     }
     s.read.parquet(root)
   }
