@@ -73,10 +73,6 @@ object Similarity {
     df.withColumn("sigs", sigs)
   }
 
-  /** cosine(a,b) from a precomputed-norm pair: one dot per pair instead of
-    * three (norms are per-ROW and must be computed before the pairwise join,
-    * not inside it — n+m norm evals instead of n·m).
-    */
   /** Explicit shuffle width for the cell-clustered index writes: a
     * count-less `repartition(col)` is an AQE-coalescible shuffle, and for
     * a small batch AQE merges the write to ONE task that emits every cell
@@ -87,6 +83,10 @@ object Similarity {
   private def clusterWidth(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** cosine(a,b) from a precomputed-norm pair: one dot per pair instead of
+    * three (norms are per-ROW and must be computed before the pairwise join,
+    * not inside it — n+m norm evals instead of n·m).
+    */
   private def cosineWithNorms(qv: Column, cv: Column, qn: Column, cn: Column): Column =
     when(qn === 0.0 || cn === 0.0, 0.0)
       .otherwise(VectorFunctions.dot(qv, cv) / (qn * cn))

@@ -1591,24 +1591,38 @@ object Queries {
     */
   private def shreddedEvents(s: SparkSession, dir: String): DataFrame = {
     val root = s"/tmp/graft_events_shredded_${dirKey(dir)}"
-    val marker = new java.io.File(root, "_graft_source_stamp")
     def stampOf: String = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-        else Seq(f)
-      val files = walk(new java.io.File(dir, "events.parquet"))
+      val files = EventsStream.walkFiles(new java.io.File(dir, "events.parquet"))
       s"${files.map(_.length()).sum}|${files.map(_.lastModified()).max}"
     }
+    def isFresh(stamp: String): Boolean = {
+      val marker = new java.io.File(root, "_graft_source_stamp")
+      marker.isFile && new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    }
     val stamp = stampOf
-    val fresh = marker.isFile && new String(
-      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
-    if (!fresh) {
-      EventsStream.deleteRecursively(new java.io.File(root))
+    if (!isFresh(stamp)) {
+      // build pid-scoped, stamp inside, then RENAME into place: a
+      // concurrent JVM building the same layout never deletes a directory
+      // another process is mid-write in — whoever renames first wins and
+      // the loser discards its build (the shared-path hazard the
+      // per-JVM scratch layouts avoid by construction)
+      val build = new java.io.File(
+        s"$root.build_${ProcessHandle.current().pid()}")
+      EventsStream.deleteRecursively(build)
       t(s, dir, "events")
         .withColumn("props_var", parse_json(col("props")))
         .drop("props")
-        .write.parquet(root)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8")): Unit
+        .write.parquet(build.getPath)
+      java.nio.file.Files.write(
+        new java.io.File(build, "_graft_source_stamp").toPath,
+        stamp.getBytes("UTF-8")): Unit
+      if (isFresh(stamp)) EventsStream.deleteRecursively(build)
+      else {
+        EventsStream.deleteRecursively(new java.io.File(root))
+        require(build.renameTo(new java.io.File(root)),
+          s"shredded-layout rename failed: $build -> $root")
+      }
     }
     s.read.parquet(root)
   }

@@ -182,6 +182,15 @@ object EventsStream {
     */
   val defaultStatePartitions: Int = 8
 
+  /** Every regular file under `f` (depth-first; a file is its own walk).
+    * The shared traversal behind scratch-liveness mtimes, volume sizing,
+    * and the ingest-layout staleness stamp.
+    */
+  private[graft] def walkFiles(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walkFiles)
+    else if (f.exists()) Seq(f)
+    else Seq.empty
+
   /** Volume-scaled state width: `defaultStatePartitions` at the small
     * tiers, growing with the events table's on-disk size up to the core
     * count. The constant (4 MB of compressed input per state partition)
@@ -194,10 +203,8 @@ object EventsStream {
     * the static proxy a fixture bench can derive deterministically.
     */
   private def autoStatePartitions(sfDir: String): Int = {
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(sizeOf).sum
-      else f.length()
-    val mb = sizeOf(new java.io.File(sfDir, "events.parquet")) >> 20
+    val mb = walkFiles(new java.io.File(sfDir, "events.parquet"))
+      .map(_.length()).sum >> 20
     math.max(defaultStatePartitions, math.min(32, (mb / 4).toInt))
   }
 
@@ -295,10 +302,14 @@ object EventsStream {
     val hb = new java.io.File(base, ".heartbeat")
     val hbTimer = new java.util.Timer("graft-stream-heartbeat", true)
     hbTimer.scheduleAtFixedRate(new java.util.TimerTask {
-      def run(): Unit = {
-        hb.getParentFile.mkdirs()
-        writeMeta(hb, java.lang.Long.toString(System.currentTimeMillis()))
-      }
+      def run(): Unit =
+        // a throwing task KILLS a java.util.Timer: one transient IO
+        // failure (tmp briefly full) must skip a tick, not silence the
+        // liveness signal for the rest of a multi-hour stream
+        try {
+          hb.getParentFile.mkdirs()
+          writeMeta(hb, java.lang.Long.toString(System.currentTimeMillis()))
+        } catch { case scala.util.control.NonFatal(_) => () }
     }, 0L, 60000L)
     try {
       out.writeStream
@@ -382,6 +393,17 @@ object EventsStream {
     require(requested > 0, s"numBuckets must be positive, got $requested")
     val nbFile = new java.io.File(indexDir, "_num_buckets")
     val resolveFile = new java.io.File(indexDir, "_resolve")
+    // a crashed rebucketIndex can leave indexDir ABSENT (swapped out, not
+    // yet swapped in) with its contents parked in the sibling dirs —
+    // creating a fresh empty index here would silently lose every key, so
+    // refuse until the rebucket is re-run (it self-recovers) or the
+    // leftovers are removed deliberately
+    require(nbFile.isFile ||
+      (!new java.io.File(s"$indexDir.rebucket_old").isDirectory &&
+        !new java.io.File(s"$indexDir.rebucket").isDirectory),
+      s"index $indexDir has no metadata but an interrupted rebucket left " +
+        s"$indexDir.rebucket_old / $indexDir.rebucket behind; re-run " +
+        "rebucketIndex to complete the swap instead of re-creating the index")
     if (nbFile.isFile) {
       val pinned = readMeta(nbFile).toInt
       require(pinned == requested,
@@ -461,6 +483,11 @@ object EventsStream {
     * generations are never touched, and they alone determine every read.
     */
   private def sweepStaleCommits(indexDir: String): Unit = {
+    // reached only after pinnedMeta accepted this index, so any parked
+    // rebucket dirs are leftovers of a rebucket that crashed AFTER its
+    // swap-in (the before-swap-in case has no meta and pinnedMeta refuses)
+    Seq(s"$indexDir.rebucket_old", s"$indexDir.rebucket")
+      .map(new java.io.File(_)).filter(_.isDirectory).foreach(deleteRecursively)
     Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(".staging_"))
       .foreach(deleteRecursively)
@@ -738,6 +765,15 @@ object EventsStream {
     */
   def rebucketIndex(spark: SparkSession, indexDir: String, newNumBuckets: Int): Unit = {
     require(newNumBuckets > 0, s"numBuckets must be positive, got $newNumBuckets")
+    // self-recovery from a prior attempt that crashed between swap-out and
+    // swap-in (indexDir absent, contents parked): restore the old index
+    // and redo the rebucket from it — never resolve from a half-state
+    val oldParked = new java.io.File(s"$indexDir.rebucket_old")
+    if (!new java.io.File(indexDir, "_resolve").isFile && oldParked.isDirectory) {
+      deleteRecursively(new java.io.File(indexDir))
+      require(oldParked.renameTo(new java.io.File(indexDir)),
+        s"rebucket crash recovery failed: $oldParked -> $indexDir")
+    }
     val resolveSpec = readMeta(new java.io.File(indexDir, "_resolve"))
     val resolve = parseResolve(resolveSpec)
     val scratch = new java.io.File(s"$indexDir.rebucket")
@@ -790,11 +826,8 @@ object EventsStream {
     val re = "graft_stream_(\\d+)_.*".r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val staleAfterMs = 30L * 60 * 1000
-    def newestMtime(f: java.io.File): Long = {
-      val own = f.lastModified()
-      if (!f.isDirectory) own
-      else (own +: Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
-    }
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +: walkFiles(f).map(_.lastModified())).max
     Option(tmp.listFiles()).toSeq.flatten.filter(_.isDirectory).foreach { f =>
       f.getName match {
         case re(pidStr) =>

@@ -438,6 +438,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val got = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 5L, "b" -> 5L, "c" -> 30L, "d" -> 50L))
+    // crash window between swap-out and swap-in: indexDir absent, contents
+    // parked at .rebucket_old — a stream start must REFUSE to create a
+    // fresh empty index (that would silently lose every key)...
+    assert(new java.io.File(idx).renameTo(new java.io.File(s"$idx.rebucket_old")))
+    Seq(("e", 60L)).toDF("k", "event_id").coalesce(1).write.parquet(s"$src/f4")
+    val crash = intercept[Exception](
+      EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 8))
+    assert(crash.getMessage != null && crash.getMessage.contains("rebucket"))
+    // ...and re-running the rebucket self-recovers, after which the stream
+    // continues with nothing lost
+    EventsStream.rebucketIndex(spark, idx, 8)
+    EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 8)
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      got + ("e" -> 60L))
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
