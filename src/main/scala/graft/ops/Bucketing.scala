@@ -33,6 +33,30 @@ object Bucketing {
   private val written =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Volume-scaled bucket count for [[writeBucketed]]. Bucket count caps
+    * BOTH the bucketed scan's parallelism (a bucket file is one task — it
+    * is never split) and the exchange-free join's width, so like
+    * state-store width it must scale with data volume: a count sized at
+    * sf0.1 serializes the whole join onto 8 of 32 cores at ×100, and at
+    * 100 TB onto 8 tasks of a thousand-executor cluster. ~64 MB of source
+    * bytes per bucket, clamped to a power of two so bucket counts across
+    * tables stay compatible (Spark joins exchange-free when one side's
+    * count divides the other's).
+    */
+  def autoBuckets(
+      spark: SparkSession,
+      path: String,
+      minBuckets: Int = 8,
+      maxBuckets: Int = 64,
+      targetBytesPerBucket: Long = 64L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = fs.getContentSummary(p).getLength / targetBytesPerBucket
+    var nb = minBuckets
+    while (nb < maxBuckets && nb < target) nb *= 2
+    nb
+  }
+
   /** Write `df` as a managed parquet table bucketed AND sorted on
     * `bucketCol`. Bucket counts must match across tables meant to join
     * shuffle-free; keep them a power of two so a future repartition can

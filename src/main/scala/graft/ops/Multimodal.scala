@@ -22,6 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** In-memory ImageIO stream over a payload byte array. The
+    * `ImageIO.read(InputStream)` / `createImageInputStream` convenience
+    * paths consult `ImageIO.getUseCache()` (default TRUE) and back every
+    * stream with a temp FILE on disk — one create/write/delete cycle per
+    * asset, which dominates decode cost at millions of assets. Payloads
+    * here are already byte arrays, so cache in memory unconditionally.
+    */
+  private def memImageIn(payload: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
   /** Canonical asset schema: id + modality + payload + typed metadata. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -204,7 +215,9 @@ object Multimodal {
       colorOfFrame: Int => (Int, Int, Int),
       frames: Int): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    // memory-cached output stream: createImageOutputStream would back the
+    // encode with a temp file per asset (see memImageIn)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
@@ -216,12 +229,9 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(
             width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val rgb = (r << 16) | (g << 8) | b
-          var y = 0
-          while (y < height) {
-            var x = 0
-            while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          java.util.Arrays.fill(
+            img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb)
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
           k += 1
         }
@@ -260,18 +270,16 @@ object Multimodal {
   private def imageStats(img: java.awt.image.BufferedImage): (Int, Int, Double, Double, Double) = {
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk color-model conversion instead of w*h getRGB calls
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        sumR += (p >> 16) & 0xff
-        sumG += (p >> 8) & 0xff
-        sumB += p & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sumR += (p >> 16) & 0xff
+      sumG += (p >> 8) & 0xff
+      sumB += p & 0xff
+      i += 1
     }
     val n = (w.toLong * h).toDouble
     (w, h, sumR / n, sumG / n, sumB / n)
@@ -302,8 +310,7 @@ object Multimodal {
         // require()/reader.read() mid-partition, and a long-lived session
         // must not accumulate native ImageIO state across failures
         // (round-7 ADVICE)
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
+        val iis = memImageIn(payload)
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           require(readers.hasNext, s"no image reader recognizes asset $id's payload")
@@ -351,7 +358,7 @@ object Multimodal {
         val payload = row.getAs[Array[Byte]](2)
         modality match {
           case "image" =>
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            val img = javax.imageio.ImageIO.read(memImageIn(payload))
             require(img != null, s"ImageIO could not decode asset $id")
             val (w, h, mr, mg, mb) = imageStats(img)
             Row(id, modality, w, h, mr, mg, mb,
@@ -413,7 +420,7 @@ object Multimodal {
         val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
         val f: Array[Float] = modality match {
           case "image" =>
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            val img = javax.imageio.ImageIO.read(memImageIn(payload))
             require(img != null, s"ImageIO could not decode asset $id")
             val (w, h, mr, mg, mb) = imageStats(img)
             Array(1f, w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat, 0f, 0f)
@@ -436,8 +443,7 @@ object Multimodal {
             Array(2f, sr.toFloat, nFrames.toFloat, peak.toFloat,
               (nFrames * 1000.0 / sr).toFloat, 0f, 0f, 0f)
           case "video" =>
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(payload))
+            val iis = memImageIn(payload)
             try {
               val readers = javax.imageio.ImageIO.getImageReaders(iis)
               require(readers.hasNext, s"no image reader recognizes asset $id's payload")

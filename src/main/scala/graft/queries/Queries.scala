@@ -202,8 +202,7 @@ object Queries {
     t(s, dir, "lineitem").select("l_partkey")
       .except(t(s, dir, "part").where(col("p_size") > 25)
         .select(col("p_partkey").as("l_partkey")))
-      .orderBy("l_partkey")
-  }
+  }.sortedDump("l_partkey")
 
   /** Grouping sets / ROLLUP with NULL-safe sentinel labels. */
   val q11Rollup: QueryDef = QueryDef.withOracle(
@@ -298,8 +297,7 @@ object Queries {
         col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
         length(col("text")).cast("bigint").as("n_chars_computed"))
-      .orderBy("doc_id")
-  }
+  }.sortedDump("doc_id")
 
   /** Exact-dedup hash groups over documents (md5 hex is identical in both
     * engines): one row per distinct content with keeper id + copy count.
@@ -316,8 +314,7 @@ object Queries {
       .agg(
         count(lit(1)).as("n_copies"),
         min(col("doc_id")).as("keeper_id"))
-      .orderBy("content_hash")
-  }
+  }.sortedDump("content_hash")
 
   /** Text-quality feature extraction, cross-engine form: stopword counts via
     * list filtering, portable token arithmetic.
@@ -488,9 +485,13 @@ object Queries {
       .orderBy("returnflag", "linestatus")
   }
 
-  /** Salted skew-join: result must be EXACTLY the plain equi-join (the
-    * oracle is the plain SQL join) while the physical plan spreads any hot
-    * key over `saltFactor` buckets.
+  /** Skew-aware salted join: result must be EXACTLY the plain equi-join
+    * (the oracle is the plain SQL join) while the physical plan spreads
+    * sampled-hot keys over `saltFactor` buckets. Hot-key-ONLY salting
+    * (`SkewJoin.skewAwareInnerJoin`): the blanket form replicates the
+    * whole right side ×saltFactor — measured 51.2 s vs 13.9 s at ×100 on
+    * this uniform-key join, and a non-starter at 100 TB. The blanket form
+    * remains exercised by SkewJoinSpec.
     */
   val q25SkewSaltedJoin: QueryDef = QueryDef.withOracle(
     """SELECT l_orderkey, l_linenumber, o_custkey,
@@ -498,7 +499,7 @@ object Queries {
       |  CAST(o_totalprice AS DOUBLE) AS totalprice
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-    graft.ops.SkewJoin.saltedInnerJoin(
+    graft.ops.SkewJoin.skewAwareInnerJoin(
       t(s, dir, "lineitem").withColumn("k", col("l_orderkey")),
       t(s, dir, "orders").withColumn("k", col("o_orderkey")),
       "k", saltFactor = 8)
@@ -506,8 +507,7 @@ object Queries {
         col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
         col("l_quantity").cast("double").as("quantity"),
         col("o_totalprice").cast("double").as("totalprice"))
-      .orderBy("l_orderkey", "l_linenumber")
-  }
+  }.sortedDump("l_orderkey", "l_linenumber")
 
   /** AS-OF join (point-in-time lookup): each event gets the latest
     * at-or-before 'purchase' event of the same user. Spark lacks a native
@@ -543,8 +543,7 @@ object Queries {
         col("event_id"), col("user_id"),
         col("prev_purchase_id"),
         col("prev_purchase_value").cast("double").as("prev_purchase_value"))
-      .orderBy("event_id")
-  }
+  }.sortedDump("event_id")
 
   /** Batch sessionization (gaps-and-islands): per-user sessions split at
     * >30-minute gaps — lag + running sum of session-break markers, then one
@@ -853,15 +852,13 @@ object Queries {
     duckMembershipOracle("als_user_factors", duckRatingsUserIds, 8)) { (s, dir) =>
     model(s, dir).userFactors
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
-      .orderBy("id", "pos")
-  }
+  }.sortedDump("id", "pos")
 
   val alsItemFactors: QueryDef = QueryDef.withOracle(
     duckMembershipOracle("als_item_factors", duckRatingsItemIds, 8)) { (s, dir) =>
     model(s, dir).itemFactors
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
-      .orderBy("id", "pos")
-  }
+  }.sortedDump("id", "pos")
 
   /** NNLS-trained model (nonnegative = true), cached like [[model]] — the
     * projected-gradient NNLS solver was spec-only (SolverSpec KKT) until
@@ -912,8 +909,7 @@ object Queries {
       .unionByName(m.itemFactors
         .select(lit("i").as("side"), col("id"),
           posexplode(col("features")).as(Seq("pos", "value"))))
-      .orderBy("side", "id", "pos")
-  }
+  }.sortedDump("side", "id", "pos")
 
   /** Serving-time user fold-in (one exact ALS-WR user half-step against
     * the fixed item factors — the cold-start answer the reference lacks)
@@ -927,8 +923,7 @@ object Queries {
     val slice = ratingsDF(s, dir).where(pmod(col("user_id"), lit(7L)) === 3)
     model(s, dir).foldInUsers(slice, regParam = 0.1)
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
-      .orderBy("id", "pos")
-  }
+  }.sortedDump("id", "pos")
 
   /** Online user-factor refresh: the ratings derivation re-played as a
     * file stream (4 parquet shards, one micro-batch each) folds its users
@@ -963,8 +958,7 @@ object Queries {
     }
     EventsStream.latestIndex(s, s"$root/factors")
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
-      .orderBy("id", "pos")
-  }
+  }.sortedDump("id", "pos")
 
   /** Item fold-in twin (new catalog entries against fixed user factors),
     * for a hash-slice of items. Rows-only: floats; spec checks the exact
@@ -976,8 +970,7 @@ object Queries {
     val slice = ratingsDF(s, dir).where(pmod(col("item_id"), lit(11L)) === 5)
     model(s, dir).foldInItems(slice, regParam = 0.1)
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
-      .orderBy("id", "pos")
-  }
+  }.sortedDump("id", "pos")
 
   /** Factor-table pivot CTEs for the composed scoring oracles: the dumped
     * `(id, pos, value)` scalar rows pivot back to one row per id with
@@ -1018,8 +1011,8 @@ object Queries {
        |  CAST(${duckFactorDot("u", "i")} AS FLOAT) AS prediction
        |FROM ratings r JOIN uf ON r.user_id = uf.id JOIN itf ON r.item_id = itf.id
        |ORDER BY r.user_id, r.item_id""".stripMargin) { (s, dir) =>
-    model(s, dir).transform(ratingsDF(s, dir)).orderBy("user_id", "item_id")
-  }
+    model(s, dir).transform(ratingsDF(s, dir))
+  }.sortedDump("user_id", "item_id")
 
   /** Training-set MSE (O3/A5) as a single-row result — hash-checked as a
     * TOLERANCE gate: the oracle recomputes the average over the dumped
@@ -1069,8 +1062,8 @@ object Queries {
        |  FROM scored)
        |SELECT user_id, item_id, rank, score FROM ranked WHERE rank <= 3
        |ORDER BY user_id, rank""".stripMargin) { (s, dir) =>
-    model(s, dir).recommendForAllUsers(3).orderBy("user_id", "rank")
-  }
+    model(s, dir).recommendForAllUsers(3)
+  }.sortedDump("user_id", "rank")
 
   /** Related-items surface: cosine top-3 neighbors in factor space —
     * hash-checked (round-7 verdict #2, the exact-tier twin of the
@@ -1110,8 +1103,8 @@ object Queries {
        |SELECT item_id, neighbor_item_id, rank, cosine FROM ranked WHERE rank <= 3
        |ORDER BY item_id, rank""".stripMargin
   } { (s, dir) =>
-    model(s, dir).itemNeighbors(3).orderBy("item_id", "rank")
-  }
+    model(s, dir).itemNeighbors(3)
+  }.sortedDump("item_id", "rank")
 
   /** Serving-codebook pivot from the als_index_build dump (space-filtered;
     * `dim` = 8 for the cosine space, 9 for the MIPS augmented space).
@@ -1183,8 +1176,8 @@ object Queries {
 
   val alsItemNeighborsApprox: QueryDef = QueryDef.withOracle(
     duckItemNeighborsApproxSql("TRUE")) { (s, dir) =>
-    model(s, dir).itemNeighborsApprox(3).orderBy("item_id", "rank")
-  }
+    model(s, dir).itemNeighborsApprox(3)
+  }.sortedDump("item_id", "rank")
 
   /** One deterministic item shard (1 of 4, id % 4) of the IVF-routed
     * related-items serve — the horizontal scale-out twin of
@@ -1198,8 +1191,7 @@ object Queries {
   val alsItemNeighborsSharded: QueryDef = QueryDef.withOracle(
     duckItemNeighborsApproxSql("sc.id % 4 = 1")) { (s, dir) =>
     model(s, dir).itemNeighborsApprox(3, itemShard = Some((1, 4)))
-      .orderBy("item_id", "rank")
-  }
+  }.sortedDump("item_id", "rank")
 
   /** Recommendations via MIPS-routed IVF — the sub-quadratic twin of
     * als_recommend. Hash-checked (round 7): the oracle replays the MIPS
@@ -1256,8 +1248,8 @@ object Queries {
 
   val alsRecommendApprox: QueryDef = QueryDef.withOracle(
     duckRecommendApproxSql(duckFactorCte("uf", "als_user_factors", "u"))) { (s, dir) =>
-    model(s, dir).recommendForAllUsersApprox(3).orderBy("user_id", "rank")
-  }
+    model(s, dir).recommendForAllUsersApprox(3)
+  }.sortedDump("user_id", "rank")
 
   /** One deterministic user shard (1 of 4, id % 4) of the MIPS-routed
     * recommend — the horizontal scale-out of the whole-catalog serve: at
@@ -1272,8 +1264,7 @@ object Queries {
       s"""${duckFactorCte("uf_all", "als_user_factors", "u")},
          |uf AS (SELECT * FROM uf_all WHERE id % 4 = 1)""".stripMargin)) { (s, dir) =>
     model(s, dir).recommendForAllUsersApprox(3, userShard = Some((1, 4)))
-      .orderBy("user_id", "rank")
-  }
+  }.sortedDump("user_id", "rank")
 
   /** Serving-index BUILD step: trains the model's item-factor ANN indexes
     * (cosine codebook for als_item_neighbors_approx, MIPS index for
@@ -1366,8 +1357,7 @@ object Queries {
       "SELECT DISTINCT user_id AS id FROM events", 8)) { (s, dir) =>
     implicitModel(s, dir).userFactors
       .select(col("id"), posexplode(col("features")).as(Seq("pos", "value")))
-      .orderBy("id", "pos")
-  }
+  }.sortedDump("id", "pos")
 
   /** Implicit-feedback fold-in for a hash-slice of users: YᵀY + per-user
     * confidence-weighted normal equations against the fixed item factors
@@ -2975,8 +2965,8 @@ object Queries {
       |  CAST(oov AS BIGINT) AS oov_trigrams,
       |  CAST(oov AS DOUBLE) / n_trigrams AS oov_rate
       |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    TextOps.oovScore(t(s, dir, "documents")).orderBy("doc_id")
-  }
+    TextOps.oovScore(t(s, dir, "documents"))
+  }.sortedDump("doc_id")
 
   /** Fact⋈fact join over bucketed tables — the pay-the-shuffle-once layout
     * for joins where neither side broadcasts at scale. Both tables are
@@ -2996,12 +2986,15 @@ object Queries {
     val k = dirKey(dir)
     val li = s"graft_li_buck_$k"
     val ord = s"graft_ord_buck_$k"
+    // bucket count sized to the larger (fact) side's volume; both tables
+    // share it so the join stays provably co-partitioned
+    val nb = Bucketing.autoBuckets(s, s"$dir/lineitem.parquet")
     Bucketing.writeBucketed(
       t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-      li, 8, "l_orderkey")
+      li, nb, "l_orderkey")
     Bucketing.writeBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-      ord, 8, "o_orderkey")
+      ord, nb, "o_orderkey")
     Bucketing.coLocatedJoin(s, li, ord, "l_orderkey", "o_orderkey")
       .groupBy("o_orderpriority")
       .agg(
@@ -3171,8 +3164,8 @@ object Queries {
       EventsStream.firstSeenIndex(keyed, idxDir, idxDir + "_ck")
       csvWritten.add(idxDir)
     }
-    EventsStream.latestIndex(s, idxDir).orderBy("content_hash")
-  }
+    EventsStream.latestIndex(s, idxDir)
+  }.sortedDump("content_hash")
 
   /** Exact cosine top-5 neighbors, oracle-checked against DuckDB's
     * list_cosine_similarity. Scores intentionally excluded from the output
@@ -4454,8 +4447,7 @@ object Queries {
       |FROM aud
       |ORDER BY asset_id""".stripMargin) { (s, dir) =>
     Multimodal.decodeReal(Multimodal.realAssets(t(s, dir, "documents")))
-      .orderBy("asset_id")
-  }
+  }.sortedDump("asset_id")
 
   /** Multimodal REAL video decode (round-7, closes the modality matrix):
     * per `doc_id % 3 == 2` document an actual animated GIF is encoded
@@ -4486,8 +4478,7 @@ object Queries {
       |ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
     Multimodal.decodeRealVideoFrames(
       Multimodal.realVideoAssets(t(s, dir, "documents")))
-      .orderBy("asset_id", "frame_idx")
-  }
+  }.sortedDump("asset_id", "frame_idx")
 
   /** REAL feature extraction (replaces the round-6 murmur-hash stub): the
     * full three-modality real-asset corpus decoded by the JDK codecs, each
@@ -4538,8 +4529,7 @@ object Queries {
       Multimodal.realAssets(docs).union(Multimodal.realVideoAssets(docs)))
       .select(col("asset_id"), col("modality"),
         posexplode(col("features")).as(Seq("pos", "value")))
-      .orderBy("asset_id", "pos")
-  }
+  }.sortedDump("asset_id", "pos")
 
   /** Structured-Streaming windowed aggregation run to completion over the
     * fixture files (real streaming machinery; emitted windows only — append
@@ -4597,8 +4587,7 @@ object Queries {
       |ORDER BY purchase_id, view_id""".stripMargin) { (s, dir) =>
     EventsStream.runToBatch(s, dir, EventsStream.purchaseViewJoin(_),
       s"stream_purchase_views_${math.abs(dir.hashCode)}")
-      .orderBy("purchase_id", "view_id")
-  }
+  }.sortedDump("purchase_id", "view_id")
 
   // ------------------------------------------------------------------
 

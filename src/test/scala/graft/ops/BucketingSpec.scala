@@ -51,6 +51,20 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     assert(agg.count() == 97)
   }
 
+  test("autoBuckets scales power-of-two with source bytes within the clamp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_autobuckets").toString
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // tiny source: floor of the clamp
+    assert(Bucketing.autoBuckets(spark, dir) == 8)
+    // force the per-bucket target below the source size: count must rise
+    // as a power of two and respect the ceiling
+    val nb = Bucketing.autoBuckets(spark, dir, targetBytesPerBucket = 256L)
+    assert(nb > 8 && (nb & (nb - 1)) == 0 && nb <= 64, s"got $nb")
+    assert(Bucketing.autoBuckets(spark, dir, targetBytesPerBucket = 1L) == 64)
+  }
+
   test("range-sorted layout yields disjoint per-file key ranges and pushes the range filter") {
     val spark2 = spark
     import spark2.implicits._
