@@ -78,7 +78,14 @@ object Bucketing {
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
       }
-      df.write
+      // cluster by the bucket function BEFORE the write: a bucketed write
+      // from unclustered input makes every task emit a file for every
+      // bucket it holds rows of (tasks x buckets files — 113 observed for
+      // a 32-bucket fact table), while bucket assignment uses the same
+      // murmur hash as repartition(n, col), so this yields exactly ONE
+      // file per bucket at numBuckets-wide write parallelism
+      df.repartition(numBuckets, df(bucketCol))
+        .write
         .format("parquet")
         .bucketBy(numBuckets, bucketCol)
         .sortBy(bucketCol)
