@@ -33,6 +33,37 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // Per-query JVM diagnostics sidecar (round-13: the r12 sf0.1 artifact
+    // read two untouched queries 2.6x out of band in-suite vs isolated;
+    // this names what the 124-query single-JVM run accumulates). One JSONL
+    // row per query: GC time/count delta, heap after the post-query GC,
+    // metaspace, JIT code-cache occupancy (a full code cache silently
+    // disables compilation and de-optimizes tight-loop queries), and
+    // storage-memory held by persisted RDDs.
+    val diagPath = sys.env.get("SPARK_GRAFT_BENCH_DIAG")
+    val diagOut = diagPath.map(p => new java.io.PrintWriter(
+      new java.io.FileWriter(p, /*append=*/ false)))
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val poolBeans = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def gcSnapshot(): (Long, Long) =
+      (gcBeans.map(_.getCollectionTime).sum, gcBeans.map(_.getCollectionCount).sum)
+    def poolUsed(nameFrag: String): Long =
+      poolBeans.filter(_.getName.contains(nameFrag)).map(_.getUsage.getUsed).sum
+    def diag(name: String, wallSec: Double, gcBefore: (Long, Long)): Unit =
+      diagOut.foreach { w =>
+        val (gcMs, gcN) = gcSnapshot()
+        val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+        val storage = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        val codeCache = poolUsed("CodeHeap") + poolUsed("CodeCache")
+        w.println(
+          s"""{"q":"$name","sec":$wallSec,"gc_ms":${gcMs - gcBefore._1},"gc_n":${gcN - gcBefore._2},""" +
+          s""""heap_mb":${heap / (1 << 20)},"meta_mb":${poolUsed("Metaspace") / (1 << 20)},""" +
+          s""""codecache_mb":${codeCache / (1 << 20)},"storage_mb":${storage / (1 << 20)},""" +
+          s""""rdds":${spark.sparkContext.getPersistentRDDs.size}}""")
+        w.flush()
+      }
+
     // Untimed warmup: codegen-compiler classes, the noop sink lookup, and
     // parquet reader init are one-time session state that would otherwise
     // be billed entirely to the alphabetically-first query (als_csv_ratings
@@ -84,6 +115,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip.contains(name) }
       .foreach { case (name, fn) =>
+      val gcBefore = gcSnapshot()
       timed(name) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
@@ -108,6 +140,7 @@ object Bench {
         leaked.valuesIterator.foreach(_.unpersist(blocking = false))
       }
       System.gc()
+      diag(name, timings.getOrElse(name, -1.0), gcBefore)
     }
 
     // Head-to-head ALS baseline (BASELINE.md protocol rows 2+3): forked into
@@ -222,6 +255,7 @@ object Bench {
     }
     if (cutN > 0) entries += s""""_rest":${jnum(cutSum)},"_rest_n":$cutN"""
     println(prefix + entries.mkString(",") + suffix)
+    diagOut.foreach(_.close())
     spark.stop()
   }
 }

@@ -2248,10 +2248,13 @@ object Queries {
        |inv AS (SELECT DISTINCT id, s FROM sh0),
        |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 20),
        |posts AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+       |danchors AS (SELECT doc_id AS id FROM documents
+       |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT, doc_id
+       |  LIMIT $recallAnchorBudget),
        |ecand AS (
        |  SELECT x.id AS id_a, y.id AS id_b
        |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
-       |  WHERE ('0x' || substr(md5(CAST(x.id AS VARCHAR)), 1, 14))::BIGINT % 4 = 0
+       |  WHERE x.id IN (SELECT id FROM danchors)
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
        |exact AS (
        |  SELECT id_a, id_b FROM (
@@ -2272,19 +2275,23 @@ object Queries {
        |FROM m""".stripMargin
   } { (s, dir) =>
     val docs = t(s, dir, "documents")
-    // 1/4 anchor-id sample of the EXACT truth tier (the sim-meter
-    // discipline applied to the dedup meter): pair recall is estimated
-    // over pairs whose smaller id falls in a deterministic hash sample,
-    // which the operator pushes into candidate generation so the exact
-    // side's join and verify shrink 4× — at the fixture tiers ~120+
-    // sampled truth pairs keep the 95% CI within ~±0.05 for a meter whose
-    // signal is a ~0.2-scale recall gap. The production LSH tier under
-    // measurement still runs in full. Oracle replays the identical
-    // md5-derived sample.
+    // fixed ANCHOR-COUNT sample of the EXACT truth tier (round-12 verdict
+    // #7: the 1/4 RATE sample still grew the truth tier with the corpus —
+    // 29.8 s at ×100 — where the sim meters' fixed 256-anchor budget is a
+    // population-statistics law, flat per corpus scan at any scale). Pair
+    // recall is estimated over pairs whose smaller id is one of the
+    // [[recallAnchorBudget]] deterministic anchors; the predicate is
+    // pushed into candidate generation so the exact side's join and
+    // verify are O(anchors × postings), not O(corpus²). Below the budget
+    // (sf0.01 and under) the anchor set covers the corpus — full truth.
+    // The production LSH tier under measurement still runs in full.
+    // Oracle replays the identical ORDER BY md5-hash LIMIT anchor set;
+    // DedupRecallAnchorSpec pins the anchored estimate against full truth.
+    val anchorSet = recallAnchorIds(docs, "doc_id")
     val exactPairs = Dedup.ngramJaccardPairs(
       docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2,
       idAPredicate =
-        Some(id => TextOps.portableHash56(id.cast("string")) % 4 === 0))
+        Some(id => id.isin(anchorSet.map(Long.box): _*)))
     val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5, family = PortableMinhash)
     val exact = exactPairs.select("id_a", "id_b")
     val lsh = lshPairs.select("id_a", "id_b")

@@ -460,6 +460,76 @@ object EventsStream {
     Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
 
+  /** Per-index manifest: the live generations of every bucket in ONE
+    * metadata file (`_manifest`, `<bucket>/<genDirName>` per line),
+    * rewritten via tmp-file + atomic rename at every commit/compact.
+    * Round-12 verdict #3: generation discovery by directory walking is
+    * O(buckets) LIST calls per read — the classic object-store metadata
+    * bottleneck at 10⁵-10⁶ buckets; with the manifest, [[latestIndex]]
+    * opens O(1) metadata files. The DIRECTORIES stay the source of truth
+    * (the manifest is derived state, like a table format's snapshot
+    * file): writers re-derive a bucket's live set from its dir right
+    * after renaming into it, and [[sweepStaleCommits]] rebuilds the whole
+    * file at writer start — so a crash ANYWHERE between a data rename and
+    * the manifest write only leaves the manifest conservatively stale
+    * (missing a delta whose micro-batch was never checkpoint-acknowledged
+    * and will be replayed, or still naming pre-compaction generations
+    * that resolve to the same contents), never wrong.
+    */
+  private val ManifestName = "_manifest"
+
+  private def readManifest(indexDir: String): Option[Map[Int, Seq[String]]] = {
+    val f = new java.io.File(indexDir, ManifestName)
+    if (!f.isFile) None
+    else Some {
+      readMeta(f).split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val i = line.indexOf('/')
+          require(i > 0, s"malformed manifest line in $f: $line")
+          (line.substring(0, i).toInt, line.substring(i + 1))
+        }.toSeq.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    }
+  }
+
+  private def writeManifest(
+      indexDir: String, entries: Map[Int, Seq[String]]): Unit = {
+    val body = entries.toSeq.sortBy(_._1).flatMap { case (b, gens) =>
+      gens.sorted.map(g => s"$b/$g")
+    }.mkString("", "\n", "\n")
+    val tmp = new java.io.File(indexDir,
+      s".${ManifestName}_tmp_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(indexDir, ManifestName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Full directory-walk derivation of the manifest map — the repair path
+    * (writer start, legacy manifest-less indexes).
+    */
+  private def scanLiveGens(indexDir: String): Map[Int, Seq[String]] =
+    bucketDirs(indexDir).map { bd =>
+      bd.getName.stripPrefix("bucket=").toInt -> liveGens(bd).map(_.dir.getName)
+    }.filter(_._2.nonEmpty).toMap
+
+  /** Folds the listed buckets' CURRENT live generations (re-derived from
+    * their dirs, the source of truth) into the manifest and atomically
+    * rewrites it; `None` rebuilds from a full walk. Returns the new map.
+    */
+  private def refreshManifest(
+      indexDir: String, buckets: Option[Seq[Int]]): Map[Int, Seq[String]] = {
+    val next = (buckets match {
+      case Some(bs) =>
+        readManifest(indexDir).getOrElse(scanLiveGens(indexDir)) ++
+          bs.map(b => b ->
+            liveGens(new java.io.File(s"$indexDir/bucket=$b")).map(_.dir.getName))
+      case None => scanLiveGens(indexDir)
+    }).filter(_._2.nonEmpty)
+    writeManifest(indexDir, next)
+    next
+  }
+
   /** Cluster rows by `bucket` across the session's full shuffle width,
     * with the partition count EXPLICIT: a count-less `repartition(col)`
     * is an AQE-coalescible shuffle, and foreachBatch jobs run with AQE —
@@ -496,6 +566,10 @@ object EventsStream {
       listGens(bd).filterNot(g => live.contains(g.dir.getName))
         .foreach(g => deleteRecursively(g.dir))
     }
+    // rebuild the manifest from the swept directory truth: the repair path
+    // for every crash window (rename landed, manifest write didn't) and
+    // the upgrade path for manifest-less indexes
+    refreshManifest(indexDir, None): Unit
   }
 
   /** The streaming checkpoint's query id — written by Spark into
@@ -543,7 +617,8 @@ object EventsStream {
       ckptId: String,
       bucketed: DataFrame,
       resolve: Resolve,
-      compactEvery: Int): Unit = {
+      compactEvery: Int,
+      maxCompactPerTrigger: Int): Unit = {
     val spark = bucketed.sparkSession
     val delta = bucketed.persist()
     try {
@@ -583,10 +658,26 @@ object EventsStream {
           }
         }
         deleteRecursively(staging)
+        // publish the committed deltas in the manifest (touched buckets
+        // re-derived from their dirs), then pick this trigger's compaction
+        // set FROM the manifest: every bucket over the compactEvery
+        // fan-in bound is a candidate — not just this batch's touched
+        // buckets, so capped-out overflow from earlier triggers is carried
+        // and drained — worst (most deltas) first, at most
+        // maxCompactPerTrigger per trigger. Round-12 verdict #2: folding
+        // every over-threshold bucket in one micro-batch put a ~4× latency
+        // spike (20.9 s vs the 5.7 s append at ×100) on whichever trigger
+        // a lockstep large-batch workload crossed the threshold on; the
+        // cap spreads the fold, and the read bound degrades gracefully —
+        // with T lockstep buckets the worst waits T/cap triggers gaining
+        // ≤1 delta each, so fan-in ≤ compactEvery + T/cap.
+        val manifest = refreshManifest(indexDir, Some(touched))
+        val over = manifest.iterator
+          .map { case (b, gens) => (b, gens.count(_.startsWith("delta-"))) }
+          .filter(_._2 >= compactEvery).toSeq
+          .sortBy { case (b, n) => (-n, b) }
         compactBuckets(spark, indexDir, nb,
-          touched.filter(b =>
-            liveGens(new java.io.File(s"$indexDir/bucket=$b"))
-              .count(!_.isBase) >= compactEvery),
+          over.take(math.max(1, maxCompactPerTrigger)).map(_._1),
           resolve, batchTag)
       }
     } finally delta.unpersist(blocking = false): Unit
@@ -624,20 +715,40 @@ object EventsStream {
     deleteRecursively(staging)
     clusterByBucket(folded)
       .write.partitionBy("bucket").parquet(staging.getPath)
-    newSeq.foreach { case (b, s) =>
+    // rename every new base in, THEN publish the manifest, THEN prune the
+    // folded generations: a crash after any rename leaves the old
+    // generations live (liveGens ignores gens at/below the newest base) and
+    // still manifest-listed (same resolved contents); a crash after the
+    // manifest write leaves the folded dirs unreferenced on disk for
+    // sweepStaleCommits — no window reads wrong data
+    val renamed = newSeq.filter { case (b, s) =>
       val src = new java.io.File(staging, s"bucket=$b")
-      if (src.isDirectory) {
-        val bd = new java.io.File(s"$indexDir/bucket=$b")
-        val dst = new java.io.File(bd, s"base-$s")
+      src.isDirectory && {
+        val dst = new java.io.File(s"$indexDir/bucket=$b/base-$s")
         if (!dst.isDirectory)
           require(src.renameTo(dst), s"compaction rename failed: $src -> $dst")
-        listGens(bd)
-          .filter(g => g.seq <= s && !(g.isBase && g.seq == s))
-          .foreach(g => deleteRecursively(g.dir))
+        true
       }
+    }
+    refreshManifest(indexDir, Some(renamed.map(_._1)))
+    renamed.foreach { case (b, s) =>
+      listGens(new java.io.File(s"$indexDir/bucket=$b"))
+        .filter(g => g.seq <= s && !(g.isBase && g.seq == s))
+        .foreach(g => deleteRecursively(g.dir))
     }
     deleteRecursively(staging)
   }
+
+  /** Per-trigger compaction budget: the number of buckets one trigger may
+    * fold back to a base. 0 (the default) auto-sizes to nb/8 — a full
+    * lockstep fold (every bucket crossing `compactEvery` on the same
+    * trigger, the periodic-large-batch pattern) spreads over 8 triggers,
+    * bounding the spike at ~1/8 of the all-bucket ceiling while a waiting
+    * bucket's read fan-in grows by at most those 8 deltas. Explicit values
+    * pass through (`Int.MaxValue` restores fold-everything).
+    */
+  private def compactCap(requested: Int, nb: Int): Int =
+    if (requested > 0) requested else math.max(1, nb / 8)
 
   /** Micro-batch merge-on-write index maintenance via `foreachBatch`: for
     * a streaming `(content_hash, event_id)` frame, keeps a parquet index
@@ -673,10 +784,12 @@ object EventsStream {
       indexDir: String,
       checkpointDir: String,
       numBuckets: Int = 8,
-      compactEvery: Int = 8): Unit = {
+      compactEvery: Int = 8,
+      compactBucketsPerTrigger: Int = 0): Unit = {
     val resolve = MinResolve("content_hash", "first_event_id")
     val nb = pinnedMeta(indexDir, numBuckets, resolve)
     sweepStaleCommits(indexDir)
+    val cap = compactCap(compactBucketsPerTrigger, nb)
     lazy val ckptId = checkpointQueryId(checkpointDir)
     val q = keyed.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -684,7 +797,8 @@ object EventsStream {
           .withColumn("bucket", bucketOf(col("content_hash"), nb))
           .groupBy("bucket", "content_hash")
           .agg(min(col("event_id")).as("first_event_id"))
-        commitDelta(indexDir, nb, batchId, ckptId, newMin, resolve, compactEvery)
+        commitDelta(indexDir, nb, batchId, ckptId, newMin, resolve,
+          compactEvery, cap)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -715,17 +829,20 @@ object EventsStream {
       factorsDir: String,
       checkpointDir: String,
       numBuckets: Int = 8,
-      compactEvery: Int = 8): Unit = {
+      compactEvery: Int = 8,
+      compactBucketsPerTrigger: Int = 0): Unit = {
     val resolve = LwwResolve("id")
     val nb = pinnedMeta(factorsDir, numBuckets, resolve)
     sweepStaleCommits(factorsDir)
+    val cap = compactCap(compactBucketsPerTrigger, nb)
     lazy val ckptId = checkpointQueryId(checkpointDir)
     val q = ratings.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val folded = model.foldInUsers(batch, regParam)
           .withColumn("updated_batch", lit(batchId))
           .withColumn("bucket", bucketOf(col("id"), nb))
-        commitDelta(factorsDir, nb, batchId, ckptId, folded, resolve, compactEvery)
+        commitDelta(factorsDir, nb, batchId, ckptId, folded, resolve,
+          compactEvery, cap)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -746,7 +863,15 @@ object EventsStream {
     val resolveFile = new java.io.File(indexDir, "_resolve")
     require(resolveFile.isFile, s"no index metadata under $indexDir")
     val resolve = parseResolve(readMeta(resolveFile))
-    val paths = bucketDirs(indexDir).flatMap(liveGens(_).map(_.dir.getPath))
+    // O(1) metadata reads: the manifest names every live generation; the
+    // directory walk survives only as the fallback for a manifest-less
+    // legacy index (every writer path since round 13 maintains the file)
+    val paths = readManifest(indexDir) match {
+      case Some(m) => m.toSeq.flatMap { case (b, gens) =>
+        gens.map(g => s"$indexDir/bucket=$b/$g")
+      }
+      case None => bucketDirs(indexDir).flatMap(liveGens(_).map(_.dir.getPath))
+    }
     require(paths.nonEmpty, s"no committed index generation under $indexDir")
     resolveRows(spark.read.parquet(paths: _*), resolve)
   }
@@ -794,6 +919,7 @@ object EventsStream {
         dst.getParentFile.mkdirs()
         require(bd.renameTo(dst), s"rebucket rename failed: $bd -> $dst")
       }
+    refreshManifest(next.getPath, None)
     val old = new java.io.File(s"$indexDir.rebucket_old")
     deleteRecursively(old)
     require(new java.io.File(indexDir).renameTo(old),
