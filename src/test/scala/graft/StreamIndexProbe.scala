@@ -65,16 +65,17 @@ object StreamIndexProbe {
       def stream = spark.readStream
         .schema("content_hash STRING, event_id BIGINT")
         .parquet(s"$src/*")
-      def runOnce(compactEvery: Int = 8): Double = {
+      def runOnce(compactEvery: Int = 8, cap: Int = Int.MaxValue): Double = {
         val t0 = System.nanoTime()
         graft.streaming.EventsStream.firstSeenIndex(
-          stream, idx, ck, numBuckets, compactEvery)
+          stream, idx, ck, numBuckets, compactEvery, cap)
         spark.streams.resetTerminated()
         (System.nanoTime() - t0) / 1e9
       }
       val buildSec = runOnce()
       // fresh-key incremental batches; a small warm batch first
-      def incr(tag: String, keys: Long, compactEvery: Int = 8): Double = {
+      def incr(tag: String, keys: Long, compactEvery: Int = 8,
+          cap: Int = Int.MaxValue): Double = {
         spark.range(keys)
           .select(
             concat(lit(s"${tag}_k"), col("id").cast("string")).as("content_hash"),
@@ -82,23 +83,36 @@ object StreamIndexProbe {
           .coalesce(math.max(1, (keys / 250000L).toInt))
           .write.parquet(s"$src/$tag")
         println(s"[probe] --- batch $tag ($keys keys) ---")
-        runOnce(compactEvery)
+        runOnce(compactEvery, cap)
       }
       val warmSec = incr("w1", 64)
       val incr64 = incr("w2", 64)
       val incr100k = incr("m100k", 100000)
       val incr1m = incr("m1m", 1000000)
-      // amortization ceiling: same 1M append + every bucket folds
+      // amortization ceiling, UNCAPPED: same 1M append + every bucket folds
+      // on this one trigger — the round-12 lockstep latency spike
       val incr1mCompact = incr("m1mc", 1000000, compactEvery = 1)
+      // the round-13 capped regime on the SAME all-buckets-over-threshold
+      // pattern: a 1M append puts a delta in every bucket again
+      // (compactEvery=1 → all candidates), but the default cap folds only
+      // nb/8 of them per trigger; two 64-key drain triggers then show the
+      // carryover cost each later trigger absorbs. Max(capped, drains) vs
+      // incr1m_compact_sec is the latency-spike reduction the cap buys.
+      val incr1mCapped = incr("c1m", 1000000, compactEvery = 1, cap = 0)
+      val drain1 = incr("d1", 64, compactEvery = 1, cap = 0)
+      val drain2 = incr("d2", 64, compactEvery = 1, cap = 0)
       val indexRows = graft.streaming.EventsStream.latestIndex(spark, idx).count()
       println(f"[probe] $dir buckets=$numBuckets%5d index=$indexRows%9d " +
         f"build=$buildSec%7.2f warm=$warmSec%6.2f incr64=$incr64%6.2f " +
-        f"incr100k=$incr100k%6.2f incr1m=$incr1m%6.2f compact1m=$incr1mCompact%7.2f")
+        f"incr100k=$incr100k%6.2f incr1m=$incr1m%6.2f compact1m=$incr1mCompact%7.2f " +
+        f"capped1m=$incr1mCapped%7.2f drains=$drain1%6.2f/$drain2%6.2f")
       out.append(s"""  {"dir":"$dir","num_buckets":$numBuckets,""" +
         s""""index_rows":$indexRows,""" +
         f""""build_sec":$buildSec%.2f,"incr_warm_sec":$warmSec%.2f,""" +
         f""""incr64_sec":$incr64%.2f,"incr100k_sec":$incr100k%.2f,""" +
-        f""""incr1m_sec":$incr1m%.2f,"incr1m_compact_sec":$incr1mCompact%.2f}""" +
+        f""""incr1m_sec":$incr1m%.2f,"incr1m_compact_sec":$incr1mCompact%.2f,""" +
+        f""""incr1m_capped_sec":$incr1mCapped%.2f,""" +
+        f""""drain1_sec":$drain1%.2f,"drain2_sec":$drain2%.2f}""" +
         (if (ti == tiers.size - 1) "\n" else ",\n"))
       graft.streaming.EventsStream.deleteRecursively(new java.io.File(root))
       spark.catalog.clearCache(); System.gc()

@@ -60,9 +60,19 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     assert(Bucketing.autoBuckets(spark, dir) == 8)
     // force the per-bucket target below the source size: count must rise
     // as a power of two and respect the ceiling
+    val widthCap = math.max(64,
+      Integer.highestOneBit(spark.sparkContext.defaultParallelism) * 8)
     val nb = Bucketing.autoBuckets(spark, dir, targetBytesPerBucket = 256L)
-    assert(nb > 8 && (nb & (nb - 1)) == 0 && nb <= 64, s"got $nb")
-    assert(Bucketing.autoBuckets(spark, dir, targetBytesPerBucket = 1L) == 64)
+    assert(nb > 8 && (nb & (nb - 1)) == 0 && nb <= widthCap, s"got $nb")
+    // the default cap is WIDTH-driven (8× defaultParallelism, pow-2), not
+    // the old constant 64 that saturated at ~4 GB of source — and an
+    // explicit cap still passes through for layout-compatibility pins
+    assert(Bucketing.autoBuckets(spark, dir, targetBytesPerBucket = 1L) == widthCap)
+    assert(widthCap > 64 || spark.sparkContext.defaultParallelism <= 8)
+    assert(Bucketing.autoBuckets(spark, dir,
+      maxBuckets = 64, targetBytesPerBucket = 1L) == 64)
+    assert(Bucketing.autoBuckets(spark, dir,
+      maxBuckets = 16, targetBytesPerBucket = 1L) == 16)
   }
 
   test("range-sorted layout yields disjoint per-file key ranges and pushes the range filter") {

@@ -50,4 +50,33 @@ class RecallAnchorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(full - anchored) <= 0.05,
       s"anchored recall $anchored vs full-truth $full")
   }
+
+  test("anchored dedup pair recall tracks full-truth pair recall at sf0.1") {
+    import graft.ops.Dedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val lsh = Dedup.minhashNearDups(
+      docs, threshold = 0.5, family = PortableMinhash)
+    val lshPairs = lsh.select("id_a", "id_b")
+    def pairRecall(pred: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column]): Double = {
+      val exactPairs = Dedup.ngramJaccardPairs(
+        docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2,
+        idAPredicate = pred)
+      val exact = exactPairs.select("id_a", "id_b")
+      val n = exact.count()
+      val hits = exact.join(lshPairs, Seq("id_a", "id_b")).count()
+      exactPairs.unpersist(blocking = false)
+      if (n == 0) 1.0 else hits.toDouble / n
+    }
+    val full = pairRecall(None)
+    val anchors = Queries.recallAnchorIds(docs, "doc_id")
+    val anchored = pairRecall(
+      Some(id => id.isin(anchors.map(Long.box): _*)))
+    lsh.unpersist(blocking = false)
+    // pair recall over pairs whose smaller id is one of the 256 anchors:
+    // the dedup twin of the sim-meter bound above (round-12 verdict #7 —
+    // the 1/4 RATE sample this replaces grew O(corpus) at ×100)
+    assert(math.abs(full - anchored) <= 0.08,
+      s"anchored pair recall $anchored vs full-truth $full")
+  }
 }

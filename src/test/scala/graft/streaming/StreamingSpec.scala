@@ -342,10 +342,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .schema("k STRING, event_id BIGINT")
       .parquet(s"$src/*")
       .select(col("k").as("content_hash"), col("event_id"))
-    // bulk load 64 keys across all 8 buckets, compacted to one base each
+    // bulk load 64 keys across all 8 buckets, compacted to one base each —
+    // the bulk-maintenance mode folds everything in one trigger
+    // (compactBucketsPerTrigger = MaxValue); steady-state streaming keeps
+    // the default per-trigger cap instead
     (0 until 64).map(i => (s"key_$i", 1000L + i)).toDF("k", "event_id")
       .coalesce(1).write.parquet(s"$src/f1")
-    EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 1)
+    EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 1,
+      compactBucketsPerTrigger = Int.MaxValue)
     def files(prefix: String): Map[String, (Long, Long)] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
@@ -476,6 +480,9 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
       walk(new java.io.File(idx))
+        // the manifest is O(1) metadata rewritten at every commit by
+        // design — the byte-identity contract is about bucket DATA files
+        .filterNot(_.getName == "_manifest")
         .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
     }
     val before = snapshot()
@@ -524,6 +531,115 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val got = EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 1L, "b" -> 2L))
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("the manifest names every live generation, drives reads, and self-repairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsim").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(("b", 5L), ("c", 30L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, ck)
+    val manifestFile = new java.io.File(idx, "_manifest")
+    assert(manifestFile.isFile, "commit did not maintain the manifest")
+    def walkLive(): Set[String] = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap { bd =>
+        bd.listFiles().filter(_.isDirectory)
+          .map(g => s"${bd.getName.stripPrefix("bucket=")}/${g.getName}")
+      }.toSet
+    def manifestLines(): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+    // after the startup sweep every on-disk generation is live, so the
+    // manifest must equal the directory truth exactly
+    assert(manifestLines() == walkLive(),
+      s"manifest ${manifestLines()} != dirs ${walkLive()}")
+    val want = Map("a" -> 10L, "b" -> 5L, "c" -> 30L)
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    // reads go THROUGH the manifest: a hand-written manifest naming only a
+    // subset of generations changes what latestIndex returns (no dir walk)
+    val subset = manifestLines().filter(_.contains("delta-1-"))
+    java.nio.file.Files.write(manifestFile.toPath,
+      subset.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val partial = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(partial == Map("a" -> 10L, "b" -> 20L),
+      s"latestIndex did not read via the manifest: $partial")
+    // a MISSING manifest falls back to the directory walk (legacy index)...
+    assert(manifestFile.delete())
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    // ...and the next writer start rebuilds it from directory truth — the
+    // repair path for every crash window between a data rename and the
+    // manifest write
+    EventsStream.firstSeenIndex(stream, idx, ck)
+    assert(manifestFile.isFile && manifestLines() == walkLive())
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("capped compaction spreads a lockstep fold over triggers and drains the carryover") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsik").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    def basesAndDeltas(): (Int, Map[Int, Int]) = {
+      val buckets = new java.io.File(idx).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      val withBase = buckets.count(_.listFiles().exists(_.getName.startsWith("base-")))
+      val deltas = buckets.map(b => b.getName.stripPrefix("bucket=").toInt ->
+        b.listFiles().count(_.getName.startsWith("delta-"))).toMap
+      (withBase, deltas)
+    }
+    // one 64-key batch spans all 8 buckets; compactEvery=1 makes every
+    // bucket a candidate on the very first trigger — the lockstep
+    // large-batch pattern. cap=2 must fold exactly 2 per trigger.
+    (0 until 64).map(i => (s"key_$i", 1000L + i)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 1,
+      compactBucketsPerTrigger = 2)
+    val (folded1, _) = basesAndDeltas()
+    assert(folded1 == 2, s"cap=2 folded $folded1 buckets on one trigger")
+    // each later trigger drains 2 MORE buckets from the carryover (the
+    // candidate set comes from the manifest, not the batch's touched set,
+    // so buckets the new batch never touches still get their turn)
+    val expect = scala.collection.mutable.Map(
+      (0 until 64).map(i => s"key_$i" -> (1000L + i)): _*)
+    (0 until 3).foreach { round =>
+      Seq((s"extra_$round", 9000L + round)).toDF("k", "event_id")
+        .coalesce(1).write.parquet(s"$src/g$round")
+      expect(s"extra_$round") = 9000L + round
+      EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 1,
+        compactBucketsPerTrigger = 2)
+      val (folded, deltas) = basesAndDeltas()
+      // each trigger folds 2 candidates, of which at most one can be a
+      // REfold of the single bucket the round's new key touched — so the
+      // base count grows by at least one per trigger until all 8 are based
+      assert(folded >= math.min(8, 3 + round),
+        s"carryover not draining: $folded buckets folded after round $round")
+      // the graceful degradation bound: a waiting bucket holds its original
+      // delta plus at most one per trigger while it waits
+      assert(deltas.values.forall(_ <= 1 + (round + 2)),
+        s"read fan-in exceeded the wait bound: $deltas")
+      // reads stay correct mid-drain
+      assert(EventsStream.latestIndex(spark, idx)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect.toMap)
+    }
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
