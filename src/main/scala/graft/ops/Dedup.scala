@@ -65,6 +65,22 @@ object Dedup {
     }
   }
 
+  /** The canonical `(id, sh ARRAY<STRING>)` distinct-shingle frame both
+    * textual near-dup tiers derive from. A caller composing tiers (the
+    * dedup recall meter) computes it ONCE, persists it, and passes it as
+    * `preShingled` so the corpus is shingled once instead of once per
+    * tier — at 100 TB the shingle pass is a full-corpus scan worth
+    * sharing. Not persisted here: the caller owns the lifetime.
+    */
+  def shingleFrame(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3): DataFrame =
+    Parallelism.widen(documents).select(
+      col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
+
   /** MinHash signatures as a (id, sig ARRAY<BIGINT>) DataFrame in the
     * scale-correct shape: explode shingles → `family` minima → array.
     */
@@ -101,12 +117,21 @@ object Dedup {
       numBands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.7,
-      family: MinhashFamily = XxHash64Minhash): DataFrame = {
+      family: MinhashFamily = XxHash64Minhash,
+      idAPredicate: Option[Column => Column] = None,
+      preShingled: Option[DataFrame] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
 
-    val withSig =
-      minhashSignatures(documents, textCol, idCol, numHashes, shingleSize, family)
+    // shared shingle frame (id, sh ARRAY): signatures and the verify join
+    // both derive from it, and a METER composing this tier with the exact
+    // tier passes one precomputed frame instead of shingling the corpus
+    // once per tier. Min over a band is duplicate-invariant, so distinct
+    // arrays feed the signature explode unchanged.
+    val shingled = preShingled.getOrElse(
+      shingleFrame(documents, textCol, idCol, shingleSize).persist())
+    val withSig = family.signatures(
+      shingled.select(col("id"), explode(col("sh")).as("s")), numHashes)
 
     // one row per (doc, band): bucket key = hash of that band's slice
     val banded = withSig.select(
@@ -125,8 +150,14 @@ object Dedup {
       // reason
       .persist()
 
-    // intra-bucket candidate pairs (id_a < id_b), deduped across bands
-    val candidates = banded.as("x")
+    // intra-bucket candidate pairs (id_a < id_b), deduped across bands.
+    // An id_a predicate (the recall meters' fixed anchor set) prunes the
+    // pair's SMALLER-id side here, before the self-join: signatures still
+    // cover the whole corpus (id_b is unrestricted), but candidate volume
+    // and the verify join shrink to O(anchors) — the same query-side
+    // restriction the sim meters push into their searched tiers.
+    val xSide = idAPredicate.fold(banded)(p => banded.where(p(col("id"))))
+    val candidates = xSide.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
@@ -135,12 +166,8 @@ object Dedup {
       .distinct()
 
     // verify candidates with exact shingle-set Jaccard; the shingle-set
-    // frame feeds BOTH sides of the verify join — persist it so the (HOF)
+    // frame feeds BOTH sides of the verify join — persisted so the (HOF)
     // shingle computation runs once, not once per join side
-    val shingled = Parallelism.widen(documents).select(
-      col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
-      .persist()
     val verified = candidates
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -154,7 +181,8 @@ object Dedup {
     // session lifetime; callers may unpersist the returned frame when done
     verified.persist().count()
     banded.unpersist(blocking = false)
-    shingled.unpersist(blocking = false)
+    // a caller-provided shingle frame is the caller's to release
+    if (preShingled.isEmpty) shingled.unpersist(blocking = false)
     verified
   }
 
@@ -275,13 +303,13 @@ object Dedup {
       threshold: Double = 0.8,
       maxDocFrequency: Int = 100,
       minSharedShingles: Int = 2,
-      idAPredicate: Option[Column => Column] = None): DataFrame = {
+      idAPredicate: Option[Column => Column] = None,
+      preShingled: Option[DataFrame] = None): DataFrame = {
     // persisted: feeds the inverted index AND both sides of the verify
-    // join — without the cache the (HOF) shingle computation runs 3×
-    val sh = Parallelism.widen(documents).select(
-      col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("sh"))
-      .persist()
+    // join — without the cache the (HOF) shingle computation runs 3×.
+    // A meter composing this with the LSH tier shares ONE shingle frame.
+    val sh = preShingled.getOrElse(
+      shingleFrame(documents, textCol, idCol, shingleSize).persist())
     val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_hash"))
     // document-frequency cap: keep only discriminative shingles
@@ -317,7 +345,7 @@ object Dedup {
     // eager-materialize the (small) verified pair set, then free the
     // shingle cache — same no-session-leak contract as minhashNearDups
     verified.persist().count()
-    sh.unpersist(blocking = false)
+    if (preShingled.isEmpty) sh.unpersist(blocking = false)
     verified
   }
 

@@ -2224,6 +2224,9 @@ object Queries {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $duckShingleCtes,
        |shd AS (SELECT id, list_distinct(list(s)) AS sh FROM sh0 GROUP BY id),
+       |danchors AS (SELECT doc_id AS id FROM documents
+       |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT, doc_id
+       |  LIMIT $recallAnchorBudget),
        |hs AS (
        |  SELECT id,
        |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
@@ -2237,7 +2240,8 @@ object Queries {
        |cands AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+       |  WHERE x.id IN (SELECT id FROM danchors)),
        |lsh AS (
        |  SELECT id_a, id_b FROM (
        |    SELECT c.id_a, c.id_b,
@@ -2248,9 +2252,6 @@ object Queries {
        |inv AS (SELECT DISTINCT id, s FROM sh0),
        |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 20),
        |posts AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
-       |danchors AS (SELECT doc_id AS id FROM documents
-       |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT, doc_id
-       |  LIMIT $recallAnchorBudget),
        |ecand AS (
        |  SELECT x.id AS id_a, y.id AS id_b
        |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
@@ -2284,23 +2285,35 @@ object Queries {
     // pushed into candidate generation so the exact side's join and
     // verify are O(anchors × postings), not O(corpus²). Below the budget
     // (sf0.01 and under) the anchor set covers the corpus — full truth.
-    // The production LSH tier under measurement still runs in full.
     // Oracle replays the identical ORDER BY md5-hash LIMIT anchor set;
-    // DedupRecallAnchorSpec pins the anchored estimate against full truth.
+    // RecallAnchorSpec pins the anchored estimate against full truth.
     val anchorSet = recallAnchorIds(docs, "doc_id")
+    val anchored: Column => Column =
+      id => id.isin(anchorSet.map(Long.box): _*)
+    // ONE shingle pass feeds both tiers (each would otherwise scan and
+    // shingle the corpus itself), and BOTH tiers restrict the pair's
+    // smaller id to the anchors: the hit join only ever consults LSH
+    // pairs with an anchored id_a (exact ⊆ anchored), so the recall
+    // fraction is bit-identical while signatures stay corpus-wide and
+    // candidate/verify work shrinks to O(anchors) — the sim meters'
+    // query-side restriction applied to pair recall.
+    val shingled = Dedup.shingleFrame(docs).persist()
     val exactPairs = Dedup.ngramJaccardPairs(
       docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2,
-      idAPredicate =
-        Some(id => id.isin(anchorSet.map(Long.box): _*)))
-    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5, family = PortableMinhash)
+      idAPredicate = Some(anchored), preShingled = Some(shingled))
+    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5,
+      family = PortableMinhash,
+      idAPredicate = Some(anchored), preShingled = Some(shingled))
     val exact = exactPairs.select("id_a", "id_b")
     val lsh = lshPairs.select("id_a", "id_b")
     val nExact = exact.count()
     val hits = exact.join(lsh, Seq("id_a", "id_b")).count()
     // both pair frames come back persisted (their builders cache them for
-    // the verify joins) — release them so they don't pressure later queries
+    // the verify joins) — release them, and the shared shingle frame, so
+    // they don't pressure later queries
     exactPairs.unpersist(blocking = false)
     lshPairs.unpersist(blocking = false)
+    shingled.unpersist(blocking = false)
     val spark = s
     import spark.implicits._
     Seq((nExact, hits, if (nExact == 0) 1.0 else hits.toDouble / nExact))

@@ -70,13 +70,32 @@ class RecallAnchorSpec extends AnyFunSuite with SparkFixture {
     }
     val full = pairRecall(None)
     val anchors = Queries.recallAnchorIds(docs, "doc_id")
-    val anchored = pairRecall(
-      Some(id => id.isin(anchors.map(Long.box): _*)))
-    lsh.unpersist(blocking = false)
+    val anchorPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id.isin(anchors.map(Long.box): _*)
+    val anchored = pairRecall(Some(anchorPred))
     // pair recall over pairs whose smaller id is one of the 256 anchors:
     // the dedup twin of the sim-meter bound above (round-12 verdict #7 —
     // the 1/4 RATE sample this replaces grew O(corpus) at ×100)
     assert(math.abs(full - anchored) <= 0.08,
       s"anchored pair recall $anchored vs full-truth $full")
+    // restricting the LSH tier's pair listing to anchored id_a (what the
+    // meter ships) is a pure cost cut: anchored-exact pairs all have an
+    // anchored smaller id, so the hit set against the FULL LSH pair list
+    // and against the anchored one are identical sets
+    val exactAnchoredPairs = Dedup.ngramJaccardPairs(
+      docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2,
+      idAPredicate = Some(anchorPred))
+    val exactAnchored = exactAnchoredPairs.select("id_a", "id_b")
+    val lshAnchored = Dedup.minhashNearDups(
+      docs, threshold = 0.5, family = PortableMinhash,
+      idAPredicate = Some(anchorPred))
+    val hitsFull = exactAnchored.join(lshPairs, Seq("id_a", "id_b")).count()
+    val hitsAnch = exactAnchored
+      .join(lshAnchored.select("id_a", "id_b"), Seq("id_a", "id_b")).count()
+    assert(hitsFull == hitsAnch,
+      s"anchored-LSH hit set diverged: $hitsFull vs $hitsAnch")
+    exactAnchoredPairs.unpersist(blocking = false)
+    lshAnchored.unpersist(blocking = false)
+    lsh.unpersist(blocking = false)
   }
 }
