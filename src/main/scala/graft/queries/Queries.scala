@@ -1822,7 +1822,11 @@ object Queries {
         val nItems = math.max(1L, items.count())
         val k = math.max(1L, nItems / sampleDenom)
         // dense positional index: position → (item id, factors); drawn
-        // positions resolve to real items through an equi-join
+        // positions resolve to real items through an equi-join. The
+        // global window is BOUNDED by this branch's own contract — the
+        // indexed catalog is broadcast two lines down, so it is at most
+        // broadcast-sized by construction (a catalog too big for one
+        // window task would already be too big to broadcast)
         val indexed = items.withColumn("pos",
           row_number().over(Window.orderBy("i")).cast("long") - 1)
         val sampledCand = users
@@ -2702,9 +2706,14 @@ object Queries {
     * min/max-pruned scan would consult. Sorting by the interleaved key
     * bounds BOTH spans per file (a ts-sorted layout gives every file the
     * full user range); PipelineOpsSpec measures the bounding-box win
-    * directly. The global row_number here is gate-scale shorthand — at
-    * 100 TB the same layout is `repartitionByRange(zkey)` + in-partition
-    * sort, no global window. Every bit op replays exactly in DuckDB.
+    * directly. The global rank is computed the way a 100 TB layout job
+    * must: `repartitionByRange(zkey)` + in-partition sort + partition-
+    * LOCAL row_number + broadcast per-partition offsets — rn is the exact
+    * global rank in the (zkey, event_id) total order no matter where the
+    * sampled range boundaries land, and no single task ever holds the
+    * table (the naive `Window.orderBy` global window does exactly that —
+    * "Moving all data to a single partition"). Every bit op replays
+    * exactly in DuckDB.
     */
   val eventsZorderLayout: QueryDef = QueryDef.withOracle {
     val xs = duckSpread16Steps("x", "ub")
@@ -2736,8 +2745,25 @@ object Queries {
       .withColumn("zkey", PipelineOps.zOrderKey(col("ub"), col("tb")))
     val n = keyed.count()
     val chunk = math.ceil(n / 32.0).toLong
-    keyed
-      .withColumn("rn", row_number().over(Window.orderBy("zkey", "event_id")))
+    val width = s.sparkContext.defaultParallelism
+    // distributed global rank: range-partition + sort the total order,
+    // then zipWithIndex (partition-local index + broadcast per-partition
+    // offsets, computed over ONE partitioner instance so the two internal
+    // jobs can never disagree on boundaries — and rn is the rank in the
+    // (zkey, event_id) TOTAL order regardless of where the sampled
+    // boundaries land). One of the rare justified RDD drops: no
+    // DataFrame operator yields a global index without funnelling the
+    // table through a single window task.
+    val sorted = keyed
+      .repartitionByRange(width, col("zkey"), col("event_id"))
+      .sortWithinPartitions("zkey", "event_id")
+      .select("event_id", "user_id", "tb")
+    val spark2 = s
+    import spark2.implicits._
+    sorted.rdd
+      .zipWithIndex()
+      .map { case (r, idx) => (r.getLong(0), r.getLong(1), r.getLong(2), idx + 1L) }
+      .toDF("event_id", "user_id", "tb", "rn")
       .withColumn("file_id", ((col("rn") - 1) / lit(chunk)).cast("bigint"))
       .groupBy("file_id")
       .agg(
