@@ -477,6 +477,13 @@ object EventsStream {
     * that resolve to the same contents), never wrong.
     */
   private val ManifestName = "_manifest"
+  // Write amplification note: each commit rewrites the whole file —
+  // O(index METADATA), ~30 bytes/bucket (30 MB at 10⁶ buckets), never
+  // O(data). That is the same choice Iceberg-style formats make (a new
+  // snapshot file per commit); if per-trigger metadata writes ever
+  // dominate a sub-second-trigger stream, the evolution is an append-only
+  // manifest LOG compacted every N commits — the read/repair contracts
+  // here (dirs are truth, writer start rebuilds) carry over unchanged.
 
   private def readManifest(indexDir: String): Option[Map[Int, Seq[String]]] = {
     val f = new java.io.File(indexDir, ManifestName)
