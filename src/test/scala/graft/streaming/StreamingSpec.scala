@@ -195,6 +195,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got(100L)._1.zip(direct).forall { case (a, b) => math.abs(a - b) < 1e-6 })
     // file order maps f1 -> batch 0, f2 -> batch 1
     assert(got(100L)._2 > got(101L)._2)
+    // the LWW index maintains the manifest through the shared commit path
+    // exactly as the min index does: one line per live generation,
+    // matching directory truth
+    val manifest = new java.io.File(s"$root/factors", "_manifest")
+    assert(manifest.isFile, "onlineUserRefresh did not maintain the manifest")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+    val walked = new java.io.File(s"$root/factors").listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap { bd =>
+        bd.listFiles().filter(_.isDirectory)
+          .map(g => s"${bd.getName.stripPrefix("bucket=")}/${g.getName}")
+      }.toSet
+    assert(lines == walked, s"manifest $lines != dirs $walked")
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
