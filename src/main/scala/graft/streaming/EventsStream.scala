@@ -568,6 +568,12 @@ object EventsStream {
     Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(".staging_"))
       .foreach(deleteRecursively)
+    // a writer that crashed between the manifest tmp write and its atomic
+    // rename leaves the pid-tagged tmp behind; this run's refresh below
+    // writes its own, so any existing tmp is dead
+    Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith(s".${ManifestName}_tmp_"))
+      .foreach(f => f.delete(): Unit)
     bucketDirs(indexDir).foreach { bd =>
       val live = liveGens(bd).map(_.dir.getName).toSet
       listGens(bd).filterNot(g => live.contains(g.dir.getName))

@@ -281,11 +281,17 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     new java.io.File(bucketDir, "delta-1-b0-deadbeef").mkdirs()
     new java.io.File(bucketDir, "base-1").mkdirs()
     new java.io.File(idx, ".staging_b99-deadbeef/bucket=0").mkdirs()
+    // ...and a manifest tmp from a writer that crashed pre-rename
+    java.nio.file.Files.write(
+      new java.io.File(idx, "._manifest_tmp_99999").toPath,
+      "0/base-1\n".getBytes("UTF-8"))
     EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 1, compactEvery = 2)
     assert(bucketDir.listFiles().map(_.getName).toSet == Set("base-2"),
       "startup sweep left folded generations behind")
     assert(!new java.io.File(idx, ".staging_b99-deadbeef").exists(),
       "startup sweep left the stale staging dir")
+    assert(!new java.io.File(idx, "._manifest_tmp_99999").exists(),
+      "startup sweep left the crashed manifest tmp")
     assert(EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
     EventsStream.deleteRecursively(new java.io.File(root))
