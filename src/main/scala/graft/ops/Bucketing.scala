@@ -54,6 +54,16 @@ object Bucketing {
     * 65536 buckets ≈ 4 TB of 64 MB buckets; beyond it, buckets grow past
     * 64 MB instead of multiplying — the right trade, since row-group
     * pruning inside a bucket file is cheap and file explosion is not.
+    *
+    * Because the default cap reads `defaultParallelism`, the SAME source
+    * data yields different counts on different clusters (64 on a 4-core
+    * box, 256 on 32 cores). That is fine for layouts regenerated per
+    * session (every in-repo caller), but a bucketed layout PERSISTED and
+    * read across sessions/clusters must pin an explicit `maxBuckets`:
+    * unequal counts between two tables stay exchange-free only when
+    * bucket-coalescing divisibility applies (one count divides the
+    * other), and a silently environment-dependent count forfeits that
+    * guarantee. Pin the count where the layout outlives the cluster.
     */
   def autoBuckets(
       spark: SparkSession,

@@ -196,13 +196,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // file order maps f1 -> batch 0, f2 -> batch 1
     assert(got(100L)._2 > got(101L)._2)
     // the LWW index maintains the manifest through the shared commit path
-    // exactly as the min index does: one line per live generation,
-    // matching directory truth
+    // exactly as the min index does: snapshot + append log resolve to one
+    // entry per live generation, matching directory truth
     val manifest = new java.io.File(s"$root/factors", "_manifest")
     assert(manifest.isFile, "onlineUserRefresh did not maintain the manifest")
-    val lines = new String(
-      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
-      .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+    val lines = EventsStream.readManifest(s"$root/factors").get
+      .flatMap { case (b, gens) => gens.map(g => s"$b/$g") }.toSet
     val walked = new java.io.File(s"$root/factors").listFiles()
       .filter(_.getName.startsWith("bucket=")).flatMap { bd =>
         bd.listFiles().filter(_.isDirectory)
@@ -500,9 +499,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
       walk(new java.io.File(idx))
-        // the manifest is O(1) metadata rewritten at every commit by
-        // design — the byte-identity contract is about bucket DATA files
-        .filterNot(_.getName == "_manifest")
+        // the manifest (snapshot + append log) is O(metadata) maintained
+        // at every commit by design — the byte-identity contract is about
+        // bucket DATA files
+        .filterNot(f => f.getName == "_manifest" || f.getName == "_manifest.log")
         .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
     }
     val before = snapshot()
@@ -577,18 +577,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           .map(g => s"${bd.getName.stripPrefix("bucket=")}/${g.getName}")
       }.toSet
     def manifestLines(): Set[String] =
-      new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
-        .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+      EventsStream.readManifest(idx).get
+        .flatMap { case (b, gens) => gens.map(g => s"$b/$g") }.toSet
     // after the startup sweep every on-disk generation is live, so the
-    // manifest must equal the directory truth exactly
+    // manifest (snapshot + log) must equal the directory truth exactly
     assert(manifestLines() == walkLive(),
       s"manifest ${manifestLines()} != dirs ${walkLive()}")
     val want = Map("a" -> 10L, "b" -> 5L, "c" -> 30L)
     assert(EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
     // reads go THROUGH the manifest: a hand-written manifest naming only a
-    // subset of generations changes what latestIndex returns (no dir walk)
+    // subset of generations changes what latestIndex returns (no dir walk).
+    // The headerless subset is the LEGACY snapshot form (epoch 0), so the
+    // current run's log — whose records are at a later epoch — must go
+    // too, exactly as it would for a genuinely legacy index.
     val subset = manifestLines().filter(_.contains("delta-1-"))
+    new java.io.File(idx, "_manifest.log").delete()
     java.nio.file.Files.write(manifestFile.toPath,
       subset.mkString("", "\n", "\n").getBytes("UTF-8"))
     val partial = EventsStream.latestIndex(spark, idx)
@@ -606,6 +610,99 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(manifestFile.isFile && manifestLines() == walkLive())
     assert(EventsStream.latestIndex(spark, idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
+  test("manifest log: O(touched) appends, epoch-safe folds, torn/garbage tails") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsil").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    def walkLive(): Map[Int, Set[String]] = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map { bd =>
+        bd.getName.stripPrefix("bucket=").toInt ->
+          bd.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      }.toMap
+    def mf(): Map[Int, Set[String]] =
+      EventsStream.readManifest(idx).get.map { case (b, g) => b -> g.toSet }
+    val snapFile = new java.io.File(idx, "_manifest")
+    val logFile = new java.io.File(idx, "_manifest.log")
+    def snapshotBytes(): String =
+      new String(java.nio.file.Files.readAllBytes(snapFile.toPath), "UTF-8")
+
+    // two files -> two commits in one run: writer start writes the
+    // snapshot, each commit APPENDS (compactEvery high: no fold path yet)
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(("c", 30L)).toDF("k", "event_id")
+      .coalesce(1).write.parquet(s"$src/f2")
+    EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 100)
+    assert(logFile.isFile, "commits did not append to the manifest log")
+    val snapAfterRun = snapshotBytes()
+    assert(snapAfterRun.startsWith("#epoch "), "snapshot lost its epoch header")
+    assert(mf() == walkLive(), s"manifest ${mf()} != dirs ${walkLive()}")
+    // the snapshot alone is STALE (start-of-run state: no deltas yet) —
+    // proof the commits appended instead of rewriting it
+    assert(!snapAfterRun.contains("delta-"),
+      "a commit rewrote the snapshot instead of appending to the log")
+
+    // torn trailing line (crash mid-append): ignored, read stays at truth
+    val before = mf()
+    java.nio.file.Files.write(logFile.toPath,
+      "999 0/delta-77-torn".getBytes("UTF-8"), // no trailing newline
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(mf() == before, "a torn tail changed the manifest read")
+
+    // a COMPLETE malformed line is distrust -> dir-walk fallback: the
+    // option goes None but latestIndex still answers from directory truth
+    java.nio.file.Files.write(logFile.toPath,
+      "\ngarbage-line\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(EventsStream.readManifest(idx).isEmpty,
+      "malformed log content must force the directory-walk fallback")
+    val want = Map("a" -> 10L, "b" -> 20L, "c" -> 30L)
+    assert(EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+
+    // a log epoch AHEAD of the snapshot (impossible in normal operation)
+    // is also distrust, not application
+    java.nio.file.Files.write(logFile.toPath,
+      "999999 0/base-1\n".getBytes("UTF-8"))
+    assert(EventsStream.readManifest(idx).isEmpty,
+      "a log record from the future must force the fallback")
+
+    // crash-after-fold simulation: snapshot at a HIGHER epoch than every
+    // log record (fold renamed the snapshot, crashed before the log
+    // delete) — stale records are skipped, the read equals the snapshot
+    val truthLines = walkLive().toSeq.sortBy(_._1).flatMap { case (b, gens) =>
+      gens.toSeq.sorted.map(g => s"$b/$g") }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(snapFile.toPath,
+      ("#epoch 7\n" + truthLines).getBytes("UTF-8"))
+    java.nio.file.Files.write(logFile.toPath,
+      "6 0/delta-99-stale\n".getBytes("UTF-8")) // pre-fold record
+    assert(mf() == walkLive(),
+      "a pre-fold log record leaked through the epoch gate")
+
+    // fold: force the threshold to 1 so the next commit folds — the log
+    // clears, the snapshot advances past epoch 7, and reads stay at truth
+    EventsStream.manifestFoldAppendsOverride = Some(1)
+    try {
+      Seq(("d", 40L)).toDF("k", "event_id")
+        .coalesce(1).write.parquet(s"$src/f3")
+      EventsStream.firstSeenIndex(stream, idx, ck, compactEvery = 100)
+      assert(!logFile.isFile, "the fold did not clear the log")
+      val ep = snapshotBytes().split('\n').head.stripPrefix("#epoch ").trim.toLong
+      assert(ep > 7, s"fold epoch $ep did not advance past the snapshot's")
+      assert(mf() == walkLive())
+      assert(EventsStream.latestIndex(spark, idx)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        (want + ("d" -> 40L)))
+    } finally EventsStream.manifestFoldAppendsOverride = None
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
