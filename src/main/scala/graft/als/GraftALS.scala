@@ -69,8 +69,15 @@ case class GraftALS(
     val itemFactors = spark.createDataFrame(
       itemIdAndFactors.map { case (id, f) => FactorRow(id, f) })
 
+    // Auto-engage the INT-key transform when every trained id fits in an
+    // Int (round-13 verdict #5): BIGINT join keys measured ~29% over INT
+    // on the identical ×100 transform plan, a tax no caller should have to
+    // know to opt out of. Two tiny min/max aggregates over the
+    // just-persisted factor RDDs; the LONG path survives untouched for
+    // genuinely 64-bit id spaces.
     GraftALSModel(rank, userFactors, itemFactors, userCol, itemCol, coldStartStrategy,
       backingRdds = Seq(userIdAndFactors, itemIdAndFactors))
+      .withCompactIds()
   }
 }
 
@@ -104,14 +111,20 @@ case class GraftALSModel(
     */
   def unpersist(): Unit = backingRdds.foreach(_.unpersist(blocking = false))
 
-  /** Opt-in INT-key scoring (round-10 verdict #5): when EVERY trained id
-    * fits in an Int, returns a model whose [[transform]] joins on INT keys
-    * instead of LONG — `TransformProbe` measured BIGINT join keys at ~29%
-    * over INT on the identical ×100 plan, a tax the LONG-id API pays even
-    * when ids are small (MLlib's ids are natively Int, so this also makes
-    * the head-to-head key-width-symmetric). Model-load-time check: two
-    * tiny min/max aggregates; no other serving path changes (factor
-    * tables stay LONG-keyed for fold-in/recommend/save). Returns `this`
+  /** INT-key scoring (round-10 verdict #5; DEFAULT since round 14): when
+    * EVERY trained id fits in an Int, returns a model whose [[transform]]
+    * joins on INT keys instead of LONG — `TransformProbe` measured BIGINT
+    * join keys at ~29% over INT on the identical ×100 plan, a tax the
+    * LONG-id API would otherwise pay even when ids are small (MLlib's ids
+    * are natively Int, so this also makes the head-to-head
+    * key-width-symmetric). [[GraftALS.fit]] and [[GraftALSModel.load]]
+    * call this automatically (round-13 verdict #5), so it only needs
+    * explicit invocation on hand-assembled models. Two tiny min/max
+    * aggregates; no other serving path changes (factor tables stay
+    * LONG-keyed for fold-in/recommend/save — and [[persistedBucketed]]
+    * deliberately stays on the LONG path, because casting the factor-side
+    * id would discard the bucketed layout's co-located-join output
+    * partitioning, the whole point of that method). Returns `this`
     * unchanged when any id needs the full Long range.
     */
   def withCompactIds(): GraftALSModel = {
@@ -618,11 +631,17 @@ case class GraftALSModel(
       .saveAsTable(s"${name}_item_factors")
   }
 
-  /** Loads a bucketed-saved model back as a scoring-ready model. */
+  /** Loads a bucketed-saved model back as a scoring-ready model. Stays on
+    * the LONG-key transform even when ids fit in Int: the INT path selects
+    * `cast(id as int)`, which would strip the bucketed tables' output
+    * partitioning and re-shuffle the factor side — the exchange-free join
+    * is worth more than the key-width tax it would trade for.
+    */
   def persistedBucketed(spark: SparkSession, name: String): GraftALSModel =
     copy(
       userFactors = spark.table(s"${name}_user_factors"),
-      itemFactors = spark.table(s"${name}_item_factors"))
+      itemFactors = spark.table(s"${name}_item_factors"),
+      intKeyTransform = false)
 
   /** Persists both factor tables + metadata. */
   def save(path: String): Unit = {
@@ -651,5 +670,6 @@ object GraftALSModel {
       userCol = field("userCol"),
       itemCol = field("itemCol"),
       coldStartStrategy = field("coldStartStrategy"))
+      .withCompactIds() // same auto-selection as fit (two tiny aggregates)
   }
 }

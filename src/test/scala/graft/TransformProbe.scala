@@ -64,12 +64,15 @@ object TransformProbe {
         .write.format("noop").mode("overwrite").save()
     }
     settle()
+    // fit auto-engages the INT-key path since round 14, so the LONG-path
+    // model-API row has to force it back off
     timed("transform_model_api") {
-      model.transform(ratings).write.format("noop").mode("overwrite").save()
+      model.copy(intKeyTransform = false)
+        .transform(ratings).write.format("noop").mode("overwrite").save()
     }
     settle()
-    // the opt-in INT-key serving path (GraftALSModel.withCompactIds) — the
-    // model-API row that should close the measured long-vs-int key gap
+    // the INT-key serving path (GraftALSModel.withCompactIds, now the fit
+    // default) — the model-API row that closes the long-vs-int key gap
     val compact = model.withCompactIds()
     timed("transform_model_int") {
       compact.transform(ratings).write.format("noop").mode("overwrite").save()

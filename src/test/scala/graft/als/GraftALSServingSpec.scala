@@ -286,4 +286,30 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
       .withCompactIds()
     assert(!m2.intKeyTransform)
   }
+
+  test("fit auto-selects the INT-key path for Int-range ids, keeps LONG otherwise") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ratings = (for (u <- 0L until 12L; i <- 0L until 8L if (u + i) % 3 != 0)
+      yield (u, i, ((u * 7 + i * 3) % 5 + 1).toFloat))
+      .toDF("user", "item", "rating")
+    val als = GraftALS(rank = 3, maxIter = 2, regParam = 0.1,
+      numUserBlocks = 2, numItemBlocks = 2,
+      userCol = "user", itemCol = "item", ratingCol = "rating", seed = 5L)
+    val m = als.fit(ratings)
+    assert(m.intKeyTransform,
+      "fit must auto-engage the INT-key transform for Int-range ids")
+    // predictions are bit-identical to the forced-LONG path
+    def rows(mm: GraftALSModel) = mm.transform(ratings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(3))).toSet
+    assert(rows(m) == rows(m.copy(intKeyTransform = false)))
+    // a genuinely 64-bit id space keeps the LONG path, and still scores
+    val big = ratings
+      .withColumn("user", col("user") + lit(Long.MaxValue / 2))
+    val mBig = als.fit(big)
+    assert(!mBig.intKeyTransform,
+      "fit must keep the LONG path when any id exceeds Int range")
+    assert(mBig.transform(big).where(!isnan(col("prediction"))).count() > 0)
+    m.unpersist(); mBig.unpersist()
+  }
 }
