@@ -76,6 +76,56 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // ---- load-window noise meter (round-13 verdict #3) ----
+    // This box has multi-hour EXTERNAL load windows that inflate every
+    // reading 1.4-2x (SCALING.md §10.1-10.2); r12 lost a verdict item to
+    // an artifact taken inside one, and r13 burned re-runs reading the
+    // q01 warmup by hand. The meter is a FIXED data-independent workload
+    // (256M-row hash + 64k-key aggregate: CPU + map-side combine + one
+    // small shuffle), so one quiet baseline applies at every sf/tier.
+    // Median of 3 after its own codegen warm; the stamp goes into every
+    // artifact JSON, and SPARK_GRAFT_METER_REFUSE=1 makes a loaded box a
+    // hard refusal (exit 3) instead of a silently-polluted artifact —
+    // round-close runs set it.
+    import org.apache.spark.sql.functions.{col, count, lit, pmod}
+    def meterOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 256L << 20, 1, 32)
+        .select(pmod(col("id") * 2654435761L, lit(65536L)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val meterSec = {
+      try {
+        meterOnce() // untimed: the meter's own codegen/first-touch
+        val runs = Seq.fill(3)(meterOnce()).sorted
+        runs(1)
+      } catch { case _: Throwable => -1.0 }
+    }
+    // quiet baseline on this box: 0.55-0.67 s median-of-3 at local[32]
+    // (4 fresh-JVM calibration runs, r14); 0.9 ≈ 1.4x headroom, the low
+    // edge of the documented 1.4-2x load-window inflation band
+    val meterQuietMax = sys.env.get("SPARK_GRAFT_METER_QUIET_MAX")
+      .flatMap(_.toDoubleOption).getOrElse(0.9)
+    val loadStamp =
+      if (meterSec < 0) "unknown" else if (meterSec <= meterQuietMax) "quiet" else "loaded"
+    System.err.println(f"[bench] noise meter $meterSec%.2fs -> $loadStamp (quiet <= $meterQuietMax%.2fs)")
+    val meterJson =
+      f""""meter_sec":$meterSec%.2f,"meter_quiet_max":$meterQuietMax%.2f,"load_stamp":"$loadStamp""""
+    if (loadStamp == "loaded" && sys.env.get("SPARK_GRAFT_METER_REFUSE").exists(_ == "1")) {
+      val refusal =
+        s"""{"metric":"refused","value":-1,"unit":"sec",$meterJson,"sf":"$sfDir"}"""
+      println(refusal)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")),
+        (refusal + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      spark.stop()
+      sys.exit(3)
+    }
+
     def timed(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       try {
@@ -111,6 +161,28 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+
+    // One-time costs as their OWN labeled rows (round-13 verdict #2): the
+    // shared session-model training used to land inside whichever als_*
+    // row ran first, and a fresh tier's variant ingest shred inside
+    // events_json_variant — both shifted with suite composition, making
+    // tier rows unattributable round-over-round. Timed here under their
+    // own names so (a) every als_* row measures its operator against the
+    // warmed shared model, (b) the one-time costs stay visible in the
+    // artifact instead of hiding in an untimed phase. ONLY-filtered probe
+    // runs skip them (a targeted probe wants the legacy cold placement it
+    // asks for); skip-filtered tier runs keep them.
+    if (only.isEmpty) {
+      timed("als_session_train") {
+        graft.queries.Queries.prewarmSessionModel(spark, sfDir)
+      }
+      spark.catalog.clearCache()
+      timed("variant_ingest_shred") {
+        graft.queries.Queries.prewarmShreddedEvents(spark, sfDir)
+      }
+      spark.catalog.clearCache()
+      System.gc()
+    }
 
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip.contains(name) }
@@ -225,7 +297,7 @@ object Bench {
     // clobber the committed sf0.1 artifact the docs cite.
     val fullQs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$meterJson,"queries":$fullQs,"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
@@ -242,7 +314,7 @@ object Bench {
       "als_train_graft", "als_train_mllib",
       "als_transform_graft", "als_transform_mllib").filter(timings.contains)
     val rest = timings.toSeq.filterNot { case (k, _) => headline.contains(k) }.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{"""
+    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$meterJson,"queries":{"""
     val suffix = s"""},"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = prefix.length + suffix.length + 60 // reserve room for "_rest"

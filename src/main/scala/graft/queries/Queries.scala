@@ -1706,6 +1706,30 @@ object Queries {
     * our own scoring, not MLlib's fit — Bench pre-warms this untimed
     * (round-5 verdict "What's wrong" #3).
     */
+  /** Trains the SHARED session model (the one-per-(session, dir) cache
+    * every explicit-ALS query reads) and materializes both factor halves.
+    * Bench runs this as its own labeled row (`als_session_train`) so the
+    * one-time training cost stops landing inside whichever `als_*` query
+    * happens to run first — round-13 verdict #2: its placement shifted
+    * with suite composition, making ×100 ALS-family rows unattributable
+    * round-over-round. Idempotent: later calls hit the memoized model.
+    */
+  private[graft] def prewarmSessionModel(s: SparkSession, dir: String): Unit = {
+    val m = model(s, dir)
+    m.userFactors.write.format("noop").mode("overwrite").save()
+    m.itemFactors.write.format("noop").mode("overwrite").save()
+  }
+
+  /** Builds (or freshness-checks) the persistent shredded-at-ingest
+    * variant layout and reads it once — Bench's `variant_ingest_shred`
+    * labeled row, so a fresh tier's first-touch parse cost is visible as
+    * the INGEST cost it is instead of inflating `events_json_variant`'s
+    * read-path row (round-13 verdict #2; §10.8 measured 56.8 s first-touch
+    * vs ~1 s warmed at ×100).
+    */
+  private[graft] def prewarmShreddedEvents(s: SparkSession, dir: String): Unit =
+    shreddedEvents(s, dir).write.format("noop").mode("overwrite").save()
+
   private val mllibRmseCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Double]
 
