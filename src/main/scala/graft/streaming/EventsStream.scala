@@ -619,7 +619,7 @@ object EventsStream {
     * a crash between the two leaves only records at epochs < `epoch`,
     * which readers skip.
     */
-  private def writeManifest(
+  private[graft] def writeManifest(
       indexDir: String, epoch: Long, entries: Map[Int, Seq[String]]): Unit = {
     val body = s"#epoch $epoch\n" + entries.toSeq.sortBy(_._1).flatMap {
       case (b, gens) => gens.sorted.map(g => s"$b/$g")
