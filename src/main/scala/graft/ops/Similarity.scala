@@ -1120,6 +1120,52 @@ object Similarity {
       .take(nProbe)
       .map(_._1)
 
+  /** Allocation-free twin of [[probeCellsSubset]] over flattened primitive
+    * occupancy arrays (`occIds` + row-major `occMat`): fused dot + bounded
+    * top-nProbe insertion, SAME selection contract (left-to-right double
+    * dots, −0.0 collapse via `s + 0.0`, score desc with cell-id-asc ties).
+    * The serving kernel runs this once per query; parity with the boxed
+    * form is spec-pinned in SimilaritySpec.
+    */
+  private[ops] def probeCellsPrim(
+      v: Array[Float],
+      occIds: Array[Int],
+      occMat: Array[Float],
+      nProbe: Int): Array[Int] = {
+    val d = v.length
+    val n = occIds.length
+    val p = math.min(nProbe, n)
+    if (p <= 0) return Array.emptyIntArray
+    val topIds = new Array[Int](p)
+    val topS = Array.fill(p)(Double.NegativeInfinity)
+    var size = 0
+    var c = 0
+    while (c < n) {
+      var s = 0.0
+      var i = 0
+      val off = c * d
+      while (i < d) { s += v(i).toDouble * occMat(off + i); i += 1 }
+      s = s + 0.0 // collapse -0.0 to 0.0, as the boxed comparator does
+      val cid = occIds(c)
+      val worse = size == p &&
+        (s < topS(p - 1) || (s == topS(p - 1) && cid > topIds(p - 1)))
+      if (!worse) {
+        var pos = if (size < p) size else p - 1
+        while (pos > 0 && (topS(pos - 1) < s ||
+               (topS(pos - 1) == s && topIds(pos - 1) > cid))) {
+          topS(pos) = topS(pos - 1)
+          topIds(pos) = topIds(pos - 1)
+          pos -= 1
+        }
+        topS(pos) = s
+        topIds(pos) = cid
+        if (size < p) size += 1
+      }
+      c += 1
+    }
+    if (size == p) topIds else java.util.Arrays.copyOf(topIds, size)
+  }
+
   /** Inverted-list blocked kernel shared by [[ivfTopK]] and [[mipsIvfTopK]]
     * (round 7). The previous explode→join→TopKAggregator plan moved every
     * candidate through row-based join machinery at ~3M pairs/s; this is the
@@ -1145,22 +1191,48 @@ object Similarity {
     * → 0, MIPS augmentation = sqrt(max(maxSq − ‖v‖², 0)) as FLOAT, and
     * final ranking is (score desc, id asc).
     */
-  private def probedTopKKernel(
-      queries: DataFrame,
+  /** A BUILT inverted-list serving index: the per-cell primitive blocks
+    * (persisted RDD), driver-side occupancy, and the partitioner the
+    * blocks are keyed by. Building one is the expensive half of a probed
+    * serve — corpus assignment is O(n·cells·dim) flops plus a full
+    * corpus shuffle — and is pure corpus+codebook state, so a serving
+    * session builds it ONCE ([[buildCellIndex]]) and passes it to every
+    * [[ivfTopK]]/[[mipsIvfTopK]] call (round-13 verdict #7: the per-call
+    * rebuild dominated the ×100 approx-serve rows even though the
+    * codebook itself was already cached). Caller owns the persist:
+    * [[unpersist]] when the index is retired.
+    */
+  final case class CellIndex(
+      cells: Array[Array[Float]],
+      augmentBound: Option[Double],
+      blocks: org.apache.spark.rdd.RDD[(Int, (Array[Long], Array[Float], Array[Double]))],
+      occupied: Seq[(Int, Array[Float])],
+      partitioner: org.apache.spark.Partitioner) {
+    def unpersist(): Unit = blocks.unpersist(blocking = false): Unit
+    /** Persisted-RDD id, for harness pin lists. */
+    def rddId: Int = blocks.id
+    /** Eagerly materializes the blocks (index CONSTRUCTION cost). */
+    def materialize(): CellIndex = { blocks.count(): Unit; this }
+  }
+
+  /** Builds the [[CellIndex]] for a corpus under a codebook: assignment
+    * (argmax-dot, lowest-cell-id ties — the TopCellsExpr contract; MIPS
+    * corpora are augmented by `sqrt(max(maxSq − ‖v‖², 0))` first), one
+    * sort-based shuffle into per-cell inverted lists packed as primitive
+    * (ids, row-major matrix, norms) blocks HARD-bounded at 65536 rows
+    * each — a skewed k-means assignment produces more blocks for a cell,
+    * never a bigger one — and a driver occupancy collect (≤ numCells +
+    * n/65536 ints). The blocks RDD is left persisted (caller-owned).
+    */
+  def buildCellIndex(
       corpus: DataFrame,
       cells: Array[Array[Float]],
-      k: Int,
-      nProbe: Int,
-      cosine: Boolean,
-      excludeSelf: Boolean,
-      augmentBound: Option[Double],
-      outCols: Seq[String]): DataFrame = {
-    require(k > 0)
-    val spark = corpus.sparkSession
-    val sc = spark.sparkContext
+      augmentBound: Option[Double]): CellIndex = {
+    val sc = corpus.sparkSession.sparkContext
     val bcCells = sc.broadcast(cells)
-
-    def selfDot(v: Array[Float]): Double = {
+    // LOCAL def, not an object method: a closure calling an object method
+    // captures the (non-serializable) Similarity$ singleton
+    def selfDotD(v: Array[Float]): Double = {
       var s = 0.0
       var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
@@ -1181,20 +1253,18 @@ object Similarity {
       }
       bestC
     }
-
     val corpusRdd = Parallelism.widen(corpus).rdd
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val parts = math.max(corpusRdd.getNumPartitions, 2)
     val partitioner = new org.apache.spark.HashPartitioner(parts)
     val aug = augmentBound
-
     val assigned = corpusRdd.mapPartitions { it =>
       val cs = bcCells.value
       it.map { case (id, v) =>
         val rv = aug match {
           case Some(maxSq) =>
             val out = java.util.Arrays.copyOf(v, v.length + 1)
-            out(v.length) = math.sqrt(math.max(maxSq - selfDot(v), 0.0)).toFloat
+            out(v.length) = math.sqrt(math.max(maxSq - selfDotD(v), 0.0)).toFloat
             out
           case None => v
         }
@@ -1209,8 +1279,8 @@ object Similarity {
     // one unbounded array (round-7 ADVICE — the groupByKey form
     // materialized a whole cell per value). Downstream needs no chunk
     // arithmetic: the RDD join emits one (query, block) pair per block of
-    // a probed cell and the existing reduceByKey top-k merge combines
-    // partials across blocks exactly as it already did across cells.
+    // a probed cell and the reduceByKey top-k merge combines partials
+    // across blocks exactly as it does across cells.
     val subBlockRows = 65536
     val cellBlocks = assigned
       .repartitionAndSortWithinPartitions(partitioner)
@@ -1232,7 +1302,7 @@ object Similarity {
             while (i < n) {
               ids(i) = rows(i)._1
               System.arraycopy(rows(i)._2, 0, mat, i * d, d)
-              norms(i) = math.sqrt(selfDot(rows(i)._2))
+              norms(i) = math.sqrt(selfDotD(rows(i)._2))
               i += 1
             }
             (cell, (ids, mat, norms))
@@ -1240,64 +1310,168 @@ object Similarity {
         }
       }, preservesPartitioning = true)
       .persist()
-
     // occupancy on the driver: one key per BLOCK reaches the driver
     // (≤ numCells + n/subBlockRows ints), deduped to cell ids only
     val occSubset: Seq[(Int, Array[Float])] =
       cellBlocks.keys.collect().distinct.sorted.toSeq.map(c => (c, cells(c)))
-    val bcOcc = sc.broadcast(occSubset)
+    CellIndex(cells, augmentBound, cellBlocks, occSubset, partitioner)
+  }
+
+  private def probedTopKKernel(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cells: Array[Array[Float]],
+      k: Int,
+      nProbe: Int,
+      cosine: Boolean,
+      excludeSelf: Boolean,
+      augmentBound: Option[Double],
+      outCols: Seq[String],
+      prebuilt: Option[CellIndex] = None): DataFrame = {
+    require(k > 0)
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    prebuilt.foreach { idx =>
+      require(idx.augmentBound == augmentBound,
+        "prebuilt CellIndex was built for a different space (augmentBound mismatch)")
+    }
+    val idx = prebuilt.getOrElse(buildCellIndex(corpus, cells, augmentBound))
+    val cellBlocks = idx.blocks
+    val partitioner = idx.partitioner
+    val aug = augmentBound
+
+    def selfDot(v: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      s
+    }
+    // PRIMITIVE probe selection (round 14): probeCellsSubset allocates a
+    // boxed (cellId, score) tuple per occupied cell plus a full sort per
+    // QUERY — at ×100 (2M queries × ~1.4k occupied cells) that object
+    // churn, not the scoring flops, dominated the serve rows. The
+    // occupancy is flattened once into primitive (ids, row-major centroid
+    // matrix) arrays and each query runs a fused dot + bounded
+    // top-nProbe insertion — same contract as probeCellsSubset
+    // (left-to-right double dots, −0.0 collapse, score desc / cell-id asc;
+    // parity spec-pinned in SimilaritySpec).
+    val occIds: Array[Int] = idx.occupied.map(_._1).toArray
+    val occD = if (idx.occupied.isEmpty) 0 else idx.occupied.head._2.length
+    val occMat: Array[Float] = {
+      val m = new Array[Float](occIds.length * occD)
+      var c = 0
+      while (c < occIds.length) {
+        System.arraycopy(idx.occupied(c)._2, 0, m, c * occD, occD)
+        c += 1
+      }
+      m
+    }
+    val bcOccIds = sc.broadcast(occIds)
+    val bcOccMat = sc.broadcast(occMat)
 
     val probed = Parallelism.widen(queries).rdd
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .mapPartitions { it =>
-        val occ = bcOcc.value
+        val oIds = bcOccIds.value
+        val oMat = bcOccMat.value
         it.flatMap { case (qid, qv) =>
           val rv = aug match {
             case Some(_) => java.util.Arrays.copyOf(qv, qv.length + 1) // pad 0f
             case None => qv
           }
-          probeCellsSubset(rv, occ, nProbe).map(c => (c, (qid, qv)))
+          probeCellsPrim(rv, oIds, oMat, nProbe).map(c => (c, (qid, qv)))
         }
       }
 
     val useCos = cosine
     val excl = excludeSelf
-    // streaming per-(query, probed cell) scoring: RDD join hands each query
-    // row its cell's block by reference — no per-cell query materialization
-    val partial = probed.join(cellBlocks, partitioner).map {
-      case (_, ((qid, qv), (ids, mat, norms))) =>
-        val d = qv.length
-        val qn = if (useCos) math.sqrt(selfDot(qv)) else 0.0
-        val topIds = new Array[Long](k)
-        val topScores = Array.fill(k)(Double.NegativeInfinity)
-        var size = 0
-        val nI = ids.length
-        var i = 0
-        while (i < nI) {
-          if (!(excl && ids(i) == qid)) {
-            var s = 0.0
-            var dd = 0
-            val off = i * d
-            while (dd < d) { s += qv(dd).toDouble * mat(off + dd); dd += 1 }
-            if (useCos) s = if (qn == 0.0 || norms(i) == 0.0) 0.0 else s / (qn * norms(i))
-            val isWorseThanLast = size == k &&
-              (s < topScores(k - 1) || (s == topScores(k - 1) && ids(i) > topIds(k - 1)))
-            if (!isWorseThanLast) {
-              var pos = if (size < k) size else k - 1
-              while (pos > 0 && (topScores(pos - 1) < s ||
-                     (topScores(pos - 1) == s && topIds(pos - 1) > ids(i)))) {
-                topScores(pos) = topScores(pos - 1)
-                topIds(pos) = topIds(pos - 1)
-                pos -= 1
-              }
-              topScores(pos) = s
-              topIds(pos) = ids(i)
-              if (size < k) size += 1
+    // QUERY-SIDE BLOCKING (round 14): the row-level probed join handed the
+    // scorer one (query, corpusBlock) pair per probe — at ×100 the serve
+    // spent ~33 µs/query against a ~1.4k-candidate scan whose flops cost
+    // ~11 µs, i.e. join/tuple machinery dominated. Queries are packed into
+    // per-cell primitive blocks too, so the join degree drops from
+    // (queries × nProbe) rows to (cells × blocks) pairs and scoring runs a
+    // block × block microkernel, the same transformation blockedCrossTopK
+    // applies to the exact kernel. Results are BIT-identical: each query
+    // meets the same candidate set with the same dot arithmetic, and the
+    // (score desc, id asc) comparator is total, so scan order cannot
+    // change the outcome (the hash oracles replay it unchanged).
+    val qSubBlockRows = 8192
+    val qBlocks = probed
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions({ it =>
+        val buf = it.buffered
+        new Iterator[(Int, (Array[Long], Array[Float]))] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Int, (Array[Long], Array[Float])) = {
+            val cell = buf.head._1
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            while (buf.hasNext && buf.head._1 == cell && rows.length < qSubBlockRows)
+              rows += buf.next()._2
+            val n = rows.length
+            val d = rows(0)._2.length
+            val qids = new Array[Long](n)
+            val qmat = new Array[Float](n * d)
+            var i = 0
+            while (i < n) {
+              qids(i) = rows(i)._1
+              System.arraycopy(rows(i)._2, 0, qmat, i * d, d)
+              i += 1
             }
+            (cell, (qids, qmat))
           }
-          i += 1
         }
-        (qid, (topIds.take(size), topScores.take(size)))
+      }, preservesPartitioning = true)
+
+    val partial = qBlocks.join(cellBlocks, partitioner).flatMap {
+      case (_, ((qids, qmat), (ids, mat, norms))) =>
+        val nQ = qids.length
+        val d = qmat.length / nQ
+        val nI = ids.length
+        val out = new Array[(Long, (Array[Long], Array[Double]))](nQ)
+        var qi = 0
+        while (qi < nQ) {
+          val qid = qids(qi)
+          val qOff = qi * d
+          var qn = 0.0
+          if (useCos) {
+            var dd = 0
+            var s = 0.0
+            while (dd < d) { s += qmat(qOff + dd).toDouble * qmat(qOff + dd); dd += 1 }
+            qn = math.sqrt(s)
+          }
+          val topIds = new Array[Long](k)
+          val topScores = Array.fill(k)(Double.NegativeInfinity)
+          var size = 0
+          var i = 0
+          while (i < nI) {
+            if (!(excl && ids(i) == qid)) {
+              var s = 0.0
+              var dd = 0
+              val off = i * d
+              while (dd < d) { s += qmat(qOff + dd).toDouble * mat(off + dd); dd += 1 }
+              if (useCos) s = if (qn == 0.0 || norms(i) == 0.0) 0.0 else s / (qn * norms(i))
+              val isWorseThanLast = size == k &&
+                (s < topScores(k - 1) || (s == topScores(k - 1) && ids(i) > topIds(k - 1)))
+              if (!isWorseThanLast) {
+                var pos = if (size < k) size else k - 1
+                while (pos > 0 && (topScores(pos - 1) < s ||
+                       (topScores(pos - 1) == s && topIds(pos - 1) > ids(i)))) {
+                  topScores(pos) = topScores(pos - 1)
+                  topIds(pos) = topIds(pos - 1)
+                  pos -= 1
+                }
+                topScores(pos) = s
+                topIds(pos) = ids(i)
+                if (size < k) size += 1
+              }
+            }
+            i += 1
+          }
+          out(qi) = (qid, (topIds.take(size), topScores.take(size)))
+          qi += 1
+        }
+        out
     }
 
     // merge per-query buffers across probed cells — (score desc, id asc)
@@ -1314,9 +1488,10 @@ object Similarity {
       ids.indices.map(i => (qid, ids(i), i + 1, scores(i)))
     }.toDF(outCols: _*)
       // bounded result materialized, corpus-sized block cache released —
-      // the per-call persist must not outlive the call (round-6 ADVICE)
+      // the per-call persist must not outlive the call (round-6 ADVICE).
+      // A PREBUILT index is caller-owned session state and stays persisted.
       .localCheckpoint()
-    cellBlocks.unpersist(blocking = false)
+    if (prebuilt.isEmpty) cellBlocks.unpersist(blocking = false): Unit
     result
   }
 
@@ -1364,7 +1539,8 @@ object Similarity {
       dim: Int = 8,
       seed: Long = 42L,
       scoreName: String = "score",
-      trainedIndex: Option[MipsIndex] = None): DataFrame = {
+      trainedIndex: Option[MipsIndex] = None,
+      prebuiltCells: Option[CellIndex] = None): DataFrame = {
     val MipsIndex(maxSq, cells) = trainedIndex.getOrElse(
       trainMipsIndex(corpus, vecCol, dim, numCells, seed))
     // max(...,0) in the kernel also clamps vectors LONGER than the
@@ -1377,7 +1553,8 @@ object Similarity {
       corpus.select(col(corpusIdCol).cast("long"), col(vecCol)),
       cells, k, nProbe, cosine = false, excludeSelf = false,
       augmentBound = Some(maxSq),
-      outCols = Seq(queryIdCol, corpusIdCol, "rank", scoreName))
+      outCols = Seq(queryIdCol, corpusIdCol, "rank", scoreName),
+      prebuilt = prebuiltCells)
   }
 
   def ivfTopK(
@@ -1390,7 +1567,8 @@ object Similarity {
       vecCol: String = "embedding",
       dim: Int = 64,
       seed: Long = 42L,
-      trainedCodebook: Option[Array[Array[Float]]] = None): DataFrame = {
+      trainedCodebook: Option[Array[Array[Float]]] = None,
+      prebuiltCells: Option[CellIndex] = None): DataFrame = {
     val cells = trainedCodebook.getOrElse(codebook(dim, numCells, seed))
     // queries probe only OCCUPIED cells (round-6 ADVICE): a k-means cell
     // that lost every member has no inverted list, so probing it would
@@ -1403,6 +1581,7 @@ object Similarity {
       corpus.select(col(idCol).cast("long"), col(vecCol)),
       cells, k, nProbe, cosine = true, excludeSelf = true,
       augmentBound = None,
-      outCols = Seq("query_id", "neighbor_id", "rank", "cosine"))
+      outCols = Seq("query_id", "neighbor_id", "rank", "cosine"),
+      prebuilt = prebuiltCells)
   }
 }

@@ -1299,6 +1299,11 @@ object Queries {
     val m = model(s, dir)
     val cos = m.servingItemCodebook()
     val mips = m.servingMipsIndex()
+    // also BUILD the inverted lists (assignment + corpus shuffle), the
+    // bigger half of index construction (round-13 verdict #7): serve rows
+    // after this row are pure serving — probe, candidate scan, top-k
+    m.servingItemCellIndex().materialize()
+    m.servingMipsCellIndex().materialize()
     val spark = s
     import spark.implicits._
     val rows =
@@ -1339,7 +1344,7 @@ object Queries {
     */
   def pinnedRddIds: Set[Int] =
     (modelCache.values ++ implicitModelCache.values ++ nnModelCache.values)
-      .flatMap(_.backingRdds.map(_.id)).toSet
+      .flatMap(m => m.backingRdds.map(_.id) ++ m.servingIndexRddIds).toSet
 
   private def implicitModel(s: SparkSession, dir: String): GraftALSModel =
     implicitModelCache.getOrElseUpdate((sessionKey(s), dir), {

@@ -241,6 +241,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("probeCellsPrim equals probeCellsSubset on random and adversarial tie inputs") {
+    val rnd = new scala.util.Random(17)
+    def vec(d: Int): Array[Float] = Array.fill(d)((rnd.nextInt(7) - 3).toFloat)
+    for (trial <- 0 until 200) {
+      val d = 1 + rnd.nextInt(6)
+      val nCells = 1 + rnd.nextInt(12)
+      // small integer coordinates force frequent exact score TIES, the
+      // case where the (score desc, cell-id asc) contract actually bites
+      val occ: Seq[(Int, Array[Float])] =
+        (0 until nCells).map(c => (c * 3 + rnd.nextInt(2), vec(d)))
+          .distinctBy(_._1).sortBy(_._1)
+      val q = vec(d)
+      val nProbe = 1 + rnd.nextInt(5)
+      val boxed = Similarity.probeCellsSubset(q, occ, nProbe)
+      val ids = occ.map(_._1).toArray
+      val mat = occ.flatMap(_._2).toArray
+      val prim = Similarity.probeCellsPrim(q, ids, mat, nProbe).toSeq
+      assert(prim == boxed, s"trial $trial: prim $prim != boxed $boxed")
+    }
+    // zero-vector query: every dot is -0.0-collapsible 0.0 -> pure id-asc
+    val occZ: Seq[(Int, Array[Float])] =
+      Seq((5, Array(1f, 2f)), (1, Array(-3f, 4f)), (9, Array(0f, 0f)))
+    val z = Array(0f, 0f)
+    assert(Similarity.probeCellsPrim(z, occZ.map(_._1).toArray,
+      occZ.flatMap(_._2).toArray, 2).toSeq ==
+      Similarity.probeCellsSubset(z, occZ, 2))
+  }
+
   test("PCA orders variance and preserves geometry at full rank") {
     val df = embDF(randomVecs(60, 29))
     val r = Similarity.pca(df, k = 8)
