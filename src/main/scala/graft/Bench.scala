@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * vs `als_train_mllib`).
   */
 object Bench {
+  /** Locale-pinned %.2f: the f-interpolator formats through the JVM
+    * default locale, so on a comma-decimal locale (de_DE) it would emit
+    * `0,57` — invalid JSON — into every artifact line (round-14 ADVICE).
+    */
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -112,7 +119,7 @@ object Bench {
       if (meterSec < 0) "unknown" else if (meterSec <= meterQuietMax) "quiet" else "loaded"
     System.err.println(f"[bench] noise meter $meterSec%.2fs -> $loadStamp (quiet <= $meterQuietMax%.2fs)")
     val meterJson =
-      f""""meter_sec":$meterSec%.2f,"meter_quiet_max":$meterQuietMax%.2f,"load_stamp":"$loadStamp""""
+      s""""meter_sec":${jnum(meterSec)},"meter_quiet_max":${jnum(meterQuietMax)},"load_stamp":"$loadStamp""""
     if (loadStamp == "loaded" && sys.env.get("SPARK_GRAFT_METER_REFUSE").exists(_ == "1")) {
       val refusal =
         s"""{"metric":"refused","value":-1,"unit":"sec",$meterJson,"sf":"$sfDir"}"""
@@ -287,7 +294,6 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    def jnum(v: Double): String = f"$v%.2f"
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
 

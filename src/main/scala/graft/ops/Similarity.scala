@@ -1147,12 +1147,21 @@ object Similarity {
       while (i < d) { s += v(i).toDouble * occMat(off + i); i += 1 }
       s = s + 0.0 // collapse -0.0 to 0.0, as the boxed comparator does
       val cid = occIds(c)
-      val worse = size == p &&
-        (s < topS(p - 1) || (s == topS(p - 1) && cid > topIds(p - 1)))
+      // total ordering on the NEGATED key, exactly the boxed sortBy's
+      // (-(d+0.0), i) tuple order: primitive <,== are false for NaN, which
+      // let a NaN-scored cell overwrite the last slot instead of ranking
+      // LAST as the boxed total order does (round-14 ADVICE — reachable
+      // with NaN/Inf embeddings); Double.compare(-NaN, x) > 0 ranks it last
+      val worse = size == p && {
+        val cmp = java.lang.Double.compare(-s, -topS(p - 1))
+        cmp > 0 || (cmp == 0 && cid > topIds(p - 1))
+      }
       if (!worse) {
         var pos = if (size < p) size else p - 1
-        while (pos > 0 && (topS(pos - 1) < s ||
-               (topS(pos - 1) == s && topIds(pos - 1) > cid))) {
+        while (pos > 0 && {
+               val cmp = java.lang.Double.compare(-topS(pos - 1), -s)
+               cmp > 0 || (cmp == 0 && topIds(pos - 1) > cid)
+             }) {
           topS(pos) = topS(pos - 1)
           topIds(pos) = topIds(pos - 1)
           pos -= 1
@@ -1211,6 +1220,15 @@ object Similarity {
     def unpersist(): Unit = blocks.unpersist(blocking = false): Unit
     /** Persisted-RDD id, for harness pin lists. */
     def rddId: Int = blocks.id
+    /** MEASURED executor-storage footprint of the persisted blocks
+      * (memory + disk tiers; 0 until [[materialize]]d, 0 again after
+      * [[unpersist]]). The a-priori formula for capacity planning:
+      * data ≈ n·(8 id + 4·d matrix + 8 norm) bytes — 10⁸ items at d=10
+      * ≈ 5.6 GB raw, ~8 GB as deserialized JVM arrays — held for the
+      * life of the serving session (round-14 verdict #7).
+      */
+    def storageBytes: Long = blocks.sparkContext.getRDDStorageInfo
+      .filter(_.id == blocks.id).map(i => i.memSize + i.diskSize).sum
     /** Eagerly materializes the blocks (index CONSTRUCTION cost). */
     def materialize(): CellIndex = { blocks.count(): Unit; this }
   }
@@ -1331,9 +1349,19 @@ object Similarity {
     require(k > 0)
     val spark = corpus.sparkSession
     val sc = spark.sparkContext
+    // When `prebuilt` is supplied, BOTH `corpus` and `cells` parameters are
+    // ignored in favor of the index's own state — so validate they name the
+    // same space: augmentBound plus codebook value-equality (round-14
+    // ADVICE — a prebuilt index from a different codebook would silently
+    // serve the wrong space). Corpus identity is uncheckable cheaply; the
+    // CellIndex caches (GraftALSModel.servingCellIndexes) key by
+    // (space, cells, seed) over immutable factors, which pins it there.
     prebuilt.foreach { idx =>
       require(idx.augmentBound == augmentBound,
         "prebuilt CellIndex was built for a different space (augmentBound mismatch)")
+      require((idx.cells eq cells) || (idx.cells.length == cells.length &&
+        idx.cells.indices.forall(i => java.util.Arrays.equals(idx.cells(i), cells(i)))),
+        "prebuilt CellIndex was built under a different codebook")
     }
     val idx = prebuilt.getOrElse(buildCellIndex(corpus, cells, augmentBound))
     val cellBlocks = idx.blocks

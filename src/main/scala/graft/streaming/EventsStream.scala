@@ -553,7 +553,12 @@ object EventsStream {
     * the source of truth, so distrust degrades to correctness at
     * O(buckets) LIST cost, never to a wrong read (round-13 ADVICE #2).
     */
-  private[graft] def readManifest(indexDir: String): Option[Map[Int, Seq[String]]] = {
+  private[graft] def readManifest(indexDir: String): Option[Map[Int, Seq[String]]] =
+    readManifestAttempt(indexDir, retryOnVanishedLog = true)
+
+  private def readManifestAttempt(
+      indexDir: String,
+      retryOnVanishedLog: Boolean): Option[Map[Int, Seq[String]]] = {
     val f = new java.io.File(indexDir, ManifestName)
     if (!f.isFile) return None
     def distrust(msg: String): Option[Map[Int, Seq[String]]] = {
@@ -581,8 +586,20 @@ object EventsStream {
     if (logF.isFile) {
       // raw bytes, NOT readMeta: trim would eat the final newline and make
       // the last fully-committed record look like a torn tail
-      val logRaw = new String(
-        java.nio.file.Files.readAllBytes(logF.toPath), "UTF-8")
+      val logRaw = try {
+        new String(java.nio.file.Files.readAllBytes(logF.toPath), "UTF-8")
+      } catch {
+        // TOCTOU with a concurrent fold (round-14 ADVICE, medium): between
+        // the isFile check and the read, writeManifest can delete the log.
+        // Re-read once — the fold has by then published the epoch+1
+        // snapshot, so the retry sees the folded state; if the log vanishes
+        // AGAIN, the snapshot-only view is the documented conservatively-
+        // stale read, never a crash.
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          if (retryOnVanishedLog)
+            return readManifestAttempt(indexDir, retryOnVanishedLog = false)
+          else ""
+      }
       // a crash mid-append tears only the TAIL: everything before the last
       // newline is a fully-written record; an unterminated tail is an
       // uncommitted record (conservatively stale, per the class contract)
@@ -1112,6 +1129,13 @@ object EventsStream {
       s"rebucket swap-in failed: $next -> $indexDir")
     deleteRecursively(old)
     deleteRecursively(scratch)
+    // Evict writer manifest state (round-14 ADVICE): refreshManifest above
+    // registered an entry under the SCRATCH path that the rename just moved
+    // away, and any pre-swap entry for indexDir now mirrors the replaced
+    // layout — both would otherwise live in the JVM-global map forever
+    // (correct only because writers re-run sweepStaleCommits at start).
+    manifestStates.remove(next.getAbsolutePath): Unit
+    manifestStates.remove(new java.io.File(indexDir).getAbsolutePath): Unit
   }
 
   /** Deletes `graft_stream_<pid>_*` scratch dirs left by DEAD processes:

@@ -134,6 +134,30 @@ class GraftALSServingSpec extends AnyFunSuite with SparkFixture {
     assert(shards.reduce(_ ++ _) == full)
   }
 
+  test("serving CellIndex footprint is measurable and unpersist frees the storage") {
+    val dim = 6
+    val factors = syntheticFactors(n = 300, dim = dim, seed = 23L)
+    val model = GraftALSModel(rank = dim, userFactors = factors, itemFactors = factors)
+    val sc = spark.sparkContext
+    // build + materialize both serving spaces (cosine and MIPS)
+    model.servingItemCellIndex().materialize()
+    model.servingMipsCellIndex().materialize()
+    val ids = model.servingIndexRddIds
+    assert(ids.size == 2)
+    ids.foreach(id => assert(sc.getPersistentRDDs.contains(id),
+      s"serving index RDD $id not registered as persistent"))
+    // the memory contract: the measured footprint is visible and at least
+    // the raw data size n*(8 id + 4*d matrix + 8 norm) for the cosine space
+    val bytes = model.servingIndexBytes
+    assert(bytes >= 300L * (8 + 4 * dim + 8),
+      s"servingIndexBytes $bytes below the raw-data floor")
+    // unpersist must actually free the executor storage, not just drop refs
+    model.unpersist()
+    ids.foreach(id => assert(!sc.getPersistentRDDs.contains(id),
+      s"serving index RDD $id still persistent after model.unpersist()"))
+    assert(model.servingIndexBytes == 0L)
+  }
+
   test("auto IVF sizing scales cells as sqrt(n) and respects explicit overrides") {
     val dim = 4
     val factors = syntheticFactors(n = 300, dim = dim, seed = 31L)

@@ -267,6 +267,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(Similarity.probeCellsPrim(z, occZ.map(_._1).toArray,
       occZ.flatMap(_._2).toArray, 2).toSeq ==
       Similarity.probeCellsSubset(z, occZ, 2))
+    // NaN/Inf scores (round-14 ADVICE): primitive <,== are false for NaN,
+    // which let a NaN-scored cell OVERWRITE the last slot; the boxed total
+    // ordering ranks NaN last. Mix NaN, ±Inf and real centroids at every
+    // nProbe so both the include-to-fill and the evict paths are hit.
+    val occNaN: Seq[(Int, Array[Float])] = Seq(
+      (0, Array(Float.NaN, 1f)),           // NaN score
+      (2, Array(1f, 0f)),                  // real score
+      (4, Array(Float.PositiveInfinity, 0f)), // +Inf score
+      (6, Array(Float.NegativeInfinity, 0f)), // -Inf score
+      (8, Array(Float.NaN, Float.NaN)),    // NaN score, ties cell 0 -> id asc
+      (9, Array(-2f, 1f)))                 // real negative score
+    val qNaN = Array(1f, 1f)
+    for (nProbe <- 1 to occNaN.size) {
+      val boxed = Similarity.probeCellsSubset(qNaN, occNaN, nProbe)
+      val prim = Similarity.probeCellsPrim(qNaN, occNaN.map(_._1).toArray,
+        occNaN.flatMap(_._2).toArray, nProbe).toSeq
+      assert(prim == boxed, s"nProbe $nProbe: prim $prim != boxed $boxed")
+    }
   }
 
   test("PCA orders variance and preserves geometry at full rank") {
