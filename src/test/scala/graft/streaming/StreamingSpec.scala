@@ -613,6 +613,80 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     EventsStream.deleteRecursively(new java.io.File(root))
   }
 
+  test("concurrent manifest readers across fold boundaries: no crash, committed states only") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fsic").toString
+    val (src, idx, ck) = (s"$root/src", s"$root/idx", s"$root/ck")
+    def stream = spark.readStream
+      .schema("k STRING, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+      .select(col("k").as("content_hash"), col("event_id"))
+    // 24 one-file micro-batches with a fold every 2 appended records: the
+    // stream crosses MANY fold boundaries (snapshot rewrite + log delete)
+    // while reader threads hammer readManifest nonstop — the fold-delete
+    // TOCTOU window (round-14 ADVICE, medium) and the epoch-skip path
+    // under real concurrency, not hand-staged file states.
+    (0 until 24).foreach { i =>
+      Seq((s"k$i", i.toLong)).toDF("k", "event_id")
+        .coalesce(1).write.parquet(s"$src/f$i")
+    }
+    EventsStream.manifestFoldAppendsOverride = Some(2)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val someReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val noneReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val badStates = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (0 until 4).map { _ =>
+      val t = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            EventsStream.readManifest(idx) match {
+              case Some(m) =>
+                someReads.incrementAndGet(): Unit
+                // committed-state shape: every bucket maps to a non-empty
+                // list of recognized generation names (readers must never
+                // surface a half-applied record or a vanished-log crash)
+                m.foreach { case (b, gens) =>
+                  if (gens.isEmpty || !gens.forall(g =>
+                      g.startsWith("base-") || g.startsWith("delta-")))
+                    badStates.add(s"bucket $b -> $gens"): Unit
+                }
+              case None => noneReads.incrementAndGet(): Unit
+            }
+          } catch { case e: Throwable => errors.add(e): Unit }
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try EventsStream.firstSeenIndex(stream, idx, ck, numBuckets = 4)
+    finally {
+      stop.set(true)
+      readers.foreach(_.join(5000))
+      EventsStream.manifestFoldAppendsOverride = None
+    }
+    assert(errors.isEmpty, s"concurrent reader crashed: ${errors.peek()}")
+    assert(someReads.get() > 0, "no successful concurrent reads — race not exercised")
+    assert(badStates.isEmpty, s"uncommitted manifest state observed: ${badStates.peek()}")
+    // after the run the manifest read equals directory truth and the data
+    // answer is complete — concurrency left no lasting damage
+    val mfFinal = EventsStream.readManifest(idx).get
+      .map { case (b, g) => b -> g.toSet }
+    val dirFinal = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map { bd =>
+        bd.getName.stripPrefix("bucket=").toInt ->
+          bd.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      }.toMap
+    assert(mfFinal == dirFinal, s"manifest $mfFinal != dirs $dirFinal")
+    val got = EventsStream.latestIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 24).map(i => s"k$i" -> i.toLong).toMap)
+    EventsStream.deleteRecursively(new java.io.File(root))
+  }
+
   test("manifest log: O(touched) appends, epoch-safe folds, torn/garbage tails") {
     val spark2 = spark
     import spark2.implicits._
