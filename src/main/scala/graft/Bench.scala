@@ -297,13 +297,33 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
 
+    // END-of-run meter (round 15): the r15 ×10 regeneration showed an
+    // external load window arriving AFTER the start-of-run sample — every
+    // row inflated 1.2-1.8× under a "quiet" stamp. The suite is long; one
+    // sample at t=0 cannot certify it. Meter again now: the artifact
+    // stamp is quiet only if BOTH samples are quiet, and refusal mode
+    // re-checks at the end (the artifact is still written, labeled, so a
+    // retry loop reruns instead of keeping a polluted quiet-looking file).
+    val meterEndSec = {
+      try { val runs = Seq.fill(3)(meterOnce()).sorted; runs(1) }
+      catch { case _: Throwable => -1.0 }
+    }
+    val loadStampBoth =
+      if (meterSec < 0 || meterEndSec < 0) "unknown"
+      else if (meterSec <= meterQuietMax && meterEndSec <= meterQuietMax) "quiet"
+      else "loaded"
+    System.err.println(f"[bench] end meter $meterEndSec%.2fs -> combined stamp $loadStampBoth")
+    val meterJsonFinal =
+      s""""meter_sec":${jnum(meterSec)},"meter_end_sec":${jnum(meterEndSec)},""" +
+      s""""meter_quiet_max":${jnum(meterQuietMax)},"load_stamp":"$loadStampBoth""""
+
     // Full-precision record → file (the driver/judge only sees the LAST
     // ~2000 chars of stdout, so the complete map lives here, committed).
     // SPARK_GRAFT_BENCH_OUT redirects it — a scale-tier run must not
     // clobber the committed sf0.1 artifact the docs cite.
     val fullQs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec",$meterJson,"queries":$fullQs,"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$meterJsonFinal,"queries":$fullQs,"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
@@ -320,7 +340,7 @@ object Bench {
       "als_train_graft", "als_train_mllib",
       "als_transform_graft", "als_transform_mllib").filter(timings.contains)
     val rest = timings.toSeq.filterNot { case (k, _) => headline.contains(k) }.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$meterJson,"queries":{"""
+    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$meterJsonFinal,"queries":{"""
     val suffix = s"""},"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = prefix.length + suffix.length + 60 // reserve room for "_rest"
@@ -335,5 +355,8 @@ object Bench {
     println(prefix + entries.mkString(",") + suffix)
     diagOut.foreach(_.close())
     spark.stop()
+    if (loadStampBoth != "quiet" &&
+        sys.env.get("SPARK_GRAFT_METER_REFUSE").exists(_ == "1"))
+      sys.exit(3) // artifact written + labeled; retry loops rerun it
   }
 }
