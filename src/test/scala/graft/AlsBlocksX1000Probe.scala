@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** THROWAWAY probe (test scope): trains blocked ALS on the ×1000 tier
+  * (599M ratings) in one JVM, chasing the single-box walls one at a time
+  * — results in `bench_artifacts/scale_probe_x1000_r15.json` and SCALING
+  * §12.7. Walls found: (1) the blockify aggregateByKey holds O(ratings/
+  * input-splits) of mutable tile-builder state per map task (growing
+  * ArrayBuilders defeat spill size-estimation) — fixed by volume-scaled
+  * input splits, which real file layouts provide for free; (2) the
+  * in-block builders are unmanaged task-heap, so concurrency must match
+  * GB/core (local[8] at 24g ≈ a cluster-typical 3 GB/core passes where
+  * local[32] OOMs); (3) scratch DISK: the tile + two in-block shuffles
+  * and the MEMORY_AND_DISK persists are each linear in ratings (~50-60 GB
+  * at ×1000) — binding on this host, trivially provisioned per-node on a
+  * cluster.
+  *
+  * Run: runMain graft.AlsBlocksX1000Probe <sfDir> [blocks] [inputParts]
+  *   [ratingsParquetPath]   (with -Xmx24g and SPARK_GRAFT_CPUS=8)
+  */
+object AlsBlocksX1000Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/graft_scale_full_x1000")
+    val blocks = args.lift(1).map(_.toInt).getOrElse(64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val inputParts = args.lift(2).map(_.toInt).getOrElse(256)
+    val t0 = System.nanoTime()
+    // Input splits must scale with volume: the sfDir derivation emits
+    // spark.sql.shuffle.partitions (32) partitions, so at ×1000 each map
+    // task of the blockify aggregateByKey holds ~19M ratings of mutable
+    // tile-builder state — combiner spill can't save it (growing
+    // ArrayBuilders defeat size estimation) and the probe OOMed exactly
+    // there. On a real cluster 600M rows arrive in thousands of file
+    // splits; repartition reproduces that.
+    // Parquet roundtrip, not a cached DataFrame: each ACTION over the
+    // derived frame recompiles to fresh RDDs, so count + fit + transform
+    // would re-run the 600M-row join (and leave each run's shuffle files
+    // on local disk for the app's lifetime — the first attempt filled the
+    // volume exactly that way). A real pipeline trains from a materialized
+    // ratings table too.
+    val ratingsPath = args.lift(3).getOrElse(
+      s"/tmp/graft_x1000_ratings_${ProcessHandle.current().pid()}")
+    if (!new java.io.File(ratingsPath, "_SUCCESS").isFile) {
+      graft.queries.Queries.ratingsDF(spark, sfDir)
+        .repartition(inputParts)
+        .write.mode("overwrite").parquet(ratingsPath)
+      // drop the derivation's shuffle files NOW (ContextCleaner is
+      // GC-driven; at x1000 they are ~34 GB of scratch the training needs)
+      System.gc()
+      Thread.sleep(3000)
+    }
+    val ratings = spark.read.parquet(ratingsPath)
+    val n = ratings.count()
+    val tDerive = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] ratings derived: $n rows in $tDerive%.1f s ($inputParts input parts)")
+
+    val t1 = System.nanoTime()
+    val model = graft.als.GraftALS(
+      rank = 8, maxIter = 5, regParam = 0.1,
+      numUserBlocks = blocks, numItemBlocks = blocks,
+      userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+      seed = 7L).fit(ratings)
+    model.userFactors.write.format("noop").mode("overwrite").save()
+    val tTrain = (System.nanoTime() - t1) / 1e9
+    val users = model.userFactors.count()
+    val items = model.itemFactors.count()
+    println(f"[probe] x1000 train blocks=$blocks: $tTrain%.1f s " +
+      s"($n ratings, $users users, $items items)")
+
+    val t2 = System.nanoTime()
+    model.transform(ratings).write.format("noop").mode("overwrite").save()
+    val tTransform = (System.nanoTime() - t2) / 1e9
+    println(f"[probe] x1000 transform: $tTransform%.1f s")
+    model.unpersist()
+    if (args.lift(3).isEmpty)
+      graft.streaming.EventsStream.deleteRecursively(new java.io.File(ratingsPath))
+    spark.stop()
+  }
+}
