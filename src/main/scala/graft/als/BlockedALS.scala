@@ -221,9 +221,23 @@ object BlockedALS {
         } else Iterator.empty
       }
       spilled ++ tail
-    }.aggregateByKey(new RatingBlockBuilder, numPartitions = gridSize)(
-      seqOp = (builder, block) => builder.merge(block),
-      combOp = (b1, b2) => b1.merge(b2.build())
+    }.combineByKeyWithClassTag[RatingBlockBuilder](
+      createCombiner = (block: RatingBlock) => new RatingBlockBuilder().merge(block),
+      mergeValue = (builder, block) => builder.merge(block),
+      mergeCombiners = (b1, b2) => b1.merge(b2.build()),
+      partitioner = new HashPartitioner(gridSize),
+      // NO map-side combine (deliberate divergence from the reference's
+      // aggregateByKey, `ALS.py:260-263`, and from MLlib): tile merging is
+      // pure CONCATENATION, so combining before the shuffle saves zero
+      // bytes (same total entries, only fewer record headers) while
+      // holding O(rows-per-input-partition) of mutable builder state on
+      // the map side — growing ArrayBuilders that defeat the spill
+      // estimator. The ×1000 probe OOMed exactly there with coarse input
+      // splits (SCALING §12.7 wall #1). Without it, map memory is truly
+      // bounded by the 2048-entry spill threshold per in-flight tile and
+      // the ≤2048-entry partials stream straight to the reduce side,
+      // where one task merges one tile — O(tile), inherent to the format.
+      mapSideCombine = false
     ).mapValues(_.build())
   }
 
