@@ -165,21 +165,18 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact shingle-set Jaccard; the shingle-set
-    // frame feeds BOTH sides of the verify join — persisted so the (HOF)
-    // shingle computation runs once, not once per join side
-    val verified = candidates
-      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-    // materialize the (small: true near-dups only) result eagerly so the
-    // banded/shingle caches can be freed here instead of leaking for the
-    // session lifetime; callers may unpersist the returned frame when done
-    verified.persist().count()
+    // verify candidates with exact shingle-set Jaccard over hashed
+    // postings restricted to candidate docs ([[verifyJaccardHashed]]):
+    // the alternative — joining candidates to the (id, ARRAY<STRING>)
+    // frame on both sides — shuffles the widest table in the pipeline
+    // twice and was the measured scale wall of the dedup tiers
+    val verified = verifyJaccardHashed(
+      shingled.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .select(col("id"), col("n"), xxhash64(col("s")).as("h")),
+      candidates, threshold)
+    // the helper returns the result materialized, so the banded/shingle
+    // caches free here instead of leaking for the session lifetime;
+    // callers may unpersist the returned frame when done
     banded.unpersist(blocking = false)
     // a caller-provided shingle frame is the caller's to release
     if (preShingled.isEmpty) shingled.unpersist(blocking = false)
@@ -284,6 +281,17 @@ object Dedup {
     * degenerates to all-pairs), self-join the remaining postings, then
     * verify candidates with EXACT Jaccard over the full shingle sets.
     *
+    * Scale shape (the ×1000 probe autopsy, SCALING §13): df=1 shingles —
+    * the overwhelming majority of postings on any high-entropy corpus —
+    * can never form a pair, so the active-shingle filter is
+    * `df BETWEEN 2 AND cap`, which collapses the posting self-join input
+    * ~25× before it is built. The inverted index is repartitioned by
+    * shingle hash ONCE and that exchange is reused by the df aggregate,
+    * the active-shingle semi-join, and both sides of the posting
+    * self-join — one wide shuffle total. Verification runs on hashed
+    * postings restricted to candidate docs ([[verifyJaccardHashed]]); the
+    * (id, ARRAY<STRING> shingles) frame is never materialized or cached.
+    *
     * Recall note: a pair sharing only stop-shingles is missed — at any
     * reasonable cap such pairs are far below near-dup thresholds anyway.
     *
@@ -305,47 +313,178 @@ object Dedup {
       minSharedShingles: Int = 2,
       idAPredicate: Option[Column => Column] = None,
       preShingled: Option[DataFrame] = None): DataFrame = {
-    // persisted: feeds the inverted index AND both sides of the verify
-    // join — without the cache the (HOF) shingle computation runs 3×.
-    // A meter composing this with the LSH tier shares ONE shingle frame.
-    val sh = preShingled.getOrElse(
-      shingleFrame(documents, textCol, idCol, shingleSize).persist())
-    val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_hash"))
-    // document-frequency cap: keep only discriminative shingles
-    val rare = inverted
-      .groupBy("sh_hash")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFrequency)
-      .select("sh_hash")
-    val postings = inverted.join(rare, "sh_hash")
-    // candidate = pair sharing >= minSharedShingles discriminative shingles:
-    // a codegen'd count-aggregate prunes the long random-collision tail
-    // BEFORE the (expensive) exact array-intersection verify. The x side
-    // carries the pair's smaller id (the join enforces x.id < y.id), so an
-    // id_a sample predicate applies here and shrinks everything downstream.
-    val xPostings = idAPredicate.fold(postings)(p => postings.where(p(col("id"))))
-    val candidates = xPostings.as("x")
-      .join(postings.as("y"),
-        col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // (id, n, h): one row per DISTINCT shingle per doc, with the doc's
+    // distinct-shingle count carried from the scan so the verify stage
+    // needs no second per-doc aggregate. Persisted (compact fixed-width
+    // columnar, ~20 B/row) because the candidate aggregate and the verify
+    // restriction each scan it; spills cleanly at any corpus size.
+    val base = preShingled match {
+      case Some(sh) => sh
+      case None => shingleFrame(documents, textCol, idCol, shingleSize)
+    }
+    val inverted = base
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .select(col("id"), col("n"), xxhash64(col("s")).as("h"))
+      .persist()
+    // Pair-postings in ONE exchange + ONE sort: hash-partition by shingle,
+    // sort each partition by (h, id), then a streaming run-length pass
+    // emits, per shingle run of length 2..cap, the run's ordered id pairs
+    // (id_a < id_b by the sort). This replaces the df aggregate (a hash
+    // map over EVERY distinct shingle — hundreds of millions of
+    // near-unique keys that spill), the active-shingle join, and the
+    // posting self-join of the textbook formulation; df=1 shingles (the
+    // overwhelming majority on a high-entropy corpus) stream through
+    // without emitting anything. Task memory is bounded by cap+1 buffered
+    // ids REGARDLESS of a stop-shingle's true df — runs past the cap are
+    // drained, not buffered. mapPartitions is justified: no built-in
+    // expresses bounded-state run-length emission (collect_list is
+    // unbounded; a window pass buffers whole groups and evaluates cap
+    // lead columns per posting).
+    val spark0 = inverted.sparkSession
+    import spark0.implicits._
+    val cap = maxDocFrequency
+    // Materializing the postings cache with a count FIRST serves two
+    // purposes: the shingle scan runs exactly once (uncounted, AQE's
+    // concurrently-materialized subtrees race the lazy cache and
+    // recompute it), and the count sizes the pair-emission exchange so
+    // each task's posting slice sorts inside execution memory — at the
+    // session default width a 10×-tier slice spilled ~5 GB per run
+    // (measured); ~4M postings/task ≈ 128 MB of sort rows does not.
+    val nPostings = inverted.count()
+    val parts = math.max(
+      spark0.conf.get("spark.sql.shuffle.partitions").toInt,
+      ((nPostings + 3999999L) / 4000000L).toInt)
+    // single-column sort: one sort key keeps Spark's radix sort eligible
+    // (a second key forces comparison-based sorting); ids are ordered
+    // per-run in the bounded buffer instead, at ≤ cap+1 elements
+    val pairPostings = inverted.select(col("h"), col("id"))
+      .repartition(parts, col("h"))
+      .sortWithinPartitions("h")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          // current run: first cap+1 ids (a longer run is a stop-shingle
+          // and emits nothing, so ids past cap are counted, not stored)
+          private val run = new Array[Long](cap + 1)
+          private var runH = 0L
+          private var runLen = 0
+          private var started = false
+          // completed run being emitted (a copy, so the next run can
+          // start filling `run` while its predecessor's pairs drain)
+          private var emit: Array[Long] = null
+          private var i = 0
+          private var j = 1
+          private def finishRun(): Unit =
+            if (started && runLen >= 2 && runLen <= cap) {
+              emit = java.util.Arrays.copyOf(run, runLen)
+              java.util.Arrays.sort(emit) // id_a < id_b within the run
+              i = 0; j = 1
+            }
+          private def fill(): Unit = {
+            while (emit == null && it.hasNext) {
+              val (h, id) = it.next()
+              if (!started) { started = true; runH = h; run(0) = id; runLen = 1 }
+              else if (h == runH) {
+                if (runLen <= cap) run(runLen) = id
+                runLen += 1
+              } else {
+                finishRun()
+                runH = h; run(0) = id; runLen = 1
+              }
+            }
+            if (emit == null && !it.hasNext && started) { finishRun(); started = false }
+          }
+          def hasNext: Boolean = { if (emit == null) fill(); emit != null }
+          def next(): (Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            val pair = (emit(i), emit(j))
+            j += 1
+            if (j >= emit.length) { i += 1; j = i + 1 }
+            if (i >= emit.length - 1) emit = null
+            pair
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
+      // strict < mirrors the classic self-join's x.id < y.id: a 64-bit
+      // hash collision INSIDE one document would otherwise emit (id, id)
+      .where(col("id_a") < col("id_b"))
+    // candidate = pair sharing >= minSharedShingles active shingles: a
+    // codegen'd count-aggregate prunes the random-collision tail BEFORE
+    // the Jaccard verify. id_a is always the pair's smaller id, so an
+    // id_a sample predicate applies here and shrinks everything
+    // downstream (the emission itself is already O(active postings)).
+    val xPostings = idAPredicate.fold(pairPostings)(p => pairPostings.where(p(col("id_a"))))
+    val candidates = xPostings
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_rare"))
       .where(col("shared_rare") >= minSharedShingles)
       .select("id_a", "id_b")
     // verify with exact Jaccard over the FULL shingle sets (the df cap only
-    // gates candidate generation, never the similarity value)
+    // gates candidate generation, never the similarity value); the helper
+    // returns the result materialized, so the postings cache frees here —
+    // same no-session-leak contract as minhashNearDups
+    val verified = verifyJaccardHashed(inverted, candidates, threshold)
+    inverted.unpersist(blocking = false)
+    verified
+  }
+
+  /** Exact Jaccard verification of candidate pairs over hashed postings —
+    * the verify stage [[ngramJaccardPairs]] and [[minhashNearDups]] share.
+    *
+    * `inverted` is (id, n, h): one row per distinct shingle per document,
+    * `n` the document's distinct-shingle count, `h` the 64-bit shingle
+    * hash. |A∩B| is a count of shared hashes and |A∪B| = n_a + n_b −
+    * |A∩B|, so the Jaccard value is the exact shingle-set Jaccard (the
+    * integer counts, hence the IEEE division, are identical to the
+    * string-array form absent a 64-bit collision INSIDE one candidate
+    * pair's shingle sets — the same ~2⁻⁶⁴ acceptance candidate generation
+    * already makes by bucketing on the hash).
+    *
+    * Scale shape: the full posting list is first restricted to candidate
+    * documents (AQE broadcasts the candidate-id set when small; a shuffled
+    * semi-join otherwise) — the ONLY full-width pass. Every join after
+    * that moves O(candidates × shingles-per-doc) rows, independent of
+    * corpus size, and no shingle STRING ever leaves the scan projection.
+    * Pairs whose sets share nothing (possible from LSH bucket collisions)
+    * keep jaccard = 0 via the left join, exactly like the array form.
+    */
+  private def verifyJaccardHashed(
+      inverted: DataFrame,
+      candidatesIn: DataFrame,
+      threshold: Double): DataFrame = {
+    // The candidate set and the restricted postings each feed THREE
+    // downstream subtrees; under AQE each un-cached occurrence re-executes
+    // its whole subtree (the exchanges differ by aliasing, so reuse never
+    // kicks in) — measured as a cascade of recomputed broadcast stages.
+    // Materialize each ONCE, eagerly; both are O(candidates)-small.
+    val candidates = candidatesIn.persist()
+    candidates.count()
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val invC = inverted.join(candIds, "id").persist()
+    invC.count()
+    val nDoc = invC.groupBy("id").agg(first(col("n")).as("n"))
+    val shared = candidates
+      .join(invC.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(invC.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
     val verified = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(nDoc.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(nDoc.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .join(shared, Seq("id_a", "id_b"), "left")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        coalesce(col("shared"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("shared"), lit(0L))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // eager-materialize the (small) verified pair set, then free the
-    // shingle cache — same no-session-leak contract as minhashNearDups
+    // materialize the (small: true near-dups only) result eagerly, then
+    // free the internals — callers may unpersist the returned frame
     verified.persist().count()
-    if (preShingled.isEmpty) sh.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
+    invC.unpersist(blocking = false)
     verified
   }
 

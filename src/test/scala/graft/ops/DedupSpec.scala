@@ -250,6 +250,60 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (big - 5L) -> (big - 6L), (big - 6L) -> (big - 6L)))
   }
 
+  test("ngram pairs equal a brute-force oracle on a randomized corpus") {
+    // Pins the sorted-run pair-emission kernel (hash-partition by shingle
+    // → single-column sort → bounded run-length emission) to the literal
+    // definition: pairs sharing >= minSharedShingles shingles whose
+    // document frequency is in [2, cap], verified with exact set Jaccard.
+    // The synthetic corpus mixes unique docs, near-dup chains, exact
+    // clones past the df cap (stop-shingles), and a sub-3-token doc.
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def text(n: Int) = (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val uniques = (0L until 40L).map(i => i -> text(6 + rng.nextInt(10)))
+    val nearDups = (0L until 8L).map { i =>
+      val (_, t) = uniques(i.toInt * 3)
+      (100L + i) -> (t + " tail" + i)
+    }
+    val clones = (0L until 9L).map(i => (200L + i) -> "alpha beta gamma delta epsilon zeta")
+    val tiny = Seq(300L -> "just two")
+    val corpus = uniques ++ nearDups ++ clones ++ tiny
+    val cap = 6
+    val minShared = 2
+    val threshold = 0.1
+
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ").toSeq
+      if (toks.size < 3) Set(t) else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val active = df.collect { case (s, d) if d >= 2 && d <= cap => s }.toSet
+    val ids = corpus.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (sets(a) intersect sets(b)) intersect active
+      if shared.size >= minShared
+      jac = (sets(a) intersect sets(b)).size.toDouble / (sets(a) union sets(b)).size
+      if jac >= threshold
+    } yield (a, b, jac)).toSet
+
+    val got = Dedup.ngramJaccardPairs(docsDF(corpus), threshold = threshold,
+        maxDocFrequency = cap, minSharedShingles = minShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)),
+      s"pair sets differ: extra=${got.map(p => (p._1, p._2)) -- expected.map(p => (p._1, p._2))} " +
+        s"missing=${expected.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))}")
+    val gotJ = got.map(p => (p._1, p._2) -> p._3).toMap
+    expected.foreach { case (a, b, j) =>
+      assert(math.abs(gotJ((a, b)) - j) < 1e-12, s"jaccard mismatch for ($a,$b)")
+    }
+    // the clone block (9 identical docs) exceeds the df cap on every one
+    // of its shingles, so no clone pair may appear
+    assert(got.forall { case (a, b, _) => !(a >= 200L && a < 209L && b >= 200L && b < 209L) })
+    assert(expected.nonEmpty, "oracle must exercise real pairs")
+  }
+
   test("ngram pair sampling equals the unsampled listing filtered on id_a") {
     // the predicate is pushed into candidate generation for cost, so pin
     // that it changes WHICH pairs are listed, never their similarity
