@@ -281,7 +281,7 @@ object Dedup {
     * degenerates to all-pairs), self-join the remaining postings, then
     * verify candidates with EXACT Jaccard over the full shingle sets.
     *
-    * Scale shape (the ×1000 probe autopsy, SCALING §13): df=1 shingles —
+    * Scale shape (the ×1000 probe autopsy, SCALING §12.9): df=1 shingles —
     * the overwhelming majority of postings on any high-entropy corpus —
     * can never form a pair, so the active-shingle filter is
     * `df BETWEEN 2 AND cap`, which collapses the posting self-join input
