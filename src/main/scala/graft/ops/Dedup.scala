@@ -119,7 +119,8 @@ object Dedup {
       threshold: Double = 0.7,
       family: MinhashFamily = XxHash64Minhash,
       idAPredicate: Option[Column => Column] = None,
-      preShingled: Option[DataFrame] = None): DataFrame = {
+      preShingled: Option[DataFrame] = None,
+      kernelMinBytes: Long = KernelMinBytes): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
 
@@ -165,18 +166,32 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact shingle-set Jaccard over hashed
-    // postings restricted to candidate docs ([[verifyJaccardHashed]]):
-    // the alternative — joining candidates to the (id, ARRAY<STRING>)
-    // frame on both sides — shuffles the widest table in the pipeline
-    // twice and was the measured scale wall of the dedup tiers
-    val verified = verifyJaccardHashed(
-      shingled.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-        .select(col("id"), col("n"), xxhash64(col("s")).as("h")),
-      candidates, threshold)
-    // the helper returns the result materialized, so the banded/shingle
-    // caches free here instead of leaking for the session lifetime;
-    // callers may unpersist the returned frame when done
+    // verify candidates with exact shingle-set Jaccard. Same input-size
+    // pivot as ngramJaccardPairs: below the pivot, the one-action
+    // string-array join (the cached shingle frame is tiny and per-action
+    // overhead dominates); above it, hashed postings restricted to
+    // candidate docs ([[verifyJaccardHashed]]) — joining candidates to
+    // the (id, ARRAY<STRING>) frame on both sides shuffles the widest
+    // table in the pipeline twice and was the measured scale wall.
+    val verified =
+      if (planBytes(preShingled.getOrElse(documents)) < BigInt(kernelMinBytes)) {
+        val v = candidates
+          .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+        v.persist().count()
+        v
+      } else verifyJaccardHashed(
+        shingled.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+          .select(col("id"), col("n"), xxhash64(col("s")).as("h")),
+        candidates, threshold)
+    // verified is materialized, so the banded/shingle caches free here
+    // instead of leaking for the session lifetime; callers may unpersist
+    // the returned frame when done
     banded.unpersist(blocking = false)
     // a caller-provided shingle frame is the caller's to release
     if (preShingled.isEmpty) shingled.unpersist(blocking = false)
@@ -281,16 +296,28 @@ object Dedup {
     * degenerates to all-pairs), self-join the remaining postings, then
     * verify candidates with EXACT Jaccard over the full shingle sets.
     *
-    * Scale shape (the ×1000 probe autopsy, SCALING §12.9): df=1 shingles —
-    * the overwhelming majority of postings on any high-entropy corpus —
-    * can never form a pair, so the active-shingle filter is
-    * `df BETWEEN 2 AND cap`, which collapses the posting self-join input
-    * ~25× before it is built. The inverted index is repartitioned by
-    * shingle hash ONCE and that exchange is reused by the df aggregate,
-    * the active-shingle semi-join, and both sides of the posting
-    * self-join — one wide shuffle total. Verification runs on hashed
-    * postings restricted to candidate docs ([[verifyJaccardHashed]]); the
-    * (id, ARRAY<STRING> shingles) frame is never materialized or cached.
+    * Scale shape — TWO plans behind one contract, picked by input size
+    * (the ×1000 probe autopsy, SCALING §12.9):
+    *
+    * Below `kernelMinBytes` of source bytes (plan statistics, no job),
+    * the classic ONE-ACTION join plan runs: inverted index → df-capped
+    * active shingles → posting self-join → string-array Jaccard verify.
+    * At fixture scale the whole pipeline executes in one job and its
+    * cost is dominated by fixed per-action overhead, so fewer actions
+    * win; AQE broadcasts every small side.
+    *
+    * Above it, the SORTED-RUN KERNEL: df=1 shingles — the overwhelming
+    * majority of postings on any high-entropy corpus — can never form a
+    * pair, so pair-postings are emitted directly from one hash exchange
+    * by shingle hash (sized ~4M postings/task so the sort never spills)
+    * + one radix-eligible single-column sort + a bounded run-length
+    * pass; verification runs on hashed postings restricted to candidate
+    * docs ([[verifyJaccardHashed]]) and the (id, ARRAY<STRING>) shingle
+    * frame is never materialized or cached. Both plans produce the
+    * identical pair set and bit-identical jaccard doubles (spec-pinned
+    * against each other and a brute-force oracle); the gate exercises
+    * the join plan at sf fixtures and the `dedup_ngram_kernel` query
+    * pins the kernel against the same DuckDB oracle.
     *
     * Recall note: a pair sharing only stop-shingles is missed — at any
     * reasonable cap such pairs are far below near-dup thresholds anyway.
@@ -302,6 +329,8 @@ object Dedup {
     *   sample instead of filtering after the fact. Used by recall meters
     *   that estimate pair recall over a deterministic hash sample of
     *   anchor documents; similarity values are unaffected.
+    * @param kernelMinBytes input-size pivot to the sorted-run kernel;
+    *   0 forces the kernel, Long.MaxValue forces the join plan.
     */
   def ngramJaccardPairs(
       documents: DataFrame,
@@ -312,7 +341,93 @@ object Dedup {
       maxDocFrequency: Int = 100,
       minSharedShingles: Int = 2,
       idAPredicate: Option[Column => Column] = None,
-      preShingled: Option[DataFrame] = None): DataFrame = {
+      preShingled: Option[DataFrame] = None,
+      kernelMinBytes: Long = KernelMinBytes): DataFrame =
+    if (planBytes(preShingled.getOrElse(documents)) < BigInt(kernelMinBytes))
+      ngramJaccardPairsJoin(documents, textCol, idCol, shingleSize, threshold,
+        maxDocFrequency, minSharedShingles, idAPredicate, preShingled)
+    else
+      ngramJaccardPairsKernel(documents, textCol, idCol, shingleSize, threshold,
+        maxDocFrequency, minSharedShingles, idAPredicate, preShingled)
+
+  /** Input-size pivot between [[ngramJaccardPairsJoin]] (one action, AQE
+    * broadcasts, string-array verify — wins while fixed per-action cost
+    * dominates) and the sorted-run kernel (bounded state, no spill, no
+    * array cache — wins once data cost dominates). 32 MB of source text
+    * ≈ 10M postings, comfortably inside one task's sort budget either way;
+    * measured: the join plan reads 2.6 s at sf0.1 where the kernel's
+    * extra actions cost ~8 s, and the kernel reads 91 s at the ×1000 tier
+    * where the join plan reads 548 s and spills.
+    */
+  val KernelMinBytes: Long = 32L << 20
+
+  /** Source size from plan statistics — file bytes for a scan, row-count ×
+    * width for a local/cached relation; never runs a job. Unknown sizes
+    * surface as huge defaults, which safely select the kernel.
+    */
+  private def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** The one-action join plan (see [[ngramJaccardPairs]]). */
+  private def ngramJaccardPairsJoin(
+      documents: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      threshold: Double,
+      maxDocFrequency: Int,
+      minSharedShingles: Int,
+      idAPredicate: Option[Column => Column],
+      preShingled: Option[DataFrame]): DataFrame = {
+    // persisted: feeds the inverted index AND both sides of the verify
+    // join — without the cache the shingle computation runs 3×. A meter
+    // composing this with the LSH tier shares ONE shingle frame.
+    val sh = preShingled.getOrElse(
+      shingleFrame(documents, textCol, idCol, shingleSize).persist())
+    val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_hash"))
+    // active shingles: discriminative (df <= cap) AND pair-capable
+    // (df >= 2 — a shingle seen in one document cannot link a pair)
+    val active = inverted.groupBy("sh_hash").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFrequency)
+      .select("sh_hash")
+    val postings = inverted.join(active, "sh_hash")
+    val xPostings = idAPredicate.fold(postings)(p => postings.where(p(col("id"))))
+    val candidates = xPostings.as("x")
+      .join(postings.as("y"),
+        col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .where(col("shared_rare") >= minSharedShingles)
+      .select("id_a", "id_b")
+    // verify with exact Jaccard over the FULL shingle sets (the df cap only
+    // gates candidate generation, never the similarity value)
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    // eager-materialize the (small) verified pair set, then free the
+    // shingle cache — same no-session-leak contract as minhashNearDups
+    verified.persist().count()
+    if (preShingled.isEmpty) sh.unpersist(blocking = false)
+    verified
+  }
+
+  /** The sorted-run kernel (see [[ngramJaccardPairs]]). */
+  private def ngramJaccardPairsKernel(
+      documents: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      threshold: Double,
+      maxDocFrequency: Int,
+      minSharedShingles: Int,
+      idAPredicate: Option[Column => Column],
+      preShingled: Option[DataFrame]): DataFrame = {
     // (id, n, h): one row per DISTINCT shingle per doc, with the doc's
     // distinct-shingle count carried from the scan so the verify stage
     // needs no second per-doc aggregate. Persisted (compact fixed-width
@@ -457,9 +572,14 @@ object Dedup {
     // downstream subtrees; under AQE each un-cached occurrence re-executes
     // its whole subtree (the exchanges differ by aliasing, so reuse never
     // kicks in) — measured as a cascade of recomputed broadcast stages.
-    // Materialize each ONCE, eagerly; both are O(candidates)-small.
+    // Materialize each ONCE; both are O(candidates)-small. A single count
+    // on the restricted postings suffices as the barrier for BOTH caches:
+    // its broadcast subtree (candIds ← candidates) is the lone candidate
+    // consumer in that job, so the candidate cache populates race-free en
+    // route, and every later subtree reads both caches. (Each extra
+    // eager action costs a codegen compile + job round-trip — visible on
+    // small fixtures, so one barrier, not two.)
     val candidates = candidatesIn.persist()
-    candidates.count()
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
       .distinct()

@@ -2109,6 +2109,35 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The sorted-run pair-generation KERNEL (SCALING §12.9) forced at gate
+    * scale against the identical oracle as [[dedupNgramJaccard]]: the
+    * size-adaptive default gives sf fixtures the one-action join plan, so
+    * without this row the driver's hash gate would never execute the
+    * exchange→radix-sort→bounded-run-emission path that carries the
+    * ≥×100 tiers. Same pair set, bit-identical jaccard doubles.
+    */
+  val dedupNgramKernel: QueryDef = QueryDef.withOracle(
+    s"""WITH $duckShingleCtes,
+       |shd AS (SELECT id, list_distinct(list(s)) AS sh FROM sh0 GROUP BY id),
+       |inv AS (SELECT DISTINCT id, s FROM sh0),
+       |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 20),
+       |posts AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+       |  FROM cand c JOIN shd a ON a.id = c.id_a JOIN shd b ON b.id = c.id_b) z
+       |WHERE jaccard >= 0.05
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.05, maxDocFrequency = 20,
+        kernelMinBytes = 0L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** The hyperplane set dedup_embedding signs against (4 tables × 12
     * planes × 64 dims), dumped as scalar rows so the oracle can replay
     * signature computation. Grid-checked (the fixed 4×12×64 key grid —
@@ -4724,6 +4753,7 @@ object Queries {
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_ngram_kernel" -> dedupNgramKernel,
     "dedup_clusters" -> dedupClusters,
     "dedup_recall" -> dedupRecall,
     "decontaminate" -> decontaminate,

@@ -71,12 +71,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   test("minhash verified jaccard equals the exact shingle jaccard") {
     val nearDup = base.replace("lazy", "sleepy")
     val docs = docsDF(Seq(1L -> base, 2L -> nearDup))
-    val row = Dedup.minhashNearDups(docs, threshold = 0.1).collect().head
     // reference jaccard computed in plain Scala
     def sh(t: String): Set[Seq[String]] = t.split(" ").sliding(3).map(_.toSeq).toSet
     val a = sh(base); val b = sh(nearDup)
     val expected = a.intersect(b).size.toDouble / a.union(b).size
-    assert(math.abs(row.getAs[Double]("jaccard") - expected) < 1e-12)
+    // both verify plans (string-array join below the pivot, hashed
+    // restricted postings above it) must produce the bit-identical value
+    Seq(Long.MaxValue, 0L).foreach { pivot =>
+      val row = Dedup.minhashNearDups(docs, threshold = 0.1, kernelMinBytes = pivot)
+        .collect().head
+      assert(math.abs(row.getAs[Double]("jaccard") - expected) < 1e-12,
+        s"pivot=$pivot")
+    }
   }
 
   test("simhash: near-identical docs collide, unrelated docs do not") {
@@ -288,19 +294,31 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       if jac >= threshold
     } yield (a, b, jac)).toSet
 
-    val got = Dedup.ngramJaccardPairs(docsDF(corpus), threshold = threshold,
-        maxDocFrequency = cap, minSharedShingles = minShared)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)),
-      s"pair sets differ: extra=${got.map(p => (p._1, p._2)) -- expected.map(p => (p._1, p._2))} " +
-        s"missing=${expected.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))}")
-    val gotJ = got.map(p => (p._1, p._2) -> p._3).toMap
-    expected.foreach { case (a, b, j) =>
-      assert(math.abs(gotJ((a, b)) - j) < 1e-12, s"jaccard mismatch for ($a,$b)")
+    // BOTH plans — the sorted-run kernel (forced) and the one-action join
+    // plan (forced) — must equal the oracle and hence each other
+    val paths = Seq(
+      "kernel" -> 0L,
+      "join" -> Long.MaxValue)
+    val results = paths.map { case (label, pivot) =>
+      label -> Dedup.ngramJaccardPairs(docsDF(corpus), threshold = threshold,
+          maxDocFrequency = cap, minSharedShingles = minShared, kernelMinBytes = pivot)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     }
-    // the clone block (9 identical docs) exceeds the df cap on every one
-    // of its shingles, so no clone pair may appear
-    assert(got.forall { case (a, b, _) => !(a >= 200L && a < 209L && b >= 200L && b < 209L) })
+    results.foreach { case (label, got) =>
+      assert(got.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)),
+        s"[$label] pair sets differ: " +
+          s"extra=${got.map(p => (p._1, p._2)) -- expected.map(p => (p._1, p._2))} " +
+          s"missing=${expected.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))}")
+      val gotJ = got.map(p => (p._1, p._2) -> p._3).toMap
+      expected.foreach { case (a, b, j) =>
+        assert(math.abs(gotJ((a, b)) - j) < 1e-12, s"[$label] jaccard mismatch for ($a,$b)")
+      }
+      // the clone block (9 identical docs) exceeds the df cap on every one
+      // of its shingles, so no clone pair may appear
+      assert(got.forall { case (a, b, _) => !(a >= 200L && a < 209L && b >= 200L && b < 209L) })
+    }
+    // bit-identical doubles across plans, not just 1e-12-close
+    assert(results(0)._2 == results(1)._2, "kernel and join plans must agree bit-for-bit")
     assert(expected.nonEmpty, "oracle must exercise real pairs")
   }
 
