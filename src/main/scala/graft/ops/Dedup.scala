@@ -572,14 +572,17 @@ object Dedup {
     // downstream subtrees; under AQE each un-cached occurrence re-executes
     // its whole subtree (the exchanges differ by aliasing, so reuse never
     // kicks in) — measured as a cascade of recomputed broadcast stages.
-    // Materialize each ONCE; both are O(candidates)-small. A single count
-    // on the restricted postings suffices as the barrier for BOTH caches:
-    // its broadcast subtree (candIds ← candidates) is the lone candidate
-    // consumer in that job, so the candidate cache populates race-free en
-    // route, and every later subtree reads both caches. (Each extra
-    // eager action costs a codegen compile + job round-trip — visible on
-    // small fixtures, so one barrier, not two.)
+    // Materialize each ONCE; both are O(candidates)-small. The candidate
+    // count is NOT just a race barrier — it is what gives the planner
+    // accurate stats for the restriction join: with the cache
+    // unmaterialized, candIds' size is unknown (the run-length pass is an
+    // opaque RDD), the join plans as SMJ, and the FULL posting set
+    // shuffles (measured: 3.3 GB re-shuffled at the ×1000 tier, the exact
+    // pass this restriction exists to avoid). Materialized first, the
+    // cached relation's size picks the broadcast. This helper only runs
+    // on the large-input path, where two extra actions are noise.
     val candidates = candidatesIn.persist()
+    candidates.count()
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
       .distinct()
