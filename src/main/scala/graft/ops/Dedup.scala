@@ -119,8 +119,7 @@ object Dedup {
       threshold: Double = 0.7,
       family: MinhashFamily = XxHash64Minhash,
       idAPredicate: Option[Column => Column] = None,
-      preShingled: Option[DataFrame] = None,
-      kernelMinBytes: Long = KernelMinBytes): DataFrame = {
+      preShingled: Option[DataFrame] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
 
@@ -166,32 +165,26 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact shingle-set Jaccard. Same input-size
-    // pivot as ngramJaccardPairs: below the pivot, the one-action
-    // string-array join (the cached shingle frame is tiny and per-action
-    // overhead dominates); above it, hashed postings restricted to
-    // candidate docs ([[verifyJaccardHashed]]) — joining candidates to
-    // the (id, ARRAY<STRING>) frame on both sides shuffles the widest
-    // table in the pipeline twice and was the measured scale wall.
-    val verified =
-      if (planBytes(preShingled.getOrElse(documents)) < BigInt(kernelMinBytes)) {
-        val v = candidates
-          .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-          .withColumn("jaccard",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .where(col("jaccard") >= threshold)
-          .select("id_a", "id_b", "jaccard")
-        v.persist().count()
-        v
-      } else verifyJaccardHashed(
-        shingled.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-          .select(col("id"), col("n"), xxhash64(col("s")).as("h")),
-        candidates, threshold)
-    // verified is materialized, so the banded/shingle caches free here
-    // instead of leaking for the session lifetime; callers may unpersist
-    // the returned frame when done
+    // verify candidates with exact shingle-set Jaccard over the full
+    // shingle arrays. Unlike the ngram tier, this stays the string-array
+    // join at EVERY scale: the shingled cache must exist anyway (the
+    // signatures derive from it), LSH candidates are bucket-bounded and
+    // broadcast, and the measured record shows no verify wall (the row
+    // reads 77.9 s at the ×1000 tier with this plan). A ×100-tier detour
+    // through the hashed-postings verify regressed the row 2× — it
+    // re-derives 10⁷ postings the array cache already holds.
+    val verified = candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    // materialize the (small: true near-dups only) result eagerly so the
+    // banded/shingle caches can be freed here instead of leaking for the
+    // session lifetime; callers may unpersist the returned frame when done
+    verified.persist().count()
     banded.unpersist(blocking = false)
     // a caller-provided shingle frame is the caller's to release
     if (preShingled.isEmpty) shingled.unpersist(blocking = false)
@@ -353,13 +346,17 @@ object Dedup {
   /** Input-size pivot between [[ngramJaccardPairsJoin]] (one action, AQE
     * broadcasts, string-array verify — wins while fixed per-action cost
     * dominates) and the sorted-run kernel (bounded state, no spill, no
-    * array cache — wins once data cost dominates). 32 MB of source text
-    * ≈ 10M postings, comfortably inside one task's sort budget either way;
-    * measured: the join plan reads 2.6 s at sf0.1 where the kernel's
-    * extra actions cost ~8 s, and the kernel reads 91 s at the ×1000 tier
-    * where the join plan reads 548 s and spills.
+    * array cache — wins once data cost dominates). Measured endpoints:
+    * the WARM join plan beats the kernel everywhere up to the ×100 tier
+    * (84 MB of source text: ~10 s in-suite vs ~14 s — the kernel's three
+    * actions and object-pipeline stages don't amortize), and the kernel
+    * wins 6× at the ×1000 tier (827 MB: 91 s vs 548 s with a 5.4 GB sort
+    * spill and a ~36 GB scratch footprint). 256 MB ≈ the geometric mean
+    * of the proven endpoints; the `dedup_ngram_kernel` gate/bench row
+    * keeps the kernel hash-checked and timed at EVERY tier regardless of
+    * which side of the pivot the default path takes.
     */
-  val KernelMinBytes: Long = 32L << 20
+  val KernelMinBytes: Long = 256L << 20
 
   /** Source size from plan statistics — file bytes for a scan, row-count ×
     * width for a local/cached relation; never runs a job. Unknown sizes

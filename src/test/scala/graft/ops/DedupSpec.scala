@@ -75,14 +75,8 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     def sh(t: String): Set[Seq[String]] = t.split(" ").sliding(3).map(_.toSeq).toSet
     val a = sh(base); val b = sh(nearDup)
     val expected = a.intersect(b).size.toDouble / a.union(b).size
-    // both verify plans (string-array join below the pivot, hashed
-    // restricted postings above it) must produce the bit-identical value
-    Seq(Long.MaxValue, 0L).foreach { pivot =>
-      val row = Dedup.minhashNearDups(docs, threshold = 0.1, kernelMinBytes = pivot)
-        .collect().head
-      assert(math.abs(row.getAs[Double]("jaccard") - expected) < 1e-12,
-        s"pivot=$pivot")
-    }
+    val row = Dedup.minhashNearDups(docs, threshold = 0.1).collect().head
+    assert(math.abs(row.getAs[Double]("jaccard") - expected) < 1e-12)
   }
 
   test("simhash: near-identical docs collide, unrelated docs do not") {
