@@ -98,6 +98,16 @@ object BlockedALS {
       makeBlocks(swappedBlockRatings, itemPart, userPart, cfg.intermediateStorageLevel)
     itemOutBlocks.count()
 
+    // blockRatings' persisted copy is dead weight from here on: both block
+    // structures are materialized above, and an evicted in/out-block
+    // partition recomputes from its own groupByKey shuffle files, not from
+    // this persist (a shuffle's map side never re-runs once its files
+    // exist). Freeing it now, rather than with the end-of-train batch,
+    // releases O(ratings) of storage for the whole iteration phase — ~14 GB
+    // of scratch at 600M ratings (SCALING §12.11), the difference between
+    // fitting and not on a scratch-bound node.
+    blockRatings.unpersist()
+
     val userEncoder = new LocalIndexEncoder(userPart.numPartitions)
     val itemEncoder = new LocalIndexEncoder(itemPart.numPartitions)
 
@@ -179,7 +189,6 @@ object BlockedALS {
     userOutBlocks.unpersist()
     itemInBlocks.unpersist()
     itemOutBlocks.unpersist()
-    blockRatings.unpersist()
 
     (userIdAndFactors, itemIdAndFactors)
   }

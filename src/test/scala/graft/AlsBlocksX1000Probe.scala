@@ -29,6 +29,13 @@ object AlsBlocksX1000Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scratch-provisioning knobs for wall 3 (disk, not CPU, binds this
+      // run): zstd shuffles (~25% under lz4) and compressed on-disk RDD
+      // blocks — MEMORY_AND_DISK spill partitions are UNCOMPRESSED java
+      // serialization by default, the single largest scratch line item at
+      // ×1000. A scratch-constrained cluster node sets exactly these.
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.rdd.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
