@@ -36,8 +36,20 @@ object AlsBlocksX1000Probe {
       // ×1000. A scratch-constrained cluster node sets exactly these.
       .config("spark.io.compression.codec", "zstd")
       .config("spark.rdd.compress", "true")
+      // Wall 4 (this run's find): each computeFactors half-step shuffles
+      // ~13 GB of routed factor messages at ×1000, and WITHOUT a checkpoint
+      // dir the explicit path's lineage chain keeps every prior half-step's
+      // ShuffleDependency reachable — 10 shuffles × 13 GB over 5 iterations
+      // dwarfs the data-sized shuffles (~14 GB total) and ENOSPCs any box.
+      // Checkpointing every iteration cuts the chain (the factor RDDs
+      // themselves are ~600 MB — the cheap thing to write); the aggressive
+      // periodicGC makes ContextCleaner actually DELETE the newly
+      // unreachable shuffle files while the run still needs the space.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ckptDir = s"/tmp/graft_x1000_ckpt_${ProcessHandle.current().pid()}"
+    spark.sparkContext.setCheckpointDir(ckptDir)
 
     val inputParts = args.lift(2).map(_.toInt).getOrElse(256)
     val t0 = System.nanoTime()
@@ -75,6 +87,7 @@ object AlsBlocksX1000Probe {
       rank = 8, maxIter = 5, regParam = 0.1,
       numUserBlocks = blocks, numItemBlocks = blocks,
       userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+      checkpointInterval = 1, // cut the factor-shuffle lineage chain (wall 4)
       seed = 7L).fit(ratings)
     model.userFactors.write.format("noop").mode("overwrite").save()
     val tTrain = (System.nanoTime() - t1) / 1e9
@@ -90,6 +103,7 @@ object AlsBlocksX1000Probe {
     model.unpersist()
     if (args.lift(3).isEmpty)
       graft.streaming.EventsStream.deleteRecursively(new java.io.File(ratingsPath))
+    graft.streaming.EventsStream.deleteRecursively(new java.io.File(ckptDir))
     spark.stop()
   }
 }
