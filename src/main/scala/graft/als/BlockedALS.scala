@@ -49,6 +49,19 @@ object BlockedALS {
       nonnegative: Boolean = false,
       intermediateStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
       finalStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      /** Iterations between factor checkpoints (lineage cuts). This is a
+        * SCRATCH-DISK bound, not just a recompute-depth bound: each
+        * half-step's factor-routing shuffle is O(Σ distinct (entity,
+        * dst-block) pairs × rank) on disk — ~13 GB at 600M ratings, rank
+        * 8 — and WITHOUT a cut every prior half-step's shuffle files stay
+        * reachable (hence undeletable) through the factor lineage chain,
+        * ~2·maxIter·shuffleBytes of fleet scratch by the last iteration.
+        * A checkpoint retires all older half-steps for the price of
+        * writing the factors themselves (~the small side, rank·entities
+        * floats). Default 10 matches MLlib; scratch-bound deployments
+        * want 1–2, and a checkpoint DIR must be set for any cut to
+        * happen at all (SCALING §12.11, wall 4).
+        */
       checkpointInterval: Int = 10,
       seed: Long = 0L,
       /** id→block partitioner factory (reference `util/partitioner.py:4-11`
@@ -120,6 +133,16 @@ object BlockedALS {
     val shouldCheckpoint: Int => Boolean = iter =>
       sc.getCheckpointDir.isDefined && cfg.checkpointInterval > 0 &&
         (iter + 1) % cfg.checkpointInterval == 0
+
+    // Lineage cuts need a checkpoint dir; without one, every half-step's
+    // factor-routing shuffle stays on disk until train ends (Config
+    // .checkpointInterval scaladoc; SCALING §12.11 wall 4). Cheap to miss
+    // locally, an ENOSPC at scale — say so once per fit.
+    if (sc.getCheckpointDir.isEmpty && cfg.maxIter > cfg.checkpointInterval)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"no checkpoint dir set: checkpointInterval=${cfg.checkpointInterval} " +
+          s"will never cut lineage over ${cfg.maxIter} iterations; factor-shuffle " +
+          "scratch grows linearly with iterations (set SparkContext.setCheckpointDir)")
 
     var lastExplicitCache: Option[FactorBlocks] = None
 
