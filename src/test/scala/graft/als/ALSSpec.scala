@@ -268,6 +268,32 @@ class ALSSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("checkpointing is results-neutral: factors bit-identical with and without cuts") {
+    // checkpointInterval=1 is the scratch-bound-deployment setting SCALING
+    // §12.11 recommends; it must change WHERE intermediates live, never
+    // what the fixpoint computes
+    val ratings = lowRankRatings(rank = 2, seed = 77)
+    val rdd = spark.sparkContext.parallelize(ratings, 2)
+    val cfg = BlockedALS.Config(
+      rank = 2, numUserBlocks = 2, numItemBlocks = 2,
+      maxIter = 6, regParam = 0.05, seed = 11)
+    def factors(c: BlockedALS.Config): (Map[Long, Seq[Float]], Map[Long, Seq[Float]]) = {
+      val (uf, itf) = BlockedALS.train(rdd, c)
+      (uf.collect().map { case (id, f) => id -> f.toSeq }.toMap,
+        itf.collect().map { case (id, f) => id -> f.toSeq }.toMap)
+    }
+    val plain = factors(cfg)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-neutral").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val cut = factors(cfg.copy(checkpointInterval = 1))
+      assert(cut == plain, "lineage cuts must not perturb the trained factors")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null.asInstanceOf[String])
+      graft.streaming.EventsStream.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("empty ratings input fails fast with a clear message") {
     import scala.jdk.CollectionConverters._
     val empty = spark.createDataFrame(
