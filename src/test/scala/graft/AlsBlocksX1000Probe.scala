@@ -83,17 +83,19 @@ object AlsBlocksX1000Probe {
     println(f"[probe] ratings derived: $n rows in $tDerive%.1f s ($inputParts input parts)")
 
     val t1 = System.nanoTime()
+    val implicitPrefs = args.lift(4).contains("implicit")
     val model = graft.als.GraftALS(
       rank = 8, maxIter = 5, regParam = 0.1,
       numUserBlocks = blocks, numItemBlocks = blocks,
       userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+      implicitPrefs = implicitPrefs,
       checkpointInterval = 1, // cut the factor-shuffle lineage chain (wall 4)
       seed = 7L).fit(ratings)
     model.userFactors.write.format("noop").mode("overwrite").save()
     val tTrain = (System.nanoTime() - t1) / 1e9
     val users = model.userFactors.count()
     val items = model.itemFactors.count()
-    println(f"[probe] x1000 train blocks=$blocks: $tTrain%.1f s " +
+    println(f"[probe] x1000 train blocks=$blocks implicit=$implicitPrefs: $tTrain%.1f s " +
       s"($n ratings, $users users, $items items)")
 
     val t2 = System.nanoTime()
