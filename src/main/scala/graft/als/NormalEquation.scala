@@ -79,11 +79,26 @@ trait LeastSquaresNESolver extends Serializable {
   */
 final class CholeskySolver extends LeastSquaresNESolver {
 
+  // Scratch reused ACROSS solves: the k×k unpack below overwrites every
+  // cell (each (i, j≥i) writes both mirror cells) and the rhs is copied in
+  // full, so no zeroing is needed between entities — without this, a
+  // rank-64 ×100 half-step allocates ~32 KB × 1.75M entities of
+  // JVM-zeroed dense scratch per iteration. A solver instance reaches each
+  // task by closure DESERIALIZATION (one private copy per task), so the
+  // mutable state is single-threaded; @transient so the empty driver-side
+  // arrays are never shipped.
+  @transient private var scratchA: Array[Double] = _
+  @transient private var scratchB: Array[Double] = _
+
   override def solve(ne: NormalEquation, lambda: Double): Array[Float] = {
     val k = ne.k
+    if (scratchA == null || scratchA.length != k * k) {
+      scratchA = new Array[Double](k * k)
+      scratchB = new Array[Double](k)
+    }
     // dense symmetric matrix from packed upper + λ on the diagonal
     // (reference: fill_ata, Solver.py:155-166)
-    val a = new Array[Double](k * k)
+    val a = scratchA
     var pos = 0
     var i = 0
     while (i < k) {
@@ -98,7 +113,8 @@ final class CholeskySolver extends LeastSquaresNESolver {
       a(i * k + i) += lambda
       i += 1
     }
-    val x = CholeskySolver.solveInPlace(a, ne.atb.clone(), k)
+    System.arraycopy(ne.atb, 0, scratchB, 0, k)
+    val x = CholeskySolver.solveInPlace(a, scratchB, k)
     ne.reset()
     val out = new Array[Float](k)
     i = 0
