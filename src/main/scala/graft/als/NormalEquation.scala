@@ -180,9 +180,22 @@ object CholeskySolver {
   */
 final class NNLSSolver extends LeastSquaresNESolver {
 
+  // Same per-entity allocation-churn fix as [[CholeskySolver]] (SCALING
+  // §12.14): the dense unpack overwrites every cell and the CG workspace
+  // is zero-initialized by NNLS.solve itself, so reuse is free; task
+  // closures deserialize private solver copies, so single-threaded.
+  @transient private var scratchAta: Array[Double] = _
+  @transient private var scratchAtb: Array[Double] = _
+  @transient private var ws: NNLS.Workspace = _
+
   override def solve(ne: NormalEquation, lambda: Double): Array[Float] = {
     val k = ne.k
-    val ata = new Array[Double](k * k)
+    if (scratchAta == null || scratchAta.length != k * k) {
+      scratchAta = new Array[Double](k * k)
+      scratchAtb = new Array[Double](k)
+      ws = new NNLS.Workspace(k)
+    }
+    val ata = scratchAta
     var pos = 0
     var i = 0
     while (i < k) {
@@ -197,7 +210,8 @@ final class NNLSSolver extends LeastSquaresNESolver {
       ata(i * k + i) += lambda
       i += 1
     }
-    val x = NNLS.solve(ata, ne.atb.clone(), k)
+    System.arraycopy(ne.atb, 0, scratchAtb, 0, k)
+    val x = NNLS.solve(ata, scratchAtb, k, ws)
     ne.reset()
     val out = new Array[Float](k)
     i = 0
@@ -229,12 +243,26 @@ object NNLS {
     s
   }
 
-  /** Solves min ½ xᵀ ata x − atb·x subject to x ≥ 0. `ata` is k×k dense. */
-  def solve(ata: Array[Double], atb: Array[Double], k: Int): Array[Double] = {
-    val x = new Array[Double](k)      // iterate, starts at 0 (feasible)
-    val grad = new Array[Double](k)   // Mx − q
-    val dir = new Array[Double](k)    // search direction
+  /** Reusable CG workspace — every member is (re)initialized by `solve`
+    * before its first read (`x` by the explicit zero-fill, the rest by
+    * full overwrites), so one instance serves any number of solves.
+    */
+  final class Workspace(k: Int) {
+    val x = new Array[Double](k)
+    val grad = new Array[Double](k)
+    val dir = new Array[Double](k)
     val scratch = new Array[Double](k)
+  }
+
+  /** Solves min ½ xᵀ ata x − atb·x subject to x ≥ 0. `ata` is k×k dense. */
+  def solve(ata: Array[Double], atb: Array[Double], k: Int,
+      ws: Workspace = null): Array[Double] = {
+    val w = if (ws == null) new Workspace(k) else ws
+    val x = w.x                       // iterate, starts at 0 (feasible)
+    java.util.Arrays.fill(x, 0.0)
+    val grad = w.grad                 // Mx − q
+    val dir = w.dir                   // search direction
+    val scratch = w.scratch
     var lastNorm = 0.0
     var iterno = 0
     var lastWall = 0 // iterations since last CG restart
