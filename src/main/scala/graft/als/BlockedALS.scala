@@ -118,7 +118,13 @@ object BlockedALS {
     // exist). Freeing it now, rather than with the end-of-train batch,
     // releases O(ratings) of storage for the whole iteration phase — ~14 GB
     // of scratch at 600M ratings (SCALING §12.11), the difference between
-    // fitting and not on a scratch-bound node.
+    // fitting and not on a scratch-bound node. Tradeoff (deliberate
+    // divergence from ALS.py:189, which frees at end of train): if an
+    // executor AND its shuffle files are lost mid-fit, the makeBlocks map
+    // stage re-derives blockRatings from the raw ratings lineage instead
+    // of this persist — correct (deterministic re-execution) but slower
+    // recovery. Scratch headroom wins: the persist costs O(ratings) on
+    // every fit, the recompute only on node loss.
     blockRatings.unpersist()
 
     val userEncoder = new LocalIndexEncoder(userPart.numPartitions)
@@ -138,7 +144,12 @@ object BlockedALS {
     // factor-routing shuffle stays on disk until train ends (Config
     // .checkpointInterval scaladoc; SCALING §12.11 wall 4). Cheap to miss
     // locally, an ENOSPC at scale — say so once per fit.
-    if (sc.getCheckpointDir.isEmpty && cfg.maxIter > cfg.checkpointInterval)
+    // Guard: checkpointInterval <= 0 is an explicit opt-out (stay silent);
+    // maxIter == checkpointInterval still never checkpoints mid-fit
+    // (shouldCheckpoint fires only at the final iteration's boundary), so
+    // >= is the right comparison.
+    if (sc.getCheckpointDir.isEmpty && cfg.checkpointInterval > 0 &&
+        cfg.maxIter >= cfg.checkpointInterval)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"no checkpoint dir set: checkpointInterval=${cfg.checkpointInterval} " +
           s"will never cut lineage over ${cfg.maxIter} iterations; factor-shuffle " +

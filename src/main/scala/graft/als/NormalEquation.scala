@@ -64,10 +64,42 @@ final class NormalEquation(val k: Int) extends Serializable {
 
 /** Strategy interface for solving one accumulated normal equation.
   * Reference: `Solver.py:69-75`. Implementations must reset `ne` on return.
+  *
+  * THREADING CONTRACT: implementations carry mutable scratch that is reused
+  * across `solve` calls, so a solver instance is single-owner — exactly one
+  * thread may ever call `solve` on it. Inside `BlockedALS` this holds by
+  * construction (each task deserializes its own private copy from the task
+  * closure), but a driver-local caller sharing one instance across threads
+  * (e.g. a parallel fold-in) would corrupt factors silently. Set
+  * `GRAFT_SOLVER_THREAD_ASSERT=1` to turn the contract into a hard check.
   */
 trait LeastSquaresNESolver extends Serializable {
   /** Solves `(AᵀA + λI) x = Aᵀb` and resets `ne`. */
   def solve(ne: NormalEquation, lambda: Double): Array[Float]
+
+  @transient private var ownerThread: Long = 0L
+
+  /** Opt-in single-owner check (`GRAFT_SOLVER_THREAD_ASSERT=1`): first call
+    * binds the instance to the calling thread, later calls from any other
+    * thread throw. Zero-cost when the env flag is unset.
+    */
+  protected final def assertSingleOwner(): Unit =
+    if (LeastSquaresNESolver.assertEnabled) {
+      val t = Thread.currentThread().getId
+      if (ownerThread == 0L) ownerThread = t
+      else if (ownerThread != t)
+        throw new IllegalStateException(
+          s"solver instance shared across threads ($ownerThread then $t): " +
+            "LeastSquaresNESolver scratch is single-owner; use one instance per thread")
+    }
+}
+
+object LeastSquaresNESolver {
+  /** var (not val) only so specs can exercise the assert without forking a
+    * JVM with the env flag; production code never writes it.
+    */
+  private[als] var assertEnabled: Boolean =
+    sys.env.get("GRAFT_SOLVER_THREAD_ASSERT").contains("1")
 }
 
 /** Cholesky solve of the regularized normal equations.
@@ -91,6 +123,7 @@ final class CholeskySolver extends LeastSquaresNESolver {
   @transient private var scratchB: Array[Double] = _
 
   override def solve(ne: NormalEquation, lambda: Double): Array[Float] = {
+    assertSingleOwner()
     val k = ne.k
     if (scratchA == null || scratchA.length != k * k) {
       scratchA = new Array[Double](k * k)
@@ -189,6 +222,7 @@ final class NNLSSolver extends LeastSquaresNESolver {
   @transient private var ws: NNLS.Workspace = _
 
   override def solve(ne: NormalEquation, lambda: Double): Array[Float] = {
+    assertSingleOwner()
     val k = ne.k
     if (scratchAta == null || scratchAta.length != k * k) {
       scratchAta = new Array[Double](k * k)
@@ -222,8 +256,14 @@ final class NNLSSolver extends LeastSquaresNESolver {
 
 /** Projected-gradient CG solver for `min ½xᵀMx − qᵀx, x ≥ 0` with M PSD.
   * Fresh implementation of the classical Polyak projected-CG scheme.
+  *
+  * Package-private: when a [[Workspace]] is passed, `solve` returns the
+  * workspace-owned `ws.x` buffer — zero-filled and overwritten by the next
+  * solve on the same workspace — so callers must copy before the next call
+  * (NNLSSolver copies to Float immediately). Keeping the object
+  * `private[als]` confines that aliasing contract to this package.
   */
-object NNLS {
+private[als] object NNLS {
 
   private def mulAdd(m: Array[Double], x: Array[Double], out: Array[Double], k: Int): Unit = {
     var i = 0
@@ -254,7 +294,10 @@ object NNLS {
     val scratch = new Array[Double](k)
   }
 
-  /** Solves min ½ xᵀ ata x − atb·x subject to x ≥ 0. `ata` is k×k dense. */
+  /** Solves min ½ xᵀ ata x − atb·x subject to x ≥ 0. `ata` is k×k dense.
+    * With `ws != null` the result IS `ws.x` (invalidated by the next solve
+    * on that workspace); with `ws == null` the caller owns a fresh array.
+    */
   def solve(ata: Array[Double], atb: Array[Double], k: Int,
       ws: Workspace = null): Array[Double] = {
     val w = if (ws == null) new Workspace(k) else ws

@@ -598,7 +598,15 @@ object EventsStream {
         case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
           if (retryOnVanishedLog)
             return readManifestAttempt(indexDir, retryOnVanishedLog = false)
-          else ""
+          else {
+            // Two vanishes in one read = two fold cycles inside one reader
+            // attempt. Correct (snapshot-only is conservatively stale) but
+            // a sign the fold cadence outpaces the trigger — surface it.
+            org.slf4j.LoggerFactory.getLogger(getClass).debug(
+              s"manifest log vanished twice during one read of $indexDir; " +
+                "serving snapshot-only (stale) view — check fold/trigger cadence")
+            ""
+          }
       }
       // a crash mid-append tears only the TAIL: everything before the last
       // newline is a fully-written record; an unterminated tail is an
