@@ -318,16 +318,58 @@ object BlockedALS {
       (srcBlockId, (dstBlockId, block.srcIds, dstLocalIndices, block.ratings))
     }
 
+    // Count pre-pass: exact per-src-block entry totals, so the reduce side
+    // can allocate final-size arrays instead of growing builders. The job
+    // is tiny — numSrcBlocks×numDstBlocks (srcBlockId, count) pairs off the
+    // persisted tiles, no data shuffle — and the collect is bounded by the
+    // block-grid config, never by ratings. This is the wall-2 fix (SCALING
+    // §12.7): with groupByKey + growing builders the build held ~3-4× the
+    // final block bytes per task (materialized tile buffer + doubling
+    // ArrayBuilders + result copy), which is why ×1000 needed 3 GB/core;
+    // streaming tiles into exact arrays bounds the task transient at the
+    // final block size + one in-flight tile, so every core can build.
+    val blockCounts: scala.collection.Map[Int, Long] = ratingBlocks
+      .map { case ((srcBlockId, _), block) => (srcBlockId, block.size.toLong) }
+      .reduceByKey(_ + _)
+      .collectAsMap()
+    blockCounts.foreach { case (srcBlockId, n) =>
+      require(n <= Int.MaxValue,
+        s"src block $srcBlockId holds $n ratings (> Int.MaxValue): raise the " +
+          "block count so each block's entries fit Int-indexed arrays")
+    }
+    val bcCounts = ratingBlocks.sparkContext.broadcast(blockCounts)
+
     val inBlocks = keyed
-      .groupByKey(new HashPartitioner(srcPart.numPartitions))
-      .mapValues { tiles =>
+      // same exchange as the reference's groupByKey (ALS.py:306-329) — one
+      // partition per src block — but the reduce side STREAMS tiles into a
+      // preallocated exact-size builder instead of materializing the tile
+      // list first. Tile arrival order matches the groupByKey buffer order
+      // (same shuffle read), so the sort input — and the factors — are
+      // unchanged.
+      .partitionBy(new HashPartitioner(srcPart.numPartitions))
+      .mapPartitions({ iter =>
         val encoder = new LocalIndexEncoder(numDstBlocks)
-        val builder = new UncompressedInBlockBuilder(encoder)
-        tiles.foreach { case (dstBlockId, srcIds, dstLocalIndices, ratings) =>
-          builder.add(dstBlockId, srcIds, dstLocalIndices, ratings)
+        val counts = bcCounts.value
+        // HashPartitioner(numSrcBlocks) over dense 0..n-1 block ids is a
+        // bijection, so this map virtually always holds ONE builder; the
+        // map form just stays correct for any id distribution.
+        val builders = new java.util.HashMap[Int, ExactUncompressedInBlockBuilder]()
+        iter.foreach { case (srcBlockId, (dstBlockId, srcIds, dstLocalIndices, ratings)) =>
+          var b = builders.get(srcBlockId)
+          if (b == null) {
+            b = new ExactUncompressedInBlockBuilder(encoder, counts(srcBlockId).toInt)
+            builders.put(srcBlockId, b)
+          }
+          b.add(dstBlockId, srcIds, dstLocalIndices, ratings)
         }
-        builder.build().compress()
-      }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, InBlock)]
+        val it = builders.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += ((e.getKey, e.getValue.build().compress()))
+        }
+        out.iterator
+      }, preservesPartitioning = true)
       .persist(storageLevel)
 
     // routing table: for each dst block, which local rows of this block are

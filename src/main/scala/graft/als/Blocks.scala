@@ -125,6 +125,58 @@ final class UncompressedInBlockBuilder(encoder: LocalIndexEncoder) {
     new UncompressedInBlock(srcIds.result(), dstEncodedIndices.result(), ratings.result())
 }
 
+/** Exact-size variant of [[UncompressedInBlockBuilder]]: the total entry
+  * count is known up front (from a per-block count pre-pass), so the three
+  * parallel arrays are allocated ONCE at final size and tiles are copied in
+  * at a cursor — no growth doubling, no `result()` copy. Peak task heap for
+  * the in-block build drops from ~3-4× the final block size (tiles
+  * materialized by `groupByKey` + doubling builders + result copy) to ~1×
+  * plus one in-flight tile, which is what lets the ×1000 fit run one build
+  * per core instead of one per 4 cores (SCALING §12.7 wall 2). The built
+  * [[UncompressedInBlock]] shares these arrays (zero-copy), and
+  * `compress()` sorts them in place and reuses two of the three in the CSR
+  * [[InBlock]], so 16 B/rating is also the steady-state footprint.
+  *
+  * Strictly better than the reference here: `InBlock.py:106-138` grows
+  * Python lists and materializes the whole uncompressed block a second
+  * time on build.
+  */
+final class ExactUncompressedInBlockBuilder(encoder: LocalIndexEncoder, n: Int) {
+  require(n > 0, "empty in-block")
+  private val srcIds = new Array[Long](n)
+  private val dstEncodedIndices = new Array[Int](n)
+  private val ratings = new Array[Float](n)
+  private var cursor = 0
+
+  def add(
+      dstBlockId: Int,
+      tileSrcIds: Array[Long],
+      tileDstLocalIndices: Array[Int],
+      tileRatings: Array[Float]): this.type = {
+    val sz = tileSrcIds.length
+    require(tileDstLocalIndices.length == sz && tileRatings.length == sz)
+    require(cursor + sz <= n,
+      s"in-block overflow: counted $n entries, got at least ${cursor + sz} " +
+        "(count pre-pass out of sync with tile stream)")
+    System.arraycopy(tileSrcIds, 0, srcIds, cursor, sz)
+    System.arraycopy(tileRatings, 0, ratings, cursor, sz)
+    var i = 0
+    while (i < sz) {
+      dstEncodedIndices(cursor + i) = encoder.encode(dstBlockId, tileDstLocalIndices(i))
+      i += 1
+    }
+    cursor += sz
+    this
+  }
+
+  def build(): UncompressedInBlock = {
+    require(cursor == n,
+      s"in-block underflow: counted $n entries, received $cursor " +
+        "(count pre-pass out of sync with tile stream)")
+    new UncompressedInBlock(srcIds, dstEncodedIndices, ratings)
+  }
+}
+
 /** CSR-compressed in-link block: all ratings received by one block, grouped
   * by (unique, sorted) src id. `dstPtrs` is the row-pointer array:
   * the ratings of `srcIds(i)` live at `[dstPtrs(i), dstPtrs(i+1))`.
