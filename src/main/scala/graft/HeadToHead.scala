@@ -60,7 +60,8 @@ object HeadToHead {
       sfDir: String,
       cpus: String,
       xmx: String = "8g",
-      side: Option[String] = None): (Map[String, Double], Option[String]) = {
+      side: Option[String] = None,
+      rank: Int = 8): (Map[String, Double], Option[String]) = {
     val out = java.nio.file.Files.createTempFile(
       s"graft_h2h${side.fold("")("_" + _)}", ".json")
     val javaBin = java.nio.file.Paths.get(
@@ -74,6 +75,7 @@ object HeadToHead {
     val pb = new ProcessBuilder(cmd: _*).inheritIO()
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("SPARK_GRAFT_H2H_RANK", rank.toString)
     val exit = pb.start().waitFor()
     val text = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
     try java.nio.file.Files.deleteIfExists(out) catch { case _: Throwable => () }
@@ -93,6 +95,10 @@ object HeadToHead {
     require(Set("all", "graft", "mllib")(side), s"side must be all|graft|mllib, got $side")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Rank axis (round-15 verdict #2): the rank-64 solver-scratch
+    // regression was invisible to a protocol that only ever ran rank 8.
+    // SPARK_GRAFT_H2H_RANK lets the repeat harness carry a second tier.
+    val rank = sys.env.getOrElse("SPARK_GRAFT_H2H_RANK", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,7 +127,7 @@ object HeadToHead {
     var graftModel: graft.als.GraftALSModel = null
     if (side != "mllib") timed("als_train_graft") {
       graftModel = graft.als.GraftALS(
-        rank = 8, maxIter = 5, regParam = 0.1,
+        rank = rank, maxIter = 5, regParam = 0.1,
         numUserBlocks = 8, numItemBlocks = 8,
         userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
         seed = 7L)
@@ -133,7 +139,7 @@ object HeadToHead {
     if (side != "graft") timed("als_train_mllib") {
       import org.apache.spark.ml.recommendation.ALS
       mllibModel = new ALS()
-        .setRank(8).setMaxIter(5).setRegParam(0.1)
+        .setRank(rank).setMaxIter(5).setRegParam(0.1)
         .setNumUserBlocks(8).setNumItemBlocks(8)
         .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
         .setSeed(7L)

@@ -40,6 +40,12 @@ object BlockedALS {
     */
   case class Config(
       rank: Int = 10,
+      /** Block-grid size per side. [[AutoBlocks]] (-1) sizes it from data
+        * volume via [[autoBlockCount]] — the GB-per-core contract for
+        * scale tiers where a fixed grid either OOMs the iteration cogroup
+        * (too few, SCALING §12.7 wall 2) or saturates the factor shuffle
+        * (too many). Explicit positive counts are used verbatim.
+        */
       numUserBlocks: Int = 10,
       numItemBlocks: Int = 10,
       maxIter: Int = 10,
@@ -78,6 +84,44 @@ object BlockedALS {
     */
   private val BlockifySpillThreshold = 2048
 
+  /** Sentinel for [[Config.numUserBlocks]]/[[Config.numItemBlocks]]: size
+    * the block grid from data volume (one `count()` pass over the raw
+    * ratings, paid only when auto is requested).
+    */
+  val AutoBlocks: Int = -1
+
+  /** Per-block byte budget for the auto sizing rule. The per-task
+    * working set of the iteration cogroup is the binding constraint
+    * (SCALING §12.7 wall 2): one CSR in-block (~16 B/rating) plus the
+    * routed factor messages for that block (≤ one message per rating,
+    * ~(20 + 4·rank) B each incl. array headers), so a block costs at most
+    * ~(36 + 4·rank) B/rating of task heap. 256 MB/block keeps a 32-core
+    * executor's concurrent working set ≤ ~8 GB at any rank — inside a
+    * cluster-typical 0.75 GB/core — while leaving blocks large enough
+    * that the factor-shuffle duplication factor (a user's factor is sent
+    * once per dst block it touches) stays well below its saturation of
+    * one send per rating.
+    */
+  private[als] val TargetBlockBytes: Long = 256L << 20
+
+  /** The auto block-count rule: enough blocks that the worst-case
+    * per-task working set stays under [[TargetBlockBytes]], but never
+    * fewer than the scheduler's parallelism (so every core gets work).
+    * Deterministic in (numRatings, rank, parallelism) — block count
+    * feeds the per-block init seeds, so the rule must not depend on
+    * placement or timing.
+    */
+  def autoBlockCount(
+      numRatings: Long,
+      rank: Int,
+      parallelism: Int,
+      targetBlockBytes: Long = TargetBlockBytes): Int = {
+    require(numRatings > 0 && rank > 0 && parallelism > 0 && targetBlockBytes > 0)
+    val bytesPerRating = 36L + 4L * rank
+    val byVolume = (numRatings * bytesPerRating + targetBlockBytes - 1) / targetBlockBytes
+    math.max(parallelism.toLong, byVolume).min(Int.MaxValue).toInt
+  }
+
   type FactorBlocks = RDD[(Int, Array[Array[Float]])]
   type OutBlocks = RDD[(Int, Array[Array[Int]])]
 
@@ -86,11 +130,28 @@ object BlockedALS {
     */
   def train(ratings: RDD[Rating], cfg: Config): (RDD[(Long, Array[Float])], RDD[(Long, Array[Float])]) = {
     require(cfg.rank > 0 && cfg.maxIter >= 0 && cfg.regParam >= 0)
+    require((cfg.numUserBlocks > 0 || cfg.numUserBlocks == AutoBlocks) &&
+      (cfg.numItemBlocks > 0 || cfg.numItemBlocks == AutoBlocks),
+      s"block counts must be positive or AutoBlocks(-1), got " +
+        s"${cfg.numUserBlocks}/${cfg.numItemBlocks}")
     val sc = ratings.sparkContext
-    val userPart = cfg.partitioner(cfg.numUserBlocks)
-    val itemPart = cfg.partitioner(cfg.numItemBlocks)
-    require(userPart.numPartitions == cfg.numUserBlocks &&
-      itemPart.numPartitions == cfg.numItemBlocks,
+    val autoBlocks =
+      if (cfg.numUserBlocks == AutoBlocks || cfg.numItemBlocks == AutoBlocks) {
+        // one scan over the raw ratings, paid only in auto mode
+        val n = autoBlockCount(ratings.count(), cfg.rank, sc.defaultParallelism)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"auto block sizing: $n blocks per auto side " +
+            s"(target ${TargetBlockBytes >> 20} MB/block, rank ${cfg.rank})")
+        n
+      } else 0
+    val numUserBlocks =
+      if (cfg.numUserBlocks == AutoBlocks) autoBlocks else cfg.numUserBlocks
+    val numItemBlocks =
+      if (cfg.numItemBlocks == AutoBlocks) autoBlocks else cfg.numItemBlocks
+    val userPart = cfg.partitioner(numUserBlocks)
+    val itemPart = cfg.partitioner(numItemBlocks)
+    require(userPart.numPartitions == numUserBlocks &&
+      itemPart.numPartitions == numItemBlocks,
       "cfg.partitioner must honor the requested block count")
 
     val blockRatings = partitionRatings(ratings, userPart, itemPart)

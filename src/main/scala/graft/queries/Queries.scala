@@ -911,6 +911,76 @@ object Queries {
           posexplode(col("features")).as(Seq("pos", "value"))))
   }.sortedDump("side", "id", "pos")
 
+  /** Rank-32 training run, cached like [[model]]. The round-15 rank sweep
+    * found a 1.47×-MLlib regression at rank 64 (per-entity solver scratch
+    * churn) that was INVISIBLE to every rank-8 gate row and bench artifact
+    * — this model keeps the rank axis exercised by the standing gate
+    * (round-15 verdict #2), at rank 32 where the Gramian term already
+    * dominates the wire term (SCALING §12.14).
+    */
+  private val rank32ModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), GraftALSModel]
+
+  private[graft] def rank32Model(s: SparkSession, dir: String): GraftALSModel =
+    rank32ModelCache.getOrElseUpdate((sessionKey(s), dir), {
+      GraftALS(
+        rank = 32, maxIter = 5, regParam = 0.1,
+        numUserBlocks = 8, numItemBlocks = 8,
+        userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+        seed = 42L, checkpointInterval = 2)
+        .fit(ratingsDF(s, dir))
+    })
+
+  /** Both factor halves of the rank-32 run, membership-checked over the
+    * full (side × ids × 32 positions) grid AND capacity-ENFORCING: the
+    * oracle replays the rank-32 training-set MSE from this dump (pivoted
+    * 32-wide factor CTEs, same left-to-right double dot as the rank-8
+    * replay) and the rank-8 MSE from the als_user/item_factors dumps, and
+    * returns rows only while rank-32 fits the training set at least as
+    * well — 4× the capacity under the same λ must not fit WORSE; a
+    * rank-axis solver bug (wrong scratch reuse, wrong λ·n scaling at
+    * k=32) empties the oracle side and fails the gate as a rows mismatch.
+    * A NaN/Inf guard rides the same clause (NaN MSE fails the <=).
+    */
+  val alsRank32Factors: QueryDef = QueryDef.withOracle(
+    s"""WITH uids AS ($duckRatingsUserIds),
+       |iids AS ($duckRatingsItemIds),
+       |pp AS (SELECT CAST(unnest(generate_series(0, 31)) AS INT) AS pos),
+       |grid AS (
+       |  SELECT 'u' AS side, uids.id, pp.pos FROM uids CROSS JOIN pp
+       |  UNION ALL
+       |  SELECT 'i' AS side, iids.id, pp.pos FROM iids CROSS JOIN pp),
+       |ratings AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS rating
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |${duckFactorCte("uf32", "als_rank32_factors", "u", 32, "WHERE side = 'u'")},
+       |${duckFactorCte("if32", "als_rank32_factors", "i", 32, "WHERE side = 'i'")},
+       |${duckFactorCte("uf8", "als_user_factors", "u")},
+       |${duckFactorCte("if8", "als_item_factors", "i")},
+       |mse32 AS (
+       |  SELECT AVG(POW(${duckFactorDot("u", "i", 32)} - r.rating, 2)) AS m
+       |  FROM ratings r JOIN uf32 ON r.user_id = uf32.id
+       |    JOIN if32 ON r.item_id = if32.id),
+       |mse8 AS (
+       |  SELECT AVG(POW(${duckFactorDot("u", "i")} - r.rating, 2)) AS m
+       |  FROM ratings r JOIN uf8 ON r.user_id = uf8.id
+       |    JOIN if8 ON r.item_id = if8.id)
+       |SELECT g.side, g.id, g.pos, f.value
+       |FROM grid g LEFT JOIN
+       |  read_parquet('{{OUT}}/als_rank32_factors/*.parquet') f
+       |  ON f.side = g.side AND f.id = g.id AND f.pos = g.pos
+       |WHERE (SELECT m FROM mse32) <= (SELECT m FROM mse8)
+       |ORDER BY g.side, g.id, g.pos""".stripMargin) { (s, dir) =>
+    val m = rank32Model(s, dir)
+    m.userFactors
+      .select(lit("u").as("side"), col("id"),
+        posexplode(col("features")).as(Seq("pos", "value")))
+      .unionByName(m.itemFactors
+        .select(lit("i").as("side"), col("id"),
+          posexplode(col("features")).as(Seq("pos", "value"))))
+  }.sortedDump("side", "id", "pos")
+
   /** Serving-time user fold-in (one exact ALS-WR user half-step against
     * the fixed item factors — the cold-start answer the reference lacks)
     * for a hash-slice of users, dumped as scalar rows. Membership-checked
@@ -976,10 +1046,11 @@ object Queries {
     * `(id, pos, value)` scalar rows pivot back to one row per id with
     * columns `<p>0..<p>7` (rank=8 — [[model]]'s fixed rank).
     */
-  private def duckFactorCte(alias: String, dump: String, p: String): String = {
-    val cols = (0 until 8)
+  private def duckFactorCte(alias: String, dump: String, p: String,
+      dim: Int = 8, where: String = ""): String = {
+    val cols = (0 until dim)
       .map(i => s"MAX(CASE WHEN pos = $i THEN value END) AS $p$i").mkString(", ")
-    s"$alias AS (SELECT id, $cols FROM read_parquet('{{OUT}}/$dump/*.parquet') GROUP BY id)"
+    s"$alias AS (SELECT id, $cols FROM read_parquet('{{OUT}}/$dump/*.parquet') $where GROUP BY id)"
   }
 
   /** The portable dot product of two pivoted factor rows: left-to-right
@@ -988,8 +1059,8 @@ object Queries {
     * `sum += (double)a[i] * (double)b[i]` loop (and 0.0 + x == x exactly,
     * so the seed term changes nothing).
     */
-  private def duckFactorDot(u: String, i: String): String =
-    (0 until 8).map(p => s"CAST($u$p AS DOUBLE) * CAST($i$p AS DOUBLE)").mkString(" + ")
+  private def duckFactorDot(u: String, i: String, dim: Int = 8): String =
+    (0 until dim).map(p => s"CAST($u$p AS DOUBLE) * CAST($i$p AS DOUBLE)").mkString(" + ")
 
   /** Scoring join-chain + dot product over the training set (O2) —
     * hash-checked (round-6 verdict #1): the oracle replays the reference's
@@ -4734,6 +4805,7 @@ object Queries {
     "als_user_factors" -> alsUserFactors,
     "als_item_factors" -> alsItemFactors,
     "als_nonnegative_factors" -> alsNonnegativeFactors,
+    "als_rank32_factors" -> alsRank32Factors,
     "als_predictions" -> alsPredictions,
     "als_mse" -> alsMse,
     "als_recommend" -> alsRecommend,

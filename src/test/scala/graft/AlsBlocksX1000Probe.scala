@@ -22,7 +22,9 @@ import org.apache.spark.sql.SparkSession
 object AlsBlocksX1000Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/graft_scale_full_x1000")
-    val blocks = args.lift(1).map(_.toInt).getOrElse(64)
+    // blocks <= 0 selects the volume-based auto rule (BlockedALS.AutoBlocks)
+    val blocksArg = args.lift(1).map(_.toInt).getOrElse(64)
+    val blocks = if (blocksArg <= 0) graft.als.BlockedALS.AutoBlocks else blocksArg
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
