@@ -32,15 +32,20 @@ object AlsRankProbe {
     spark.sparkContext.setLogLevel("WARN")
     val ckpt = s"/tmp/graft_rank_ckpt_${ProcessHandle.current().pid()}"
     spark.sparkContext.setCheckpointDir(ckpt)
+    // round-15 verdict #8: the rank sweep was explicit-only; the implicit
+    // path adds the O(rank²) broadcast YᵀY term per half-step
+    val implicitPrefs = args.lift(3).contains("implicit")
     val ratings = spark.read.parquet(ratingsPath)
     val n = ratings.count()
-    println(s"[rank-probe] $n ratings, blocks=$blocks x $blocks, ranks=${ranks.mkString(",")}")
+    println(s"[rank-probe] $n ratings, blocks=$blocks x $blocks, " +
+      s"ranks=${ranks.mkString(",")}, implicit=$implicitPrefs")
     for (rank <- ranks) {
       val t0 = System.nanoTime()
       val model = graft.als.GraftALS(
         rank = rank, maxIter = 5, regParam = 0.1,
         numUserBlocks = blocks, numItemBlocks = blocks,
         userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+        implicitPrefs = implicitPrefs,
         checkpointInterval = 1, seed = 42L).fit(ratings)
       model.userFactors.write.format("noop").mode("overwrite").save()
       val tTrain = (System.nanoTime() - t0) / 1e9

@@ -29,14 +29,17 @@ object MllibRankProbe {
     spark.sparkContext.setLogLevel("WARN")
     val ckpt = s"/tmp/graft_mllib_rank_ckpt_${ProcessHandle.current().pid()}"
     spark.sparkContext.setCheckpointDir(ckpt)
+    val implicitPrefs = args.lift(3).contains("implicit")
     val ratings = spark.read.parquet(ratingsPath)
-    println(s"[mllib-rank-probe] ${ratings.count()} ratings, blocks=$blocks, ranks=${ranks.mkString(",")}")
+    println(s"[mllib-rank-probe] ${ratings.count()} ratings, blocks=$blocks, " +
+      s"ranks=${ranks.mkString(",")}, implicit=$implicitPrefs")
     for (rank <- ranks) {
       val t0 = System.nanoTime()
       val model = new org.apache.spark.ml.recommendation.ALS()
         .setRank(rank).setMaxIter(5).setRegParam(0.1)
         .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
         .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+        .setImplicitPrefs(implicitPrefs)
         .setCheckpointInterval(1)
         .setSeed(42L)
         .fit(ratings)
