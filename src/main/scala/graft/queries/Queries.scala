@@ -1414,7 +1414,8 @@ object Queries {
     * bench sweep unpersisted them).
     */
   def pinnedRddIds: Set[Int] =
-    (modelCache.values ++ implicitModelCache.values ++ nnModelCache.values)
+    (modelCache.values ++ implicitModelCache.values ++ nnModelCache.values ++
+      rank32ModelCache.values)
       .flatMap(m => m.backingRdds.map(_.id) ++ m.servingIndexRddIds).toSet
 
   private def implicitModel(s: SparkSession, dir: String): GraftALSModel =
