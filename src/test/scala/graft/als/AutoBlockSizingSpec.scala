@@ -47,6 +47,26 @@ class AutoBlockSizingSpec extends AnyFunSuite with SparkFixture {
     assert(ai == ei, "auto-resolved item factors must equal explicit-count factors")
   }
 
+  test("GraftALS.fit accepts AutoBlocks end-to-end (estimator surface)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(7)
+    val df = Seq.fill(300)(
+      (rng.nextInt(20).toLong, rng.nextInt(15).toLong, rng.nextFloat() * 5))
+      .toDF("user_id", "item_id", "rating")
+    val m = GraftALS(
+      rank = 4, maxIter = 2, regParam = 0.1,
+      numUserBlocks = BlockedALS.AutoBlocks, numItemBlocks = BlockedALS.AutoBlocks,
+      userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+      seed = 3L).fit(df)
+    assert(m.userFactors.count() == df.select("user_id").distinct().count())
+    assert(m.itemFactors.count() == df.select("item_id").distinct().count())
+    val scored = m.transform(df)
+    assert(scored.where(org.apache.spark.sql.functions.col("prediction").isNotNull)
+      .count() == 300)
+    m.unpersist()
+  }
+
   test("invalid block counts are rejected up front") {
     val rdd = spark.sparkContext.parallelize(Seq(Rating(1L, 1L, 1f)), 1)
     val e = intercept[IllegalArgumentException] {
