@@ -37,6 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // code cache; when it fills, compilation stops and late queries run
   // interpreted — an order-of-magnitude, hard-to-reproduce slowdown.
   "-XX:ReservedCodeCacheSize=512m",
+  // Parquet/Netty JNI critical sections can starve allocation during big
+  // array bursts (the ×1000 in-block build tripped a spurious OOM with the
+  // default retry count of 2 — SCALING §13.1 finding 3). Retry harder
+  // before declaring OOM; a no-op on runs that never hit the GCLocker.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
 // SPARK_DRIVER_MEM used to size the heap; it is deliberately ignored now
 // (see the -Xmx8g note above). Warn instead of silently dropping it.

@@ -19,9 +19,13 @@ import scala.collection.mutable.ArrayBuilder
   * Scale design (the parts that matter at 100 TB):
   *   - ratings are tiled into (srcBlock × dstBlock) columnar blocks so all
   *     per-rating communication becomes per-block (`ALS.py:193-266`);
-  *   - blockify is a map-side-combining `aggregateByKey` (the reference's
-  *     `groupByKey`+merge, `ALS.py:260-263`, shuffles every partial block
-  *     unmerged — we pre-combine);
+  *   - blockify never materializes the block GRID, only visited tiles:
+  *     sparse Long-keyed tile builders per mapper, a live-tile flush cap,
+  *     and a reduce-partition count decoupled from grid cells, so the
+  *     ~10⁵-10⁶ blocks/side a 100 TB deployment prices out (SCALING §13.7
+  *     wall 5) costs O(visited), where the dense per-cell builder array the
+  *     reference implies (and MLlib uses) is O(numSrc·numDst) per task and
+  *     its Int cell index overflows past 46,341 blocks/side;
   *   - in-blocks are CSR-compressed with (blockId, localIndex) bit-packed
   *     into one Int (`InBlock.py:59-103`, `util/encoder.py`);
   *   - out-block routing tables ship each factor vector at most once per
@@ -84,6 +88,29 @@ object BlockedALS {
     */
   private val BlockifySpillThreshold = 2048
 
+  /** Cap on LIVE per-mapper tile builders during blockify. The per-tile
+    * 2048-entry spill bounds each builder, but at a huge block grid no tile
+    * ever reaches 2048, so without this cap a mapper's live memory is one
+    * ~450 B builder shell per VISITED tile — ~2 GB/task at a 4M-tile visit
+    * set (SCALING §13.7 wall 5). When the visited-tile count hits the cap,
+    * everything is flushed (in ascending tile-key order, keeping the
+    * output stream deterministic) and the map restarts empty. 64k live
+    * builders ≈ 30 MB of shells + ≤ their live entries — never reached at
+    * the tested grids (≤ 152×152 = 23k tiles), so the flush changes
+    * nothing below the scale it exists for.
+    */
+  private[als] val BlockifyMaxLiveTiles: Int = 1 << 16
+
+  /** Floor for the tile-shuffle partition cap: reduce partitions =
+    * min(gridCells, max(this, 4 × defaultParallelism)). The old code used
+    * one reduce partition PER GRID CELL, which is exactly right below ~64k
+    * cells (one task merges one tile) and nonsense above it (4M blocks/side
+    * → 16×10¹² partitions; the Int product overflowed first). Above the
+    * cap, tiles hash many-per-partition and the reduce task merges each
+    * key's partials independently — same result, bounded task count.
+    */
+  private[als] val TileShufflePartitionFloor: Int = 1 << 16
+
   /** Sentinel for [[Config.numUserBlocks]]/[[Config.numItemBlocks]]: size
     * the block grid from data volume (one `count()` pass over the raw
     * ratings, paid only when auto is requested).
@@ -122,8 +149,38 @@ object BlockedALS {
     math.max(parallelism.toLong, byVolume).min(Int.MaxValue).toInt
   }
 
+  /** Advisory emitted when a FIXED grid's biggest block blows the auto
+    * rule's per-task budget — the exact configuration that OOMs the
+    * iteration cogroup at scale (SCALING §12.7 wall 2, MLlib's default-grid
+    * footgun demonstrated in `als_x1000_vs_mllib_r16.json`). Pure so the
+    * thresholds are spec-testable; `train` logs the returned message.
+    * Costs nothing at fit time: the per-block counts are already collected
+    * for the exact-size in-block build.
+    */
+  private[als] def gridAdvisory(
+      blockCounts: scala.collection.Map[Int, Long],
+      rank: Int,
+      parallelism: Int,
+      numUserBlocks: Int,
+      numItemBlocks: Int): Option[String] = {
+    if (blockCounts.isEmpty) return None
+    val bytesPerRating = 36L + 4L * rank
+    val maxBlockBytes = blockCounts.values.max * bytesPerRating
+    if (maxBlockBytes <= TargetBlockBytes) None
+    else {
+      val total = blockCounts.values.sum
+      val rec = autoBlockCount(total, rank, parallelism)
+      Some(s"configured block grid ${numUserBlocks}x$numItemBlocks puts up to " +
+        s"${maxBlockBytes >> 20} MB in one block's iteration working set " +
+        s"(auto budget ${TargetBlockBytes >> 20} MB/block); at this volume " +
+        s"numUserBlocks=numItemBlocks=AutoBlocks would use $rec blocks per " +
+        "side — fixed grids that overshoot the budget OOM the in-block " +
+        "build long before the solver (SCALING §12.7 wall 2)")
+    }
+  }
+
   type FactorBlocks = RDD[(Int, Array[Array[Float]])]
-  type OutBlocks = RDD[(Int, Array[Array[Int]])]
+  type OutBlocks = RDD[(Int, OutBlock)]
 
   /** Trains the model; returns (userId→factor, itemId→factor) RDDs, both
     * persisted at `finalStorageLevel`. Reference flow: `ALS.py:39-191`.
@@ -157,9 +214,20 @@ object BlockedALS {
     val blockRatings = partitionRatings(ratings, userPart, itemPart)
       .persist(cfg.intermediateStorageLevel)
 
-    val (userInBlocks, userOutBlocks) =
+    val (userInBlocks, userOutBlocks, userBcCounts) =
       makeBlocks(blockRatings, userPart, itemPart, cfg.intermediateStorageLevel)
     userOutBlocks.count() // materialize (ALS.py:73)
+
+    // Pre-diagnose wall 2 for callers on a FIXED grid (auto mode already
+    // right-sizes): the block counts are already on the driver (makeBlocks'
+    // count pre-pass), so checking the biggest block against the auto
+    // rule's budget is free.
+    if (cfg.numUserBlocks != AutoBlocks && cfg.numItemBlocks != AutoBlocks) {
+      gridAdvisory(userBcCounts.value, cfg.rank, sc.defaultParallelism,
+        numUserBlocks, numItemBlocks).foreach { msg =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
 
     // reuse user-keyed tiles as item-keyed tiles by swapping the key halves
     // and the src/dst columns (ALS.py:75-80) — a narrow map, no reshuffle
@@ -168,7 +236,7 @@ object BlockedALS {
         ((itemBlockId, userBlockId), RatingBlock(block.dstIds, block.srcIds, block.ratings))
     }
 
-    val (itemInBlocks, itemOutBlocks) =
+    val (itemInBlocks, itemOutBlocks, itemBcCounts) =
       makeBlocks(swappedBlockRatings, itemPart, userPart, cfg.intermediateStorageLevel)
     itemOutBlocks.count()
 
@@ -284,6 +352,15 @@ object BlockedALS {
     userOutBlocks.unpersist()
     itemInBlocks.unpersist()
     itemOutBlocks.unpersist()
+    // Free the count broadcasts' executor copies with the blocks they
+    // sized — otherwise one Map per makeBlocks call (two per fit)
+    // accumulates until the ContextCleaner happens to run, which cached
+    // models' lineage pins indefinitely. unpersist, NOT destroy: the
+    // driver copy stays fetchable, so a lost-executor recompute of the
+    // persisted model through the in-block lineage still works (destroy
+    // would turn that recovery into a hard SparkException).
+    userBcCounts.unpersist()
+    itemBcCounts.unpersist()
 
     (userIdAndFactors, itemIdAndFactors)
   }
@@ -299,37 +376,74 @@ object BlockedALS {
   def partitionRatings(
       ratings: RDD[Rating],
       srcPart: Partitioner,
-      dstPart: Partitioner): RDD[((Int, Int), RatingBlock)] = {
+      dstPart: Partitioner): RDD[((Int, Int), RatingBlock)] =
+    partitionRatings(ratings, srcPart, dstPart,
+      maxShufflePartitions = math.max(
+        TileShufflePartitionFloor,
+        ratings.sparkContext.defaultParallelism * 4),
+      maxLiveTiles = BlockifyMaxLiveTiles)
+
+  /** Cap-injectable variant (specs exercise the huge-grid paths with small
+    * caps so the tests stay fast; production uses the defaults above).
+    */
+  private[als] def partitionRatings(
+      ratings: RDD[Rating],
+      srcPart: Partitioner,
+      dstPart: Partitioner,
+      maxShufflePartitions: Int,
+      maxLiveTiles: Int): RDD[((Int, Int), RatingBlock)] = {
     val numSrc = srcPart.numPartitions
     val numDst = dstPart.numPartitions
-    val gridSize = numSrc * numDst
+    // Long tile key = srcBlockId + numSrc·dstBlockId — the same cell index
+    // the old dense code used, widened: the Int product overflowed past
+    // 46,341 blocks/side, inside the grid range SCALING §13.7 prices for
+    // 100 TB (wall 5). The grid is never materialized anywhere anymore;
+    // only VISITED tiles cost memory.
+    val gridCells = numSrc.toLong * numDst
+    val shufflePartitions =
+      math.min(gridCells, math.max(maxShufflePartitions, 1).toLong).toInt
     ratings.mapPartitions { iter =>
-      val builders = Array.fill(gridSize)(new RatingBlockBuilder)
+      // sparse open-hash tile map: was Array.fill(numSrc*numDst)(builder),
+      // one dense slot per grid CELL per map task
+      val builders = new scala.collection.mutable.LongMap[RatingBlockBuilder]()
+      // flush every live builder in ascending tile-key order — for runs
+      // that never hit maxLiveTiles (all tested grids) this reproduces the
+      // old dense tail scan's emit order exactly, keeping the tile stream,
+      // and therefore the factors, bit-identical
+      def flushAll(): Iterator[((Int, Int), RatingBlock)] = {
+        val keys = builders.keysIterator.toArray
+        java.util.Arrays.sort(keys)
+        val out = new Array[((Int, Int), RatingBlock)](keys.length)
+        var i = 0
+        while (i < keys.length) {
+          val key = keys(i)
+          out(i) = (((key % numSrc).toInt, (key / numSrc).toInt), builders(key).build())
+          i += 1
+        }
+        builders.clear()
+        out.iterator
+      }
       val spilled = iter.flatMap { r =>
         val srcBlockId = srcPart.getPartition(r.user)
         val dstBlockId = dstPart.getPartition(r.item)
-        val idx = srcBlockId + numSrc * dstBlockId
-        val builder = builders(idx)
+        val key = srcBlockId + numSrc.toLong * dstBlockId
+        val builder = builders.getOrElseUpdate(key, new RatingBlockBuilder)
         builder.add(r.user, r.item, r.rating)
         if (builder.size >= BlockifySpillThreshold) {
-          builders(idx) = new RatingBlockBuilder
+          builders -= key
           Iterator.single(((srcBlockId, dstBlockId), builder.build()))
+        } else if (builders.size >= maxLiveTiles) {
+          flushAll()
         } else Iterator.empty
       }
-      val tail = Iterator.range(0, gridSize).flatMap { idx =>
-        val builder = builders(idx)
-        if (builder.size > 0) {
-          val srcBlockId = idx % numSrc
-          val dstBlockId = idx / numSrc
-          Iterator.single(((srcBlockId, dstBlockId), builder.build()))
-        } else Iterator.empty
-      }
-      spilled ++ tail
+      // `++`'s argument is by-name: flushAll() runs only after the input is
+      // exhausted, so the tail sees the final builder state
+      spilled ++ flushAll()
     }.combineByKeyWithClassTag[RatingBlockBuilder](
       createCombiner = (block: RatingBlock) => new RatingBlockBuilder().merge(block),
       mergeValue = (builder, block) => builder.merge(block),
       mergeCombiners = (b1, b2) => b1.merge(b2.build()),
-      partitioner = new HashPartitioner(gridSize),
+      partitioner = new HashPartitioner(shufflePartitions),
       // NO map-side combine (deliberate divergence from the reference's
       // aggregateByKey, `ALS.py:260-263`, and from MLlib): tile merging is
       // pure CONCATENATION, so combining before the shuffle saves zero
@@ -352,7 +466,9 @@ object BlockedALS {
       ratingBlocks: RDD[((Int, Int), RatingBlock)],
       srcPart: Partitioner,
       dstPart: Partitioner,
-      storageLevel: StorageLevel): (RDD[(Int, InBlock)], OutBlocks) = {
+      storageLevel: StorageLevel)
+    : (RDD[(Int, InBlock)], OutBlocks,
+       org.apache.spark.broadcast.Broadcast[scala.collection.Map[Int, Long]]) = {
 
     val numDstBlocks = dstPart.numPartitions
 
@@ -433,32 +549,57 @@ object BlockedALS {
       }, preservesPartitioning = true)
       .persist(storageLevel)
 
-    // routing table: for each dst block, which local rows of this block are
-    // referenced there (ALS.py:331-361)
+    // routing table: for each dst block this in-block actually touches,
+    // which local rows are referenced there (ALS.py:331-361). Sparse on two
+    // axes (wall 5): builders exist only for VISITED dst blocks (was
+    // Array.fill(numDstBlocks) — a dense per-task allocation that blows up
+    // at the 100 TB grid), and the per-row dedup is a last-row stamp on the
+    // builder (was an O(numDstBlocks) Arrays.fill per row — quadratic in
+    // block count). Keys come out sorted, so the per-dst-block index arrays
+    // are exactly the old dense slots minus the empty ones.
     val outBlocks = inBlocks.mapValues { inBlock =>
       val encoder = new LocalIndexEncoder(numDstBlocks)
-      val activeIds = Array.fill(numDstBlocks)(ArrayBuilder.make[Int])
-      val seen = new Array[Boolean](numDstBlocks)
+      val builders = new scala.collection.mutable.LongMap[RoutingBuilder]()
       val n = inBlock.srcIds.length
       var i = 0
       while (i < n) {
-        java.util.Arrays.fill(seen, false)
         var j = inBlock.dstPtrs(i)
         val end = inBlock.dstPtrs(i + 1)
         while (j < end) {
           val blockId = encoder.blockId(inBlock.dstEncodedIndices(j))
-          if (!seen(blockId)) {
-            activeIds(blockId) += i
-            seen(blockId) = true
+          val b = builders.getOrElseUpdate(blockId.toLong, new RoutingBuilder)
+          if (b.lastRow != i) {
+            b.rows += i
+            b.lastRow = i
           }
           j += 1
         }
         i += 1
       }
-      activeIds.map(_.result())
+      val keys = builders.keysIterator.toArray
+      java.util.Arrays.sort(keys)
+      val dstBlockIds = new Array[Int](keys.length)
+      val active = new Array[Array[Int]](keys.length)
+      var k = 0
+      while (k < keys.length) {
+        dstBlockIds(k) = keys(k).toInt
+        active(k) = builders(keys(k)).rows.result()
+        k += 1
+      }
+      OutBlock(dstBlockIds, active)
     }.persist(storageLevel)
 
-    (inBlocks, outBlocks)
+    (inBlocks, outBlocks, bcCounts)
+  }
+
+  /** Per-dst-block accumulator for the out-block routing build: the local
+    * rows referenced in that dst block, plus the last row appended so a row
+    * rating the same dst block several times is recorded once without any
+    * per-row clearing.
+    */
+  private final class RoutingBuilder {
+    val rows: ArrayBuilder[Int] = ArrayBuilder.make[Int]
+    var lastRow: Int = -1
   }
 
   /** Seeded per-block factor initialization: uniform(0,1) entries normalized
@@ -517,16 +658,21 @@ object BlockedALS {
     val ytyOpt: Option[NormalEquation] =
       if (implicitPrefs) Some(computeYtY(srcFactorBlocks, rank)) else None
 
+    // one message per (src block, dst block) pair that shares ≥1 rating —
+    // the sparse OutBlock means pairs with no ratings ship NOTHING (the old
+    // dense table emitted an empty-array message per grid cell: harmless at
+    // 10×10, O(grid) wasted shuffle records at a 100 TB grid)
     val srcOut = srcOutBlocks.join(srcFactorBlocks).flatMap {
       case (srcBlockId, (outBlock, factors)) =>
-        outBlock.iterator.zipWithIndex.map { case (activeIndices, dstBlockId) =>
+        Iterator.tabulate(outBlock.dstBlockIds.length) { k =>
+          val activeIndices = outBlock.activeIndices(k)
           val shipped = new Array[Array[Float]](activeIndices.length)
           var i = 0
           while (i < activeIndices.length) {
             shipped(i) = factors(activeIndices(i))
             i += 1
           }
-          (dstBlockId, (srcBlockId, shipped))
+          (outBlock.dstBlockIds(k), (srcBlockId, shipped))
         }
     }
 

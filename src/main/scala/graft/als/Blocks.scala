@@ -177,6 +177,21 @@ final class ExactUncompressedInBlockBuilder(encoder: LocalIndexEncoder, n: Int) 
   }
 }
 
+/** Sparse out-link routing table for one src block: for each dst block that
+  * this block's rows are actually rated in (`dstBlockIds`, strictly
+  * ascending), the local row indices referenced there (each ascending,
+  * deduplicated per row). Reference: `ALS.py:331-361` builds the dense
+  * per-dst-block form; the dense `Array[Array[Int]]` indexed by dstBlockId
+  * (what this replaced, and what the reference and MLlib both use) allocates
+  * one slot per GRID COLUMN per task — fine at 10×10, fatal at the ~10⁵-10⁶
+  * blocks/side a 100 TB deployment prices out (SCALING §13.7 wall 5).
+  * Sparse also means the factor-shuffle flatMap emits zero messages for
+  * (src, dst) pairs with no ratings instead of shipping empty arrays.
+  */
+case class OutBlock(dstBlockIds: Array[Int], activeIndices: Array[Array[Int]]) {
+  require(dstBlockIds.length == activeIndices.length)
+}
+
 /** CSR-compressed in-link block: all ratings received by one block, grouped
   * by (unique, sorted) src id. `dstPtrs` is the row-pointer array:
   * the ratings of `srcIds(i)` live at `[dstPtrs(i), dstPtrs(i+1))`.

@@ -941,6 +941,15 @@ object Queries {
     * rank-axis solver bug (wrong scratch reuse, wrong λ·n scaling at
     * k=32) empties the oracle side and fails the gate as a rows mismatch.
     * A NaN/Inf guard rides the same clause (NaN MSE fails the <=).
+    *
+    * The clause carries 5% slack (mse32 ≤ 1.05·mse8): 5-iteration
+    * non-convex ALS doesn't GUARANTEE more capacity fits better — it
+    * holds comfortably on the pinned seed/data (r16: mse32 well under
+    * mse8), but a protocol change (seed, maxIter, tier) could flip a
+    * knife-edge ≤ and surface as an opaque full-rows mismatch. With the
+    * slack, a trip means a real rank-axis solver regression (those are
+    * multiples, not percents — the r15 bug was 1.47×), not a capacity
+    * coin-flip (round-16 advice).
     */
   val alsRank32Factors: QueryDef = QueryDef.withOracle(
     s"""WITH uids AS ($duckRatingsUserIds),
@@ -970,7 +979,7 @@ object Queries {
        |FROM grid g LEFT JOIN
        |  read_parquet('{{OUT}}/als_rank32_factors/*.parquet') f
        |  ON f.side = g.side AND f.id = g.id AND f.pos = g.pos
-       |WHERE (SELECT m FROM mse32) <= (SELECT m FROM mse8)
+       |WHERE (SELECT m FROM mse32) <= (SELECT m FROM mse8) * 1.05
        |ORDER BY g.side, g.id, g.pos""".stripMargin) { (s, dir) =>
     val m = rank32Model(s, dir)
     m.userFactors

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** THROWAWAY probe (test scope): per-stage step table for the
+  * MinHash-LSH near-dup pipeline at a scale tier — answers round-16
+  * verdict #3 ("dedup_minhash_keepers reads 3.1×/decade at ×10→×100 but
+  * 5.1× at ×100→×1000 — name the growing term") by timing each stage of
+  * `Dedup.minhashNearDups`' exact dataflow separately:
+  *
+  *   1. shingle      — scan + shingle + array_distinct (persisted frame)
+  *   2. signatures   — shingle explode → 64 xxhash64 min-aggs → sig array
+  *   3. banding      — 16-band explode + bucket hash (persisted frame)
+  *   4. candidates   — intra-bucket self-join + pair distinct
+  *   5. verify       — exact-Jaccard join over the shingle arrays
+  *
+  * Each stage is forced with a noop write/count in order, so stage N's
+  * time excludes stages < N (their frames are persisted + materialized).
+  * Run per tier in a fresh JVM: sbt "Test/runMain graft.MinhashStepProbe [sfDir]"
+  */
+object MinhashStepProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val numHashes = 64
+    val numBands = 16
+    val rowsPerBand = numHashes / numBands
+    val threshold = 0.7
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[step] $label%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    val shingled = graft.ops.Dedup.shingleFrame(docs).persist()
+    val nDocs = timed("shingle")(shingled.count())
+
+    val withSig = graft.ops.Dedup.XxHash64Minhash.signatures(
+      shingled.select(col("id"), explode(col("sh")).as("s")), numHashes)
+      .persist()
+    timed("signatures")(withSig.count())
+
+    val banded = withSig.select(
+      col("id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b => struct(
+            b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
+    timed("banding")(banded.count())
+
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+      .persist()
+    val nCands = timed("candidates")(candidates.count())
+
+    val verified = candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+    val nPairs = timed("verify")(verified.count())
+
+    println(s"[step] docs=$nDocs candidates=$nCands verified_pairs=$nPairs")
+    spark.stop()
+  }
+}

@@ -87,16 +87,29 @@ class MakeBlocksParitySpec extends AnyFunSuite with SparkFixture {
       val ratings = spark.sparkContext.parallelize(randomRatings(n, 40, 30, seed), 4)
       val srcPart = new HashPartitioner(numSrc)
       val dstPart = new HashPartitioner(numDst)
+      // persist + materialize the tiles so both paths below consume the
+      // SAME tile contents in the same order: the reduce-side tile merge
+      // order is only scheduling-deterministic, so recomputing the tiles
+      // per path would rest the bit-level assertion on luck
       val tiles = BlockedALS.partitionRatings(ratings, srcPart, dstPart)
-      val (inBlocks, outBlocks) = BlockedALS.makeBlocks(
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      tiles.count()
+      val (inBlocks, outBlocks, bcCounts) = BlockedALS.makeBlocks(
         tiles, srcPart, dstPart, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val actual = inBlocks.collect().toMap
       val expected = makeBlocksGrouped(tiles, numSrc, numDst)
       assertInBlocksIdentical(actual, expected)
-      // out-blocks derive from in-blocks, so identity carries over; assert anyway
+      // out-blocks derive from in-blocks, so identity carries over; assert
+      // the sparse-table invariants anyway
       val out = outBlocks.collect().toMap
       assert(out.keySet == actual.keySet)
-      inBlocks.unpersist(); outBlocks.unpersist()
+      out.foreach { case (_, ob) =>
+        assert(ob.dstBlockIds.sameElements(ob.dstBlockIds.sorted.distinct))
+        assert(ob.dstBlockIds.forall(id => id >= 0 && id < numDst))
+        assert(ob.activeIndices.forall(_.nonEmpty))
+      }
+      tiles.unpersist(); inBlocks.unpersist(); outBlocks.unpersist()
+      bcCounts.unpersist()
     }
   }
 

@@ -19,6 +19,7 @@ exec java \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx8g -XX:ReservedCodeCacheSize=512m \
+  -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
   ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLASS" "$@"
