@@ -165,17 +165,28 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact shingle-set Jaccard over the full
-    // shingle arrays. Unlike the ngram tier, this stays the string-array
-    // join at EVERY scale: the shingled cache must exist anyway (the
-    // signatures derive from it), LSH candidates are bucket-bounded and
-    // broadcast, and the measured record shows no verify wall (the row
-    // reads 77.9 s at the ×1000 tier with this plan). A ×100-tier detour
-    // through the hashed-postings verify regressed the row 2× — it
-    // re-derives 10⁷ postings the array cache already holds.
+    // verify candidates with exact shingle-set Jaccard — computed over the
+    // xxhash64 image of each shingle array, derived INLINE from the
+    // persisted string frame (no extra cache, no lifecycle change).
+    // Jaccard over hashed shingles equals Jaccard over the shingles
+    // themselves absent 2⁻⁶⁴-scale collisions (intersect/union sizes are
+    // what matter), and the hashed arrays are ~4× narrower (~800 B vs
+    // ~3 KB per doc), so the join ships/sorts a fraction of the bytes and
+    // `array_intersect`/`array_union` compare longs instead of strings.
+    // Measured (minhash_steps_x1000_r17.json): at the ×1000 tier the
+    // string-array verify was the pipeline's dominant and steepest term
+    // (~118 s incremental vs ~0 at ×100 — the 15 GB string cache leaves
+    // the storage pool and every sort/compare touches wide rows); the
+    // hashed verify reads ~3× lower in the same window. This is NOT the
+    // ×100-measured hashed-POSTINGS detour that regressed the row 2× in
+    // r16 (it re-derived 10⁷ postings the array cache already holds) —
+    // the shingle SETS still come straight from the cache, only their
+    // element representation shrinks.
+    val hashedSh = shingled.select(
+      col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
     val verified = candidates
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(hashedSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashedSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

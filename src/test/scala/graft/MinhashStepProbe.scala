@@ -46,13 +46,29 @@ object MinhashStepProbe {
 
     val docs = Tables.load(spark, sfDir, "documents")
 
+    // absorb session cold cost (parquet reader init, codegen, shuffle
+    // machinery) before the stage table — ScratchBench warmup discipline
+    timed("warmup")(docs.groupBy(length(col("text")).as("l")).count()
+      .write.format("noop").mode("overwrite").save())
+
+    // PRODUCTION CACHE DISCIPLINE (first probe cut persisted every stage,
+    // which evicted the MEMORY_ONLY shingle cache at ×1000 and silently
+    // turned the verify timing into a full re-shingle — only shingled and
+    // banded are persisted, exactly like minhashNearDups; later stages are
+    // attributed incrementally)
     val shingled = graft.ops.Dedup.shingleFrame(docs).persist()
     val nDocs = timed("shingle")(shingled.count())
 
-    val withSig = graft.ops.Dedup.XxHash64Minhash.signatures(
+    // family switch: the production default is XxHash64Minhash; the GATE
+    // row (dedup_minhash_keepers) runs PortableMinhash (md5-derived, so
+    // DuckDB can replay it) — decompose whichever is asked for
+    val family: graft.ops.Dedup.MinhashFamily =
+      if (sys.env.get("SPARK_GRAFT_PROBE_FAMILY").contains("portable"))
+        graft.queries.PortableMinhash
+      else graft.ops.Dedup.XxHash64Minhash
+    val withSig = family.signatures(
       shingled.select(col("id"), explode(col("sh")).as("s")), numHashes)
-      .persist()
-    timed("signatures")(withSig.count())
+    timed("signatures")(withSig.write.format("noop").mode("overwrite").save())
 
     val banded = withSig.select(
       col("id"),
@@ -65,6 +81,9 @@ object MinhashStepProbe {
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .persist()
+    // includes one signature recompute (banded derives from withSig, which
+    // is deliberately NOT persisted — production doesn't); banding_incr =
+    // this minus the signatures row
     timed("banding")(banded.count())
 
     val candidates = banded.as("x")
@@ -74,7 +93,6 @@ object MinhashStepProbe {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-      .persist()
     val nCands = timed("candidates")(candidates.count())
 
     val verified = candidates
@@ -84,9 +102,27 @@ object MinhashStepProbe {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
+    // recomputes candidates from the persisted banded (production shape:
+    // candidates are never persisted); verify_incr = this minus candidates
     val nPairs = timed("verify")(verified.count())
 
-    println(s"[step] docs=$nDocs candidates=$nCands verified_pairs=$nPairs")
+    // LEVER PROBE: same verify join over xxhash64-compressed shingle
+    // arrays (≈800 B/doc of longs vs ≈3 KB of strings — the variant that
+    // would keep the verify side inside the storage pool ~4× longer).
+    // Jaccard over hashed shingles equals Jaccard over shingles absent
+    // 2⁻⁶⁴-scale collisions.
+    val hashedSh = shingled.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("sh"))
+    val verifiedHashed = candidates
+      .join(hashedSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashedSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+    val nPairsH = timed("verify_hashed")(verifiedHashed.count())
+
+    println(s"[step] docs=$nDocs candidates=$nCands verified_pairs=$nPairs hashed_pairs=$nPairsH")
     spark.stop()
   }
 }
