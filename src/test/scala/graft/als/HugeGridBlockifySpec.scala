@@ -77,6 +77,30 @@ class HugeGridBlockifySpec extends AnyFunSuite with SparkFixture {
     assert(tileMap(maxLiveTiles = 8) == tileMap(maxLiveTiles = Int.MaxValue))
   }
 
+  test("full fit works on a mostly-empty block grid (sparse out-blocks in train)") {
+    // 120×120 = 14.4k grid cells over ≤4k distinct rating pairs: >70% of
+    // (src, dst) block pairs are EMPTY, so the whole iteration loop runs
+    // on sparse out-blocks that skip them (the dense table shipped an
+    // empty message per cell). The >64k-cell cap-binding path is pinned
+    // at the blockify level above (a capped fit is cluster-normal but
+    // local-mode-slow: 64k reduce tasks is scheduling, not compute).
+    val rng = new scala.util.Random(31)
+    val rows = Seq.tabulate(4000) { i =>
+      Rating((i % 200).toLong, rng.nextInt(150).toLong, 1f + rng.nextInt(5))
+    }
+    val ratings = spark.sparkContext.parallelize(rows, 4)
+    val cfg = BlockedALS.Config(rank = 4, numUserBlocks = 120, numItemBlocks = 120,
+      maxIter = 2, regParam = 0.1, seed = 5L)
+    val (userFactors, itemFactors) = BlockedALS.train(ratings, cfg)
+    val users = userFactors.collect().toMap
+    val items = itemFactors.collect().toMap
+    assert(users.keySet == rows.map(_.user).toSet)
+    assert(items.keySet == rows.map(_.item).toSet)
+    assert(users.values.forall(f => f.length == 4 && f.forall(v => !v.isNaN && !v.isInfinite)))
+    assert(items.values.forall(f => f.length == 4 && f.forall(v => !v.isNaN && !v.isInfinite)))
+    userFactors.unpersist(); itemFactors.unpersist()
+  }
+
   test("gridAdvisory fires only when a block overshoots the auto budget") {
     // 10M ratings in one block at rank 8: 10M × 68 B = ~680 MB > 256 MB
     val fat = Map(0 -> 10000000L, 1 -> 1000L)
