@@ -111,6 +111,17 @@ object BlockedALS {
     */
   private[als] val TileShufflePartitionFloor: Int = 1 << 16
 
+  /** Largest src-block count for which the per-task src-factor lookup in
+    * [[computeFactors]] stays a dense array (512 KB of refs per task at the
+    * cap — O(1) per-rating access on the hot path). Above it the lookup is
+    * a sparse LongMap over the VISITED src blocks, so per-task memory
+    * matches the sparse OutBlock design at huge grids (~8 MB/task of dead
+    * refs at the 10⁶-blocks/side 100 TB grid otherwise). Never reached at
+    * the tested grids (≤152 blocks/side), so the sparse path changes
+    * nothing below the scale it exists for.
+    */
+  private[als] val DenseSrcFactorLookupMax: Int = 1 << 16
+
   /** Sentinel for [[Config.numUserBlocks]]/[[Config.numItemBlocks]]: size
     * the block grid from data volume (one `count()` pass over the raw
     * ratings, paid only when auto is requested).
@@ -162,7 +173,8 @@ object BlockedALS {
       rank: Int,
       parallelism: Int,
       numUserBlocks: Int,
-      numItemBlocks: Int): Option[String] = {
+      numItemBlocks: Int,
+      side: String = "user"): Option[String] = {
     if (blockCounts.isEmpty) return None
     val bytesPerRating = 36L + 4L * rank
     val maxBlockBytes = blockCounts.values.max * bytesPerRating
@@ -171,9 +183,9 @@ object BlockedALS {
       val total = blockCounts.values.sum
       val rec = autoBlockCount(total, rank, parallelism)
       Some(s"configured block grid ${numUserBlocks}x$numItemBlocks puts up to " +
-        s"${maxBlockBytes >> 20} MB in one block's iteration working set " +
-        s"(auto budget ${TargetBlockBytes >> 20} MB/block); at this volume " +
-        s"numUserBlocks=numItemBlocks=AutoBlocks would use $rec blocks per " +
+        s"${maxBlockBytes >> 20} MB in one $side block's iteration working " +
+        s"set (auto budget ${TargetBlockBytes >> 20} MB/block); at this " +
+        s"volume $side blocks=AutoBlocks would use $rec blocks on that " +
         "side — fixed grids that overshoot the budget OOM the in-block " +
         "build long before the solver (SCALING §12.7 wall 2)")
     }
@@ -181,6 +193,14 @@ object BlockedALS {
 
   type FactorBlocks = RDD[(Int, Array[Array[Float]])]
   type OutBlocks = RDD[(Int, OutBlock)]
+
+  /** Spec observability only: the shuffle ledger of the most recent `train`
+    * call on this JVM (ShuffleReapSpec asserts on the concrete reaped ids,
+    * which stays correct even when other suites share the SparkContext).
+    * Not part of the training contract; last-writer-wins under concurrent
+    * fits.
+    */
+  @volatile private[graft] var lastLedgerForTest: ShuffleLedger = _
 
   /** Trains the model; returns (userId→factor, itemId→factor) RDDs, both
     * persisted at `finalStorageLevel`. Reference flow: `ALS.py:39-191`.
@@ -218,13 +238,16 @@ object BlockedALS {
       makeBlocks(blockRatings, userPart, itemPart, cfg.intermediateStorageLevel)
     userOutBlocks.count() // materialize (ALS.py:73)
 
-    // Pre-diagnose wall 2 for callers on a FIXED grid (auto mode already
-    // right-sizes): the block counts are already on the driver (makeBlocks'
+    // Pre-diagnose wall 2 for callers with a FIXED side (auto sides already
+    // right-size): the block counts are already on the driver (makeBlocks'
     // count pre-pass), so checking the biggest block against the auto
-    // rule's budget is free.
-    if (cfg.numUserBlocks != AutoBlocks && cfg.numItemBlocks != AutoBlocks) {
+    // rule's budget is free. Each side is checked independently — a mixed
+    // fixed/auto config still gets its fixed side audited, and a skewed fat
+    // ITEM block (one very popular item) is caught below by the item-side
+    // check after the item makeBlocks call.
+    if (cfg.numUserBlocks != AutoBlocks) {
       gridAdvisory(userBcCounts.value, cfg.rank, sc.defaultParallelism,
-        numUserBlocks, numItemBlocks).foreach { msg =>
+        numUserBlocks, numItemBlocks, side = "user").foreach { msg =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
     }
@@ -239,6 +262,13 @@ object BlockedALS {
     val (itemInBlocks, itemOutBlocks, itemBcCounts) =
       makeBlocks(swappedBlockRatings, itemPart, userPart, cfg.intermediateStorageLevel)
     itemOutBlocks.count()
+
+    if (cfg.numItemBlocks != AutoBlocks) {
+      gridAdvisory(itemBcCounts.value, cfg.rank, sc.defaultParallelism,
+        numUserBlocks, numItemBlocks, side = "item").foreach { msg =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
 
     // blockRatings' persisted copy is dead weight from here on: both block
     // structures are materialized above, and an evicted in/out-block
@@ -258,6 +288,19 @@ object BlockedALS {
 
     val userEncoder = new LocalIndexEncoder(userPart.numPartitions)
     val itemEncoder = new LocalIndexEncoder(itemPart.numPartitions)
+
+    // Iteration-scoped shuffle cleanup (wall 3's scratch high-water): each
+    // half-step's factor-routing shuffle is O(distinct (entity, dst-block)
+    // pairs × rank) on disk — ~13 GB per half-step at 600M ratings — and a
+    // checkpoint cut only makes retired shuffles GC-COLLECTABLE; actual
+    // file deletion waits for a driver GC that three of four ×1000 runs
+    // did not get in time (ENOSPC, als_x1000_wall5_r17.json). The ledger
+    // deletes retired ids deterministically at each cut; the block
+    // structures' own shuffles are protected for the fit's lifetime.
+    val blockStructures: Seq[RDD[_]] =
+      Seq(userInBlocks, userOutBlocks, itemInBlocks, itemOutBlocks)
+    val ledger = new ShuffleLedger(sc, blockStructures)
+    lastLedgerForTest = ledger
 
     var userFactors = initialize(userInBlocks, cfg.rank, cfg.seed)
     var itemFactors = initialize(itemInBlocks, cfg.rank, cfg.seed * 2 + 1)
@@ -294,12 +337,23 @@ object BlockedALS {
         val previousItemFactors = itemFactors
         itemFactors = computeFactors(userFactors, userOutBlocks, itemInBlocks,
           cfg.rank, cfg.regParam, userEncoder, implicitPrefs = true, cfg.alpha, solver)
+        ledger.track(itemFactors)
         previousItemFactors.unpersist()
         itemFactors.persist(cfg.intermediateStorageLevel)
-        if (shouldCheckpoint(iter)) { itemFactors.checkpoint() }
+        if (shouldCheckpoint(iter)) {
+          itemFactors.checkpoint()
+          // materialize the cut NOW (cache fill + checkpoint write +
+          // lineage truncation) so the sweep below sees the truncated
+          // graph; without this the checkpoint only lands inside the next
+          // half-step's YᵀY action and the retired shuffles would survive
+          // a full extra iteration of scratch
+          itemFactors.count()
+          ledger.sweep(itemFactors +: userFactors +: blockStructures)
+        }
         val previousUserFactors = userFactors
         userFactors = computeFactors(itemFactors, itemOutBlocks, userInBlocks,
           cfg.rank, cfg.regParam, itemEncoder, implicitPrefs = true, cfg.alpha, solver)
+        ledger.track(userFactors)
         previousUserFactors.unpersist()
       }
     } else {
@@ -310,15 +364,22 @@ object BlockedALS {
       for (iter <- 0 until cfg.maxIter) {
         itemFactors = computeFactors(userFactors, userOutBlocks, itemInBlocks,
           cfg.rank, cfg.regParam, userEncoder, implicitPrefs = false, cfg.alpha, solver)
+        ledger.track(itemFactors)
         if (shouldCheckpoint(iter)) {
           itemFactors.persist(cfg.intermediateStorageLevel)
           itemFactors.checkpoint()
           itemFactors.count()
           previousCachedItemFactors.foreach(_.unpersist())
           previousCachedItemFactors = Some(itemFactors)
+          // itemFactors is persisted AND checkpointed (eviction re-reads
+          // the checkpoint files, not lineage), and the pre-cut userFactors
+          // generation is never read again, so every factor shuffle behind
+          // this cut — including this half-step's own — is dead
+          ledger.sweep(itemFactors +: blockStructures)
         }
         userFactors = computeFactors(itemFactors, itemOutBlocks, userInBlocks,
           cfg.rank, cfg.regParam, itemEncoder, implicitPrefs = false, cfg.alpha, solver)
+        ledger.track(userFactors)
       }
       // the last checkpointed generation is an ancestor of the final model;
       // safe to free only after the final factors materialize below — defer
@@ -361,6 +422,17 @@ object BlockedALS {
     // would turn that recovery into a hard SparkException).
     userBcCounts.unpersist()
     itemBcCounts.unpersist()
+
+    // Final sweep: with the model materialized, anything behind the last
+    // checkpoint that a cut-time sweep could not yet prove dead (e.g. an
+    // implicit-path cut whose truncation landed after the sweep) is dead
+    // now. Post-last-cut factor shuffles stay: the persisted model's
+    // lineage reaches them, and a lost-partition recompute needs them.
+    ledger.sweep(Seq(userIdAndFactors, itemIdAndFactors))
+    if (ledger.reaped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"shuffle ledger: reaped ${ledger.reaped} retired factor-routing " +
+          "shuffles mid-fit (iteration-scoped scratch cleanup)")
 
     (userIdAndFactors, itemIdAndFactors)
   }
@@ -652,7 +724,24 @@ object BlockedALS {
       srcEncoder: LocalIndexEncoder,
       implicitPrefs: Boolean,
       alpha: Double,
-      solver: LeastSquaresNESolver): FactorBlocks = {
+      solver: LeastSquaresNESolver): FactorBlocks =
+    computeFactors(srcFactorBlocks, srcOutBlocks, dstInBlocks, rank, regParam,
+      srcEncoder, implicitPrefs, alpha, solver, DenseSrcFactorLookupMax)
+
+  /** Threshold-injectable variant (specs force the sparse lookup with a
+    * tiny cap; production uses [[DenseSrcFactorLookupMax]]).
+    */
+  private[als] def computeFactors(
+      srcFactorBlocks: FactorBlocks,
+      srcOutBlocks: OutBlocks,
+      dstInBlocks: RDD[(Int, InBlock)],
+      rank: Int,
+      regParam: Double,
+      srcEncoder: LocalIndexEncoder,
+      implicitPrefs: Boolean,
+      alpha: Double,
+      solver: LeastSquaresNESolver,
+      maxDenseLookup: Int): FactorBlocks = {
 
     val numSrcBlocks = srcFactorBlocks.partitions.length
     val ytyOpt: Option[NormalEquation] =
@@ -679,9 +768,24 @@ object BlockedALS {
     val merged = srcOut.groupByKey(new HashPartitioner(dstInBlocks.partitions.length))
 
     dstInBlocks.join(merged).mapValues { case (inBlock, srcFactorMsgs) =>
-      val sortedSrcFactors = new Array[Array[Array[Float]]](numSrcBlocks)
+      // src-block → shipped-factors lookup. Dense array below the cap
+      // (O(1) per-rating access, the hot path at every tested grid: 512 KB
+      // of refs per task at the 64k cap), sparse LongMap above it so
+      // per-task memory tracks VISITED src blocks — the dense form is
+      // O(blocks/side) per task, ~8 MB at the 10⁶-blocks/side grid the
+      // wall-5 work prices for 100 TB, inconsistent with the sparse
+      // OutBlock story (ADVICE r17). Same factors either way; pinned by
+      // SparseSrcFactorLookupSpec.
+      val denseSrcFactors: Array[Array[Array[Float]]] =
+        if (numSrcBlocks <= maxDenseLookup) new Array[Array[Array[Float]]](numSrcBlocks)
+        else null
+      val sparseSrcFactors: scala.collection.mutable.LongMap[Array[Array[Float]]] =
+        if (denseSrcFactors == null)
+          new scala.collection.mutable.LongMap[Array[Array[Float]]]()
+        else null
       srcFactorMsgs.foreach { case (srcBlockId, factors) =>
-        sortedSrcFactors(srcBlockId) = factors
+        if (denseSrcFactors != null) denseSrcFactors(srcBlockId) = factors
+        else sparseSrcFactors.update(srcBlockId.toLong, factors)
       }
       val n = inBlock.srcIds.length
       val dstFactors = new Array[Array[Float]](n)
@@ -697,7 +801,9 @@ object BlockedALS {
           val encoded = inBlock.dstEncodedIndices(i)
           val blockId = srcEncoder.blockId(encoded)
           val localIndex = srcEncoder.localIndex(encoded)
-          val srcFactor = sortedSrcFactors(blockId)(localIndex)
+          val srcFactor =
+            (if (denseSrcFactors != null) denseSrcFactors(blockId)
+             else sparseSrcFactors(blockId.toLong))(localIndex)
           val rating = inBlock.ratings(i)
           if (implicitPrefs) {
             // Hu-Koren-Volinsky confidence weighting (ALS.py:511-515):

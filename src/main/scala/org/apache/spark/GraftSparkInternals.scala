@@ -1,0 +1,53 @@
+package org.apache.spark
+
+/** Narrow, documented bridge to two `private[spark]` surfaces the ALS
+  * kernel's iteration-scoped shuffle cleanup needs (SCALING §12.11 wall 4 /
+  * §13.x wall 3: retired factor-routing shuffles must be DELETED mid-fit,
+  * not merely become GC-collectable). Lives in `org.apache.spark` solely
+  * for access; uses only stable driver-side plumbing:
+  *
+  *   - [[ContextCleaner.doCleanupShuffle]] — the exact routine the
+  *     weak-reference cleaner runs when a [[ShuffleDependency]] is GC'd
+  *     (unregister map outputs, drop shuffle files on every block manager).
+  *     Calling it eagerly for a shuffle id that is provably unreachable
+  *     from every live RDD lineage is semantically identical to what the
+  *     cleaner would eventually do; it just happens at the checkpoint cut
+  *     instead of at the next driver GC. This is the same call the public
+  *     `RDD.cleanShuffleDependencies` API makes — that API walks one RDD's
+  *     lineage, whereas the kernel needs a reap over an explicit retired
+  *     set (see `ShuffleLedger`), so we bind to the underlying routine.
+  *   - `MapOutputTrackerMaster.shuffleStatuses` keys — read-only view of
+  *     the registered shuffle ids, used by specs to assert that retired
+  *     shuffles are actually gone (and that protected ones are not).
+  *
+  * Repeated cleanup of the same id is harmless (the cleaner may later GC
+  * the same dependency; all downstream removals are idempotent), which is
+  * why eager reaping composes with the normal GC-driven path.
+  */
+object GraftSparkInternals {
+
+  /** Eagerly runs the context cleaner's shuffle-removal routine for each
+    * id. No-op (returns 0) when the cleaner is disabled
+    * (`spark.cleaner.referenceTracking=false`).
+    */
+  def reapShuffles(
+      sc: SparkContext,
+      shuffleIds: Iterable[Int],
+      blocking: Boolean = false): Int =
+    sc.cleaner match {
+      case Some(cleaner) =>
+        var n = 0
+        shuffleIds.foreach { id => cleaner.doCleanupShuffle(id, blocking); n += 1 }
+        n
+      case None => 0
+    }
+
+  /** Shuffle ids currently registered with the driver's map-output tracker
+    * (test observability for the reap path).
+    */
+  def registeredShuffleIds(sc: SparkContext): Set[Int] =
+    SparkEnv.get.mapOutputTracker match {
+      case m: MapOutputTrackerMaster => m.shuffleStatuses.keySet.toSet
+      case _ => Set.empty
+    }
+}

@@ -95,6 +95,13 @@ object AlsBlocksX1000Probe {
       seed = 7L).fit(ratings)
     model.userFactors.write.format("noop").mode("overwrite").save()
     val tTrain = (System.nanoTime() - t1) / 1e9
+    // r18 wall-3 fix observability: how many retired factor-routing
+    // shuffles the ledger deleted mid-fit (deterministic, vs the GC-timed
+    // ContextCleaner path that ENOSPC'd three of four r17 attempts)
+    Option(graft.als.BlockedALS.lastLedgerForTest).foreach { ledger =>
+      println(s"[probe] shuffle ledger: reaped ${ledger.reaped} retired " +
+        "factor shuffles mid-fit")
+    }
     val users = model.userFactors.count()
     val items = model.itemFactors.count()
     println(f"[probe] x1000 train blocks=$blocks implicit=$implicitPrefs: $tTrain%.1f s " +

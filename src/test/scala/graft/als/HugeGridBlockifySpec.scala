@@ -119,6 +119,12 @@ class HugeGridBlockifySpec extends AnyFunSuite with SparkFixture {
     val atBudget = (BlockedALS.TargetBlockBytes / 68L)
     assert(BlockedALS.gridAdvisory(Map(0 -> atBudget), 8, 32, 2, 2).isEmpty)
     assert(BlockedALS.gridAdvisory(Map(0 -> (atBudget + 1)), 8, 32, 2, 2).isDefined)
+    // per-side labels (r17 ADVICE: the item side is audited too — a skewed
+    // fat ITEM block OOMs the item in-block build exactly like a user one)
+    assert(msg.get.contains("user block"))
+    val itemMsg = BlockedALS.gridAdvisory(fat, rank = 8, parallelism = 32,
+      numUserBlocks = 2, numItemBlocks = 2, side = "item")
+    assert(itemMsg.isDefined && itemMsg.get.contains("item block"))
   }
 
   private object RatingOrdering extends Ordering[Rating] {
