@@ -169,7 +169,7 @@ object BlockedALS {
     * for the exact-size in-block build.
     */
   private[als] def gridAdvisory(
-      blockCounts: scala.collection.Map[Int, Long],
+      blockCounts: Array[Long],
       rank: Int,
       parallelism: Int,
       numUserBlocks: Int,
@@ -177,10 +177,10 @@ object BlockedALS {
       side: String = "user"): Option[String] = {
     if (blockCounts.isEmpty) return None
     val bytesPerRating = 36L + 4L * rank
-    val maxBlockBytes = blockCounts.values.max * bytesPerRating
+    val maxBlockBytes = blockCounts.max * bytesPerRating
     if (maxBlockBytes <= TargetBlockBytes) None
     else {
-      val total = blockCounts.values.sum
+      val total = blockCounts.sum
       val rec = autoBlockCount(total, rank, parallelism)
       Some(s"configured block grid ${numUserBlocks}x$numItemBlocks puts up to " +
         s"${maxBlockBytes >> 20} MB in one $side block's iteration working " +
@@ -540,7 +540,7 @@ object BlockedALS {
       dstPart: Partitioner,
       storageLevel: StorageLevel)
     : (RDD[(Int, InBlock)], OutBlocks,
-       org.apache.spark.broadcast.Broadcast[scala.collection.Map[Int, Long]]) = {
+       org.apache.spark.broadcast.Broadcast[Array[Long]]) = {
 
     val numDstBlocks = dstPart.numPartitions
 
@@ -577,15 +577,26 @@ object BlockedALS {
     // ArrayBuilders + result copy), which is why ×1000 needed 3 GB/core;
     // streaming tiles into exact arrays bounds the task transient at the
     // final block size + one in-flight tile, so every core can build.
-    val blockCounts: scala.collection.Map[Int, Long] = ratingBlocks
+    // Wall 6 (SCALING §13.8): the per-block totals live in ONE primitive
+    // Array[Long] indexed by the dense block id — 8 B/slot on the driver
+    // and per executor — not the boxed Map[Int, Long] that collectAsMap
+    // returns (87 B/entry measured via SizeEstimator: 366 MB/side of
+    // driver + per-executor broadcast heap at the §13.7 100 TB grid vs
+    // 33.5 MB for the array — BlockCountFootprintProbe). Block ids are
+    // 0..numPartitions-1 by the partitioner contract, so the dense index
+    // is total; blocks with no ratings read 0 and are never looked up
+    // (no tile carries their id).
+    val blockCounts = new Array[Long](srcPart.numPartitions)
+    ratingBlocks
       .map { case ((srcBlockId, _), block) => (srcBlockId, block.size.toLong) }
       .reduceByKey(_ + _)
-      .collectAsMap()
-    blockCounts.foreach { case (srcBlockId, n) =>
-      require(n <= Int.MaxValue,
-        s"src block $srcBlockId holds $n ratings (> Int.MaxValue): raise the " +
-          "block count so each block's entries fit Int-indexed arrays")
-    }
+      .collect()
+      .foreach { case (srcBlockId, n) =>
+        require(n <= Int.MaxValue,
+          s"src block $srcBlockId holds $n ratings (> Int.MaxValue): raise the " +
+            "block count so each block's entries fit Int-indexed arrays")
+        blockCounts(srcBlockId) = n
+      }
     val bcCounts = ratingBlocks.sparkContext.broadcast(blockCounts)
 
     val inBlocks = keyed

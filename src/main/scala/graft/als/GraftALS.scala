@@ -12,13 +12,23 @@ import org.apache.spark.storage.StorageLevel
   * a DataFrame with configurable user/item/rating columns and the output
   * model exposes `userFactors`/`itemFactors` DataFrames plus a Catalyst-plan
   * `transform` (scoring joins + codegen'd dot product).
+  *
+  * The block grid defaults to [[BlockedALS.AutoBlocks]] on both sides: the
+  * estimator sizes the grid from data volume (one extra `count()` over the
+  * ratings) so a default-constructed fit lands inside the per-block byte
+  * budget at any scale — a fixed grid that undershoots the data OOMs the
+  * in-block build long before the solver (SCALING §12.7 wall 2), and no
+  * caller should have to know the sizing rule to avoid that. The kernel
+  * [[BlockedALS.Config]] keeps the reference's fixed 10×10 default for
+  * parity; explicit fixed grids remain settable here and still get the
+  * per-side `gridAdvisory` warning when they overshoot the budget.
   */
 case class GraftALS(
     rank: Int = 10,
     maxIter: Int = 10,
     regParam: Double = 0.01,
-    numUserBlocks: Int = 10,
-    numItemBlocks: Int = 10,
+    numUserBlocks: Int = BlockedALS.AutoBlocks,
+    numItemBlocks: Int = BlockedALS.AutoBlocks,
     implicitPrefs: Boolean = false,
     alpha: Double = 1.0,
     nonnegative: Boolean = false,

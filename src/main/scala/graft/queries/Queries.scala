@@ -990,6 +990,75 @@ object Queries {
           posexplode(col("features")).as(Seq("pos", "value"))))
   }.sortedDump("side", "id", "pos")
 
+  /** Rank-64 training run, cached like [[rank32Model]]. Rank 64 is where
+    * the round-15 solver-scratch regression actually bit (1.47×-MLlib wall
+    * time, invisible below rank 32 because the Gramian/solve term only
+    * dominates there) — this model puts that rank in the standing gate,
+    * not just the head-to-head protocol tier (round-17 verdict #7).
+    */
+  private val rank64ModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), GraftALSModel]
+
+  private[graft] def rank64Model(s: SparkSession, dir: String): GraftALSModel =
+    rank64ModelCache.getOrElseUpdate((sessionKey(s), dir), {
+      GraftALS(
+        rank = 64, maxIter = 5, regParam = 0.1,
+        numUserBlocks = 8, numItemBlocks = 8,
+        userCol = "user_id", itemCol = "item_id", ratingCol = "rating",
+        seed = 42L, checkpointInterval = 2)
+        .fit(ratingsDF(s, dir))
+    })
+
+  /** Both factor halves of the rank-64 run — the same membership +
+    * capacity-ENFORCING oracle shape as [[alsRank32Factors]], one rank
+    * tier up: the (side × ids × 64 positions) grid is derived
+    * independently, and the oracle replays the rank-64 training-set MSE
+    * from this dump and returns rows only while it fits at least as well
+    * as the rank-8 run (same 5% non-convexity slack, same rationale — a
+    * trip is a rank-axis solver regression, which historically shows up
+    * as a multiple, not a percent). The r15 scratch-churn class of bug
+    * regressed AT rank 64 specifically; this row makes that class
+    * gate-visible at the rank where it bit.
+    */
+  val alsRank64Factors: QueryDef = QueryDef.withOracle(
+    s"""WITH uids AS ($duckRatingsUserIds),
+       |iids AS ($duckRatingsItemIds),
+       |pp AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS pos),
+       |grid AS (
+       |  SELECT 'u' AS side, uids.id, pp.pos FROM uids CROSS JOIN pp
+       |  UNION ALL
+       |  SELECT 'i' AS side, iids.id, pp.pos FROM iids CROSS JOIN pp),
+       |ratings AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS rating
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |${duckFactorCte("uf64", "als_rank64_factors", "u", 64, "WHERE side = 'u'")},
+       |${duckFactorCte("if64", "als_rank64_factors", "i", 64, "WHERE side = 'i'")},
+       |${duckFactorCte("uf8", "als_user_factors", "u")},
+       |${duckFactorCte("if8", "als_item_factors", "i")},
+       |mse64 AS (
+       |  SELECT AVG(POW(${duckFactorDot("u", "i", 64)} - r.rating, 2)) AS m
+       |  FROM ratings r JOIN uf64 ON r.user_id = uf64.id
+       |    JOIN if64 ON r.item_id = if64.id),
+       |mse8 AS (
+       |  SELECT AVG(POW(${duckFactorDot("u", "i")} - r.rating, 2)) AS m
+       |  FROM ratings r JOIN uf8 ON r.user_id = uf8.id
+       |    JOIN if8 ON r.item_id = if8.id)
+       |SELECT g.side, g.id, g.pos, f.value
+       |FROM grid g LEFT JOIN
+       |  read_parquet('{{OUT}}/als_rank64_factors/*.parquet') f
+       |  ON f.side = g.side AND f.id = g.id AND f.pos = g.pos
+       |WHERE (SELECT m FROM mse64) <= (SELECT m FROM mse8) * 1.05
+       |ORDER BY g.side, g.id, g.pos""".stripMargin) { (s, dir) =>
+    val m = rank64Model(s, dir)
+    m.userFactors
+      .select(lit("u").as("side"), col("id"),
+        posexplode(col("features")).as(Seq("pos", "value")))
+      .unionByName(m.itemFactors
+        .select(lit("i").as("side"), col("id"),
+          posexplode(col("features")).as(Seq("pos", "value"))))
+  }.sortedDump("side", "id", "pos")
+
   /** Serving-time user fold-in (one exact ALS-WR user half-step against
     * the fixed item factors — the cold-start answer the reference lacks)
     * for a hash-slice of users, dumped as scalar rows. Membership-checked
@@ -1424,7 +1493,7 @@ object Queries {
     */
   def pinnedRddIds: Set[Int] =
     (modelCache.values ++ implicitModelCache.values ++ nnModelCache.values ++
-      rank32ModelCache.values)
+      rank32ModelCache.values ++ rank64ModelCache.values)
       .flatMap(m => m.backingRdds.map(_.id) ++ m.servingIndexRddIds).toSet
 
   private def implicitModel(s: SparkSession, dir: String): GraftALSModel =
@@ -4816,6 +4885,7 @@ object Queries {
     "als_item_factors" -> alsItemFactors,
     "als_nonnegative_factors" -> alsNonnegativeFactors,
     "als_rank32_factors" -> alsRank32Factors,
+    "als_rank64_factors" -> alsRank64Factors,
     "als_predictions" -> alsPredictions,
     "als_mse" -> alsMse,
     "als_recommend" -> alsRecommend,

@@ -79,6 +79,35 @@ object AlsBlocksX1000Probe {
       System.gc()
       Thread.sleep(3000)
     }
+    // r18 wall-3 scratch ledger: a daemon sampler records (t, free bytes,
+    // blockmgr bytes, ledger.reaped) every 5 s for the run's lifetime. The
+    // reaped counter increments at each checkpoint cut, so the series
+    // shows the per-half-step shuffle high-water BETWEEN cuts — flat
+    // across iterations if the reap works, a staircase if it does not
+    // (the r17 ENOSPC shape). Parsed into als_x1000_wall3_r18.json.
+    val tmpFs = new java.io.File("/tmp")
+    def blockmgrBytes: Long = {
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      Option(tmpFs.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+        .map(du).sum
+    }
+    val samplerStart = System.nanoTime()
+    val sampler = new Thread(() => {
+      while (true) {
+        val t = (System.nanoTime() - samplerStart) / 1e9
+        val reaped = Option(graft.als.BlockedALS.lastLedgerForTest)
+          .map(_.reaped).getOrElse(0)
+        println(f"[scratch] t=$t%.0f free_gb=${tmpFs.getUsableSpace / 1e9}%.1f " +
+          f"blockmgr_gb=${blockmgrBytes / 1e9}%.1f reaped=$reaped")
+        Thread.sleep(5000)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     val ratings = spark.read.parquet(ratingsPath)
     val n = ratings.count()
     val tDerive = (System.nanoTime() - t0) / 1e9

@@ -67,6 +67,42 @@ class AutoBlockSizingSpec extends AnyFunSuite with SparkFixture {
     m.unpersist()
   }
 
+  test("GraftALS default path trains on the auto grid (r17 verdict #3)") {
+    // the estimator-surface default IS AutoBlocks on both sides...
+    val defaults = GraftALS()
+    assert(defaults.numUserBlocks == BlockedALS.AutoBlocks)
+    assert(defaults.numItemBlocks == BlockedALS.AutoBlocks)
+
+    // ...and a fit with NO grid params set resolves the same grid the auto
+    // rule names: factors are bit-identical to an explicit fit at the
+    // resolved count (distinguishes auto from any fixed default — the old
+    // 10×10 default produces different block-local solve orders, hence
+    // different float rounding, on this data).
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(13)
+    val df = Seq.fill(350)(
+      (rng.nextInt(40).toLong, rng.nextInt(30).toLong, rng.nextFloat() * 5))
+      .toDF("user_id", "item_id", "rating")
+    val resolved = BlockedALS.autoBlockCount(
+      350L, 4, spark.sparkContext.defaultParallelism)
+    def fitWith(u: Int, i: Int) = {
+      val base = GraftALS(rank = 4, maxIter = 2, regParam = 0.1,
+        userCol = "user_id", itemCol = "item_id", ratingCol = "rating", seed = 5L)
+      val est =
+        if (u == Int.MinValue) base // the default path: grid params untouched
+        else base.copy(numUserBlocks = u, numItemBlocks = i)
+      val m = est.fit(df)
+      val fs = m.userFactors.orderBy("id").collect().map(_.toSeq).toSeq
+      m.unpersist()
+      fs
+    }
+    val viaDefault = fitWith(Int.MinValue, Int.MinValue)
+    val viaExplicit = fitWith(resolved, resolved)
+    assert(viaDefault == viaExplicit,
+      "default-constructed fit must train on the auto-resolved grid")
+  }
+
   test("invalid block counts are rejected up front") {
     val rdd = spark.sparkContext.parallelize(Seq(Rating(1L, 1L, 1f)), 1)
     val e = intercept[IllegalArgumentException] {

@@ -103,7 +103,8 @@ class HugeGridBlockifySpec extends AnyFunSuite with SparkFixture {
 
   test("gridAdvisory fires only when a block overshoots the auto budget") {
     // 10M ratings in one block at rank 8: 10M × 68 B = ~680 MB > 256 MB
-    val fat = Map(0 -> 10000000L, 1 -> 1000L)
+    // (counts are a primitive array indexed by dense block id — wall 6)
+    val fat = Array(10000000L, 1000L)
     val msg = BlockedALS.gridAdvisory(fat, rank = 8, parallelism = 32,
       numUserBlocks = 2, numItemBlocks = 2)
     assert(msg.isDefined)
@@ -113,12 +114,14 @@ class HugeGridBlockifySpec extends AnyFunSuite with SparkFixture {
     val rec = BlockedALS.autoBlockCount(10001000L, 8, 32)
     assert(msg.get.contains(s"would use $rec blocks"))
     // small blocks: silent
-    assert(BlockedALS.gridAdvisory(Map(0 -> 1000L, 1 -> 1000L), 8, 32, 2, 2).isEmpty)
-    assert(BlockedALS.gridAdvisory(Map.empty[Int, Long], 8, 32, 2, 2).isEmpty)
+    assert(BlockedALS.gridAdvisory(Array(1000L, 1000L), 8, 32, 2, 2).isEmpty)
+    assert(BlockedALS.gridAdvisory(Array.empty[Long], 8, 32, 2, 2).isEmpty)
+    // an all-empty grid (array allocated, no ratings landed): silent
+    assert(BlockedALS.gridAdvisory(Array(0L, 0L), 8, 32, 2, 2).isEmpty)
     // exactly at the budget: silent (advisory is for overshoot)
     val atBudget = (BlockedALS.TargetBlockBytes / 68L)
-    assert(BlockedALS.gridAdvisory(Map(0 -> atBudget), 8, 32, 2, 2).isEmpty)
-    assert(BlockedALS.gridAdvisory(Map(0 -> (atBudget + 1)), 8, 32, 2, 2).isDefined)
+    assert(BlockedALS.gridAdvisory(Array(atBudget), 8, 32, 2, 2).isEmpty)
+    assert(BlockedALS.gridAdvisory(Array(atBudget + 1), 8, 32, 2, 2).isDefined)
     // per-side labels (r17 ADVICE: the item side is audited too — a skewed
     // fat ITEM block OOMs the item in-block build exactly like a user one)
     assert(msg.get.contains("user block"))
