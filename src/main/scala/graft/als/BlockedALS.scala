@@ -286,8 +286,25 @@ object BlockedALS {
     // every fit, the recompute only on node loss.
     blockRatings.unpersist()
 
-    val userEncoder = new LocalIndexEncoder(userPart.numPartitions)
-    val itemEncoder = new LocalIndexEncoder(itemPart.numPartitions)
+    // The blockify TILE shuffle is the same O(ratings) dead weight in
+    // shuffle-file form (~10-14 GB at ×1000): both sides' in/out-blocks
+    // and count pre-passes have consumed it, and an evicted in-block
+    // partition recomputes from the in-block partitionBy shuffle (kept),
+    // not from the tiles. Reap it now — the r18 ×1000 run measured the
+    // iteration phase peaking at protected-base + two in-flight half-step
+    // shuffles, and the tile files were the single largest retired item
+    // still on disk (SCALING §15.1). Recovery semantics match the persist
+    // free above: if the in-block shuffle's own map outputs are ALSO lost
+    // (node death), the scheduler re-runs the blockify map stage from the
+    // raw ratings lineage — Spark re-registers and recomputes reaped
+    // shuffles on demand (ShuffleReapSpec pins exactly this recompute).
+    // Scoped tightly: only ids introduced BETWEEN the caller's ratings
+    // RDD and the tiles (i.e. partitionRatings' own exchange) — never the
+    // caller's upstream shuffles, which other jobs may still read. The
+    // reap itself runs through the ledger just below (observable in
+    // reapedIds), once the ledger exists.
+    val tileShuffleIds = ShuffleLedger.reachableShuffleIds(Seq(blockRatings))
+      .diff(ShuffleLedger.reachableShuffleIds(Seq(ratings)))
 
     // Iteration-scoped shuffle cleanup (wall 3's scratch high-water): each
     // half-step's factor-routing shuffle is O(distinct (entity, dst-block)
@@ -296,11 +313,17 @@ object BlockedALS {
     // file deletion waits for a driver GC that three of four ×1000 runs
     // did not get in time (ENOSPC, als_x1000_wall5_r17.json). The ledger
     // deletes retired ids deterministically at each cut; the block
-    // structures' own shuffles are protected for the fit's lifetime.
+    // structures' own IN-BLOCK shuffles are protected for the fit's
+    // lifetime (an evicted in-block partition re-reads them).
     val blockStructures: Seq[RDD[_]] =
       Seq(userInBlocks, userOutBlocks, itemInBlocks, itemOutBlocks)
     val ledger = new ShuffleLedger(sc, blockStructures)
     lastLedgerForTest = ledger
+
+    ledger.reapNow(tileShuffleIds)
+
+    val userEncoder = new LocalIndexEncoder(userPart.numPartitions)
+    val itemEncoder = new LocalIndexEncoder(itemPart.numPartitions)
 
     var userFactors = initialize(userInBlocks, cfg.rank, cfg.seed)
     var itemFactors = initialize(itemInBlocks, cfg.rank, cfg.seed * 2 + 1)

@@ -44,11 +44,21 @@ private[graft] final class ShuffleLedger(sc: SparkContext, protectedRoots: Seq[R
   /** Total shuffles reaped over this ledger's lifetime (observability). */
   private[graft] var reaped: Int = 0
 
-  /** Ids reaped so far (spec observability: asserting on concrete ids keeps
-    * the checks immune to shuffles other concurrently-running suites
-    * create in the shared test SparkContext).
+  /** Ids reaped by cut-time sweeps (spec observability: asserting on
+    * concrete ids keeps the checks immune to shuffles other
+    * concurrently-running suites create in the shared test SparkContext).
+    * Sweep-reaped shuffles sit behind a checkpoint truncation, so they are
+    * never re-registered; eager reaps (see [[reapedEagerIds]]) can be.
     */
   private[graft] val reapedIds = mutable.ArrayBuffer.empty[Int]
+
+  /** Ids reaped eagerly via [[reapNow]] (the blockify tile exchange).
+    * Their dependency stays in the live in-block lineage, so Spark's
+    * stage bookkeeping may re-REGISTER them (empty, no files) at later
+    * job submissions — specs assert their files are gone, not their
+    * registration.
+    */
+  private[graft] val reapedEagerIds = mutable.ArrayBuffer.empty[Int]
 
   /** Registers every shuffle reachable from `rdd`'s lineage as a cleanup
     * candidate. Over-collection is fine: protected and still-reachable ids
@@ -56,6 +66,25 @@ private[graft] final class ShuffleLedger(sc: SparkContext, protectedRoots: Seq[R
     */
   def track(rdd: RDD[_]): Unit =
     tracked ++= ShuffleLedger.reachableShuffleIds(Seq(rdd)).diff(protectedIds)
+
+  /** Eagerly deletes `ids`, recording them in the reap ledger. Unlike
+    * [[sweep]] this takes the caller's own deadness proof instead of a
+    * reachability walk — used for the blockify tile exchange, which is
+    * provably consumed once both block sides' in/out-blocks and count
+    * pre-passes have materialized (the ids are scoped to the exchange
+    * partitionRatings itself introduced, never the caller's upstream
+    * shuffles). Blocking for the same reason sweep is: the freed bytes
+    * must be gone before the iteration phase starts writing.
+    */
+  def reapNow(ids: Set[Int]): Int = {
+    if (ids.nonEmpty) {
+      org.apache.spark.GraftSparkInternals.reapShuffles(sc, ids, blocking = true)
+      tracked --= ids
+      reaped += ids.size
+      reapedEagerIds ++= ids
+    }
+    ids.size
+  }
 
   /** Deletes (via the context cleaner's own removal routine) every tracked
     * shuffle that is unreachable from all `liveRoots`, returning how many
@@ -68,7 +97,13 @@ private[graft] final class ShuffleLedger(sc: SparkContext, protectedRoots: Seq[R
     val live = ShuffleLedger.reachableShuffleIds(liveRoots)
     val dead = tracked.toArray.filterNot(live)
     if (dead.nonEmpty) {
-      org.apache.spark.GraftSparkInternals.reapShuffles(sc, dead)
+      // blocking: the sweep runs at a checkpoint cut, immediately before
+      // the next half-step starts WRITING its own O(ratings) shuffle — an
+      // async reap can lag behind that write and raise the scratch
+      // high-water by a full retired generation (measured in the r18
+      // ×1000 series). Deletion is local-disk unlink work; the driver
+      // pause is milliseconds against a multi-second half-step.
+      org.apache.spark.GraftSparkInternals.reapShuffles(sc, dead, blocking = true)
       tracked --= dead
       reaped += dead.length
       reapedIds ++= dead

@@ -43,11 +43,23 @@ object GraftSparkInternals {
     }
 
   /** Shuffle ids currently registered with the driver's map-output tracker
-    * (test observability for the reap path).
+    * (test observability for the reap path). Registration is stage-graph
+    * BOOKKEEPING, not disk: a reaped shuffle whose dependency is still in
+    * a live (persisted-but-not-checkpointed) lineage gets re-registered
+    * with EMPTY outputs at the next job submission — its files stay gone.
+    * Assert on [[shuffleFileCount]] for the scratch claim.
     */
   def registeredShuffleIds(sc: SparkContext): Set[Int] =
     SparkEnv.get.mapOutputTracker match {
       case m: MapOutputTrackerMaster => m.shuffleStatuses.keySet.toSet
       case _ => Set.empty
     }
+
+  /** Number of shuffle data/index files for `shuffleId` on this node's
+    * disk store (test observability: the reap's actual scratch effect).
+    * Local/driver block manager only — exactly what local-mode specs need.
+    */
+  def shuffleFileCount(sc: SparkContext, shuffleId: Int): Int =
+    SparkEnv.get.blockManager.diskBlockManager.getAllFiles()
+      .count(_.getName.startsWith(s"shuffle_${shuffleId}_"))
 }

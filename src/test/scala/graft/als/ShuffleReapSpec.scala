@@ -54,9 +54,12 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
     val base = BlockedALS.Config(rank = 4, numUserBlocks = 3, numItemBlocks = 2,
       maxIter = 4, regParam = 0.05, seed = 11)
 
-    // no checkpointing → nothing is ever retired, nothing may be reaped
+    // no checkpointing → no factor shuffle is ever retired; the only reap
+    // is the blockify tile exchange (exactly one shuffle, freed up front
+    // once both block sides are built — r18)
     val (u0, i0, ledger0) = fit(base.copy(checkpointInterval = -1), data)
-    assert(ledger0.reaped == 0, "without cuts every shuffle stays reachable")
+    assert(ledger0.reaped == 1,
+      "without cuts only the tile exchange is reaped")
 
     val (u1, i1, ledger1) = withCheckpointDir {
       fit(base.copy(checkpointInterval = 1), data)
@@ -65,12 +68,22 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
     // maxIter=4 / interval=1: 8 factor-routing shuffles exist; everything
     // behind the last cut is reapable — only the final user half-step's
     // shuffle (after the last cut) must survive for the model's lineage.
-    assert(ledger1.reaped >= 6,
-      s"expected at least 6 retired factor shuffles reaped, got ${ledger1.reaped}")
+    // +1 for the tile exchange (reaped eagerly up front, r18).
+    assert(ledger1.reaped >= 7,
+      s"expected tile + at least 6 retired factor shuffles reaped, got ${ledger1.reaped}")
+    assert(ledger1.reapedIds.size >= 6 && ledger1.reapedEagerIds.size == 1)
+    // sweep-reaped ids sit behind a checkpoint truncation: they must stay
+    // unregistered (nothing can even re-create their stage)
     val registered = GraftSparkInternals.registeredShuffleIds(spark.sparkContext)
     val stillRegistered = ledger1.reapedIds.toSet.intersect(registered)
     assert(stillRegistered.isEmpty,
       s"reaped shuffle ids still registered with the map-output tracker: $stillRegistered")
+    // the eager tile reap's claim is DISK: its dep stays in the in-block
+    // lineage (may be re-registered empty), but its files must be gone
+    ledger1.reapedEagerIds.foreach { id =>
+      assert(GraftSparkInternals.shuffleFileCount(spark.sparkContext, id) == 0,
+        s"tile shuffle $id still has files on disk")
+    }
   }
 
   test("implicit fit: cut-time reap fires and is inert to the factors") {
@@ -79,16 +92,76 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
       maxIter = 3, regParam = 0.05, implicitPrefs = true, alpha = 2.0, seed = 23)
 
     val (u0, i0, ledger0) = fit(base.copy(checkpointInterval = -1), data)
-    assert(ledger0.reaped == 0)
+    assert(ledger0.reaped == 1) // the tile exchange only (no cuts)
 
     val (u1, i1, ledger1) = withCheckpointDir {
       fit(base.copy(checkpointInterval = 1), data)
     }
     assert(u1 == u0 && i1 == i0, "reaping must be inert to the factors")
-    assert(ledger1.reaped >= 3,
-      s"expected at least 3 retired factor shuffles reaped, got ${ledger1.reaped}")
+    assert(ledger1.reaped >= 4,
+      s"expected tile + at least 3 retired factor shuffles reaped, got ${ledger1.reaped}")
     val registered = GraftSparkInternals.registeredShuffleIds(spark.sparkContext)
     assert(ledger1.reapedIds.toSet.intersect(registered).isEmpty)
+    ledger1.reapedEagerIds.foreach { id =>
+      assert(GraftSparkInternals.shuffleFileCount(spark.sparkContext, id) == 0)
+    }
+  }
+
+  test("a reaped shuffle recomputes on demand (the tile-reap recovery contract)") {
+    // The train-time tile-shuffle reap (and any reap racing a rare
+    // lost-partition recompute) relies on Spark re-running the map stage
+    // of an unregistered shuffle instead of failing the job. Pin that
+    // semantics directly: reap a shuffle, then run a fresh job over its
+    // child — the result must be recomputed, bit-identical.
+    val sc = spark.sparkContext
+    val a = sc.parallelize(1 to 1000, 4).map(x => (x % 13, x.toLong))
+    val b = a.reduceByKey(_ + _)
+    val expected = b.collect().toMap
+    val ids = ShuffleLedger.reachableShuffleIds(Seq(b))
+    assert(ids.nonEmpty)
+    GraftSparkInternals.reapShuffles(sc, ids, blocking = true)
+    assert(ids.intersect(GraftSparkInternals.registeredShuffleIds(sc)).isEmpty,
+      "the shuffle must actually be unregistered before the re-read")
+    assert(b.collect().toMap == expected,
+      "a job over a reaped shuffle must recompute it, not fail")
+  }
+
+  test("train reaps the blockify tile shuffle; the caller's upstream shuffle survives") {
+    // The tile exchange is O(ratings) of shuffle files that nothing reads
+    // after makeBlocks on both sides — train deletes it up front (the r18
+    // x1000 scratch series measured it as the largest retired item still
+    // on disk through the iteration phase), while the caller's own
+    // upstream shuffles must never be touched.
+    val sc = spark.sparkContext
+    val data = ratings(44)
+    // give the caller's ratings an upstream shuffle that must be spared
+    val rdd = sc.parallelize(data, 3)
+      .map(r => (r.user, r)).partitionBy(new org.apache.spark.HashPartitioner(3))
+      .map(_._2)
+    val callerIds = ShuffleLedger.reachableShuffleIds(Seq(rdd))
+    assert(callerIds.size == 1)
+    val (uf, itf) = BlockedALS.train(rdd, BlockedALS.Config(
+      rank = 4, numUserBlocks = 3, numItemBlocks = 2, maxIter = 2,
+      regParam = 0.05, seed = 17)) // no checkpoint dir → no cut-time reaps
+    val ledger = BlockedALS.lastLedgerForTest
+    assert(ledger.reaped == 1, "exactly the tile exchange is reaped up front")
+    assert(ledger.reapedEagerIds.size == 1 && ledger.reapedIds.isEmpty)
+    val tileId = ledger.reapedEagerIds.head
+    // the scratch claim: the tile exchange's files are gone from disk
+    // (registration may reappear as empty stage bookkeeping — see
+    // GraftSparkInternals.registeredShuffleIds scaladoc)
+    assert(GraftSparkInternals.shuffleFileCount(sc, tileId) == 0,
+      s"tile shuffle $tileId still has files on disk")
+    // positive control: the caller's upstream shuffle was spared — its
+    // files are still on disk and it was never in the reap ledger
+    assert(callerIds.intersect(ledger.reapedEagerIds.toSet).isEmpty)
+    callerIds.foreach { id =>
+      assert(GraftSparkInternals.shuffleFileCount(sc, id) > 0,
+        s"caller shuffle $id must keep its files")
+    }
+    // the model remains fully readable on the reaped lineage
+    assert(uf.count() > 0 && itf.count() > 0)
+    uf.unpersist(); itf.unpersist()
   }
 
   test("block-structure shuffles are protected: never tracked, never reaped") {
