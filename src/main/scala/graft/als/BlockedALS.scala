@@ -302,9 +302,30 @@ object BlockedALS {
     // RDD and the tiles (i.e. partitionRatings' own exchange) — never the
     // caller's upstream shuffles, which other jobs may still read. The
     // reap itself runs through the ledger just below (observable in
-    // reapedIds), once the ledger exists.
-    val tileShuffleIds = ShuffleLedger.reachableShuffleIds(Seq(blockRatings))
-      .diff(ShuffleLedger.reachableShuffleIds(Seq(ratings)))
+    // reapedEagerIds), once the ledger exists.
+    //
+    // When the intermediate storage level has a DISK tier (the default),
+    // the two in-block partitionBy exchanges are the same class of dead
+    // weight: both block structures are materialized, every partition is
+    // durably in memory-or-disk (a with-disk level migrates evictions to
+    // the disk store — partitions are never silently lost on a healthy
+    // executor), so the exchange files are pure node-loss insurance —
+    // ~13 GB more at ×1000 that the r18 series showed sitting under every
+    // iteration's peak. Reap them too; a node loss then recomputes the
+    // missing in-block partitions from the raw ratings lineage (the
+    // recompute-on-demand contract ShuffleReapSpec pins), the same
+    // degraded-recovery tradeoff as blockRatings.unpersist above. Under a
+    // memory-ONLY intermediate level an evicted partition's ONLY cheap
+    // recompute path is the exchange, so there the reap stays tile-only.
+    val callerIds = ShuffleLedger.reachableShuffleIds(Seq(ratings))
+    val tileShuffleIds =
+      ShuffleLedger.reachableShuffleIds(Seq(blockRatings)).diff(callerIds)
+    val eagerShuffleIds =
+      if (cfg.intermediateStorageLevel.useDisk)
+        ShuffleLedger.reachableShuffleIds(
+          Seq(userInBlocks, userOutBlocks, itemInBlocks, itemOutBlocks))
+          .diff(callerIds) // = tile + both in-block exchanges
+      else tileShuffleIds
 
     // Iteration-scoped shuffle cleanup (wall 3's scratch high-water): each
     // half-step's factor-routing shuffle is O(distinct (entity, dst-block)
@@ -320,7 +341,7 @@ object BlockedALS {
     val ledger = new ShuffleLedger(sc, blockStructures)
     lastLedgerForTest = ledger
 
-    ledger.reapNow(tileShuffleIds)
+    ledger.reapNow(eagerShuffleIds)
 
     val userEncoder = new LocalIndexEncoder(userPart.numPartitions)
     val itemEncoder = new LocalIndexEncoder(itemPart.numPartitions)

@@ -54,12 +54,13 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
     val base = BlockedALS.Config(rank = 4, numUserBlocks = 3, numItemBlocks = 2,
       maxIter = 4, regParam = 0.05, seed = 11)
 
-    // no checkpointing → no factor shuffle is ever retired; the only reap
-    // is the blockify tile exchange (exactly one shuffle, freed up front
-    // once both block sides are built — r18)
+    // no checkpointing → no factor shuffle is ever retired; the only reaps
+    // are the eager ones — the tile exchange plus both in-block exchanges
+    // (the default intermediate level has a disk tier), freed up front
+    // once both block sides are built (r18)
     val (u0, i0, ledger0) = fit(base.copy(checkpointInterval = -1), data)
-    assert(ledger0.reaped == 1,
-      "without cuts only the tile exchange is reaped")
+    assert(ledger0.reaped == 3,
+      "without cuts only the tile + in-block exchanges are reaped")
 
     val (u1, i1, ledger1) = withCheckpointDir {
       fit(base.copy(checkpointInterval = 1), data)
@@ -68,10 +69,10 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
     // maxIter=4 / interval=1: 8 factor-routing shuffles exist; everything
     // behind the last cut is reapable — only the final user half-step's
     // shuffle (after the last cut) must survive for the model's lineage.
-    // +1 for the tile exchange (reaped eagerly up front, r18).
-    assert(ledger1.reaped >= 7,
-      s"expected tile + at least 6 retired factor shuffles reaped, got ${ledger1.reaped}")
-    assert(ledger1.reapedIds.size >= 6 && ledger1.reapedEagerIds.size == 1)
+    // +3 for the tile + in-block exchanges (reaped eagerly up front, r18).
+    assert(ledger1.reaped >= 9,
+      s"expected 3 eager + at least 6 retired factor shuffles reaped, got ${ledger1.reaped}")
+    assert(ledger1.reapedIds.size >= 6 && ledger1.reapedEagerIds.size == 3)
     // sweep-reaped ids sit behind a checkpoint truncation: they must stay
     // unregistered (nothing can even re-create their stage)
     val registered = GraftSparkInternals.registeredShuffleIds(spark.sparkContext)
@@ -92,14 +93,14 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
       maxIter = 3, regParam = 0.05, implicitPrefs = true, alpha = 2.0, seed = 23)
 
     val (u0, i0, ledger0) = fit(base.copy(checkpointInterval = -1), data)
-    assert(ledger0.reaped == 1) // the tile exchange only (no cuts)
+    assert(ledger0.reaped == 3) // the eager tile + in-block exchanges (no cuts)
 
     val (u1, i1, ledger1) = withCheckpointDir {
       fit(base.copy(checkpointInterval = 1), data)
     }
     assert(u1 == u0 && i1 == i0, "reaping must be inert to the factors")
-    assert(ledger1.reaped >= 4,
-      s"expected tile + at least 3 retired factor shuffles reaped, got ${ledger1.reaped}")
+    assert(ledger1.reaped >= 6,
+      s"expected 3 eager + at least 3 retired factor shuffles reaped, got ${ledger1.reaped}")
     val registered = GraftSparkInternals.registeredShuffleIds(spark.sparkContext)
     assert(ledger1.reapedIds.toSet.intersect(registered).isEmpty)
     ledger1.reapedEagerIds.foreach { id =>
@@ -126,12 +127,14 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
       "a job over a reaped shuffle must recompute it, not fail")
   }
 
-  test("train reaps the blockify tile shuffle; the caller's upstream shuffle survives") {
-    // The tile exchange is O(ratings) of shuffle files that nothing reads
-    // after makeBlocks on both sides — train deletes it up front (the r18
-    // x1000 scratch series measured it as the largest retired item still
-    // on disk through the iteration phase), while the caller's own
-    // upstream shuffles must never be touched.
+  test("train eagerly reaps the tile + in-block exchanges; the caller's upstream shuffle survives") {
+    // The tile exchange is O(ratings) of shuffle files nothing reads after
+    // makeBlocks on both sides, and with a disk-tiered intermediate level
+    // the two in-block exchanges are node-loss insurance duplicating data
+    // the persists hold durably — train deletes all three up front (the
+    // r18 x1000 scratch series measured them sitting under every
+    // iteration's peak), while the caller's own upstream shuffles must
+    // never be touched.
     val sc = spark.sparkContext
     val data = ratings(44)
     // give the caller's ratings an upstream shuffle that must be spared
@@ -144,14 +147,15 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
       rank = 4, numUserBlocks = 3, numItemBlocks = 2, maxIter = 2,
       regParam = 0.05, seed = 17)) // no checkpoint dir → no cut-time reaps
     val ledger = BlockedALS.lastLedgerForTest
-    assert(ledger.reaped == 1, "exactly the tile exchange is reaped up front")
-    assert(ledger.reapedEagerIds.size == 1 && ledger.reapedIds.isEmpty)
-    val tileId = ledger.reapedEagerIds.head
-    // the scratch claim: the tile exchange's files are gone from disk
+    assert(ledger.reaped == 3, "exactly the tile + 2 in-block exchanges reaped up front")
+    assert(ledger.reapedEagerIds.size == 3 && ledger.reapedIds.isEmpty)
+    // the scratch claim: the exchanges' files are gone from disk
     // (registration may reappear as empty stage bookkeeping — see
     // GraftSparkInternals.registeredShuffleIds scaladoc)
-    assert(GraftSparkInternals.shuffleFileCount(sc, tileId) == 0,
-      s"tile shuffle $tileId still has files on disk")
+    ledger.reapedEagerIds.foreach { id =>
+      assert(GraftSparkInternals.shuffleFileCount(sc, id) == 0,
+        s"eagerly reaped shuffle $id still has files on disk")
+    }
     // positive control: the caller's upstream shuffle was spared — its
     // files are still on disk and it was never in the reap ledger
     assert(callerIds.intersect(ledger.reapedEagerIds.toSet).isEmpty)
@@ -160,6 +164,24 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
         s"caller shuffle $id must keep its files")
     }
     // the model remains fully readable on the reaped lineage
+    assert(uf.count() > 0 && itf.count() > 0)
+    uf.unpersist(); itf.unpersist()
+  }
+
+  test("memory-only intermediate level: the eager reap stays tile-only") {
+    // Under MEMORY_ONLY an evicted in-block partition's only cheap
+    // recompute path is its exchange — train must keep those files and
+    // reap only the tile exchange.
+    val sc = spark.sparkContext
+    val rdd = sc.parallelize(ratings(45), 3)
+    val (uf, itf) = BlockedALS.train(rdd, BlockedALS.Config(
+      rank = 4, numUserBlocks = 3, numItemBlocks = 2, maxIter = 2,
+      regParam = 0.05, seed = 19,
+      intermediateStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    val ledger = BlockedALS.lastLedgerForTest
+    assert(ledger.reaped == 1, "only the tile exchange may be reaped under MEMORY_ONLY")
+    assert(ledger.reapedEagerIds.size == 1)
+    assert(GraftSparkInternals.shuffleFileCount(sc, ledger.reapedEagerIds.head) == 0)
     assert(uf.count() > 0 && itf.count() > 0)
     uf.unpersist(); itf.unpersist()
   }
