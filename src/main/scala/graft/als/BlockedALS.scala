@@ -373,6 +373,34 @@ object BlockedALS {
 
     var lastExplicitCache: Option[FactorBlocks] = None
 
+    // All-but-last checkpoint file cleanup (wall 3's residual creep): each
+    // cut writes ~O(entities × rank) of factor checkpoint files, and they
+    // accumulate until JVM exit — the r18 ×1000 scratch series measured
+    // ~1 GB/iteration of creep inside the otherwise-flat reap epochs
+    // (als_x1000_wall3_r18.json). Once a NEW cut has materialized, the
+    // previous checkpointed generation is unreachable from every live
+    // lineage (the new generation is persisted AND reads its own
+    // checkpoint files on eviction; nothing recomputes through the old
+    // generation), so its files are dead weight — delete them. The LAST
+    // checkpoint always survives the fit: the persisted model's lineage
+    // reaches it, and a lost-partition recompute of the model re-reads
+    // those files. Deletion failures are logged, never fatal (scratch
+    // hygiene must not fail a fit).
+    var previousCheckpointFiles: Seq[String] = Nil
+    def deletePreviousCheckpoint(justCut: FactorBlocks): Unit = {
+      previousCheckpointFiles.foreach { file =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(file)
+          path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"could not delete retired checkpoint $file: $e")
+        }
+      }
+      previousCheckpointFiles = justCut.getCheckpointFile.toSeq
+    }
+
     if (cfg.implicitPrefs) {
       // implicit path persists+materializes every generation (the YᵀY
       // aggregate is an action per half-step) — ALS.py:105-135
@@ -392,6 +420,7 @@ object BlockedALS {
           // half-step's YᵀY action and the retired shuffles would survive
           // a full extra iteration of scratch
           itemFactors.count()
+          deletePreviousCheckpoint(itemFactors)
           ledger.sweep(itemFactors +: userFactors +: blockStructures)
         }
         val previousUserFactors = userFactors
@@ -413,6 +442,7 @@ object BlockedALS {
           itemFactors.persist(cfg.intermediateStorageLevel)
           itemFactors.checkpoint()
           itemFactors.count()
+          deletePreviousCheckpoint(itemFactors)
           previousCachedItemFactors.foreach(_.unpersist())
           previousCachedItemFactors = Some(itemFactors)
           // itemFactors is persisted AND checkpointed (eviction re-reads

@@ -108,6 +108,51 @@ class ShuffleReapSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("checkpoint cuts delete all-but-last checkpoint files (both paths)") {
+    // The r18 ×1000 scratch series measured ~1 GB/iteration of creep from
+    // accumulated factor checkpoint generations inside the otherwise-flat
+    // reap epochs; only the LAST checkpoint backs any live lineage (each
+    // new cut is persisted and reads its own files on eviction), so train
+    // deletes the previous generation's files once a new cut has
+    // materialized. The last one must survive — the returned model's
+    // lineage reaches it.
+    def rddDirs(dir: java.io.File): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          val children = Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          children.filter(c => c.isDirectory && c.getName.startsWith("rdd-")) ++
+            children.flatMap(walk)
+        } else Nil
+      walk(dir)
+    }
+    for (implicitPrefs <- Seq(false, true)) {
+      val data = ratings(if (implicitPrefs) 47 else 46)
+      val sc = spark.sparkContext
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-clean").toFile
+      sc.setCheckpointDir(dir.getAbsolutePath)
+      try {
+        val (uf, itf) = BlockedALS.train(
+          sc.parallelize(data, 3),
+          BlockedALS.Config(rank = 4, numUserBlocks = 3, numItemBlocks = 2,
+            maxIter = 4, regParam = 0.05, implicitPrefs = implicitPrefs,
+            alpha = 2.0, checkpointInterval = 1, seed = 29))
+        // 4 cuts happened; 3 retired generations deleted, the last kept
+        val remaining = rddDirs(dir)
+        assert(remaining.size == 1,
+          s"implicitPrefs=$implicitPrefs: expected exactly the last checkpoint " +
+            s"generation on disk, found ${remaining.map(_.getName)}")
+        assert(Option(remaining.head.listFiles()).exists(_.nonEmpty),
+          "the surviving checkpoint generation must have its part files")
+        // the model stays readable with the retired generations gone
+        assert(uf.count() > 0 && itf.count() > 0)
+        uf.unpersist(); itf.unpersist()
+      } finally {
+        sc.setCheckpointDir(null.asInstanceOf[String])
+        graft.streaming.EventsStream.deleteRecursively(dir)
+      }
+    }
+  }
+
   test("a reaped shuffle recomputes on demand (the tile-reap recovery contract)") {
     // The train-time tile-shuffle reap (and any reap racing a rare
     // lost-partition recompute) relies on Spark re-running the map stage
