@@ -1,7 +1,10 @@
 package graft.ops
 
+import graft.als.ShuffleLedger
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a documents table, exact and near-duplicate.
@@ -729,13 +732,23 @@ object Dedup {
     * set-difference emptiness test), so the same code runs on a 100 TB
     * edge set. Each round's result is `localCheckpoint`ed: the iteration
     * would otherwise stack joins into an unbounded lineage, the same
-    * failure mode the ALS kernel avoids with checkpointing.
+    * failure mode the ALS kernel avoids with checkpointing — and each
+    * retired round's now-dead shuffle files are DELETED at the next cut
+    * (iteration-scoped scratch, the ALS wall-3 discipline), so the loop's
+    * disk high-water is one round's working set, not O(rounds).
     *
     * Returns `(id, cluster_id)` for every node incident to at least one
     * edge; `cluster_id` is the component's minimum node id. Nodes with no
     * edges are their own singleton clusters — callers add them with a
     * left join + coalesce (see the `dedup_clusters` query).
     */
+  /** Ledger of the most recent [[connectedComponents]] call on this JVM —
+    * spec observability only (asserting on the concrete reaped ids keeps
+    * the checks immune to shuffles other suites create in the shared test
+    * SparkContext). Last-writer-wins under concurrent calls.
+    */
+  @volatile private[graft] var lastCcLedgerForTest: ShuffleLedger = _
+
   def connectedComponents(
       pairs: DataFrame,
       srcCol: String = "id_a",
@@ -749,19 +762,37 @@ object Dedup {
     def sym(df: DataFrame): DataFrame =
       df.union(df.select(col("v").as("u"), col("u").as("v")))
 
-    // Each round's localCheckpoint holds executor storage until GC; on a
-    // long session that accumulation slows later work, so the PREVIOUS
-    // round's checkpoint RDD is unpersisted explicitly once the fixpoint
-    // test no longer needs it. The persistent-RDD diff is captured tightly
-    // around our own localCheckpoint call (queries here run sequentially;
-    // a concurrently-persisting caller should rely on GC instead).
+    // Scratch lifecycle, two tiers — the ALS kernel's wall-3 discipline
+    // (SCALING §15.2/§15.5) applied to the engine's other unbounded
+    // iterative loop. (1) Executor STORAGE: a round's checkpoint blocks
+    // are superseded once the next fixpoint test has read them, so the
+    // previous round's RDD is unpersisted explicitly. (2) Shuffle
+    // SCRATCH: a round's groupBy/join shuffle files are dead the moment
+    // its cut materializes (the checkpoint truncates lineage, and local
+    // checkpoints have no recompute path through it), but nothing deletes
+    // them until JVM exit — on a 100 TB edge set an O(log² n)-round loop
+    // would accumulate O(rounds × edges) of dead scratch, the exact
+    // failure shape the ×1000 ALS fit hit as wall 3. Cutting by hand (the
+    // same map(copy) + localCheckpoint that Dataset.localCheckpoint
+    // performs internally) keeps a handle on the pre-truncation lineage,
+    // so each retired round is swept through the same [[ShuffleLedger]]
+    // the ALS kernel uses. Round 0 is deliberately NOT tracked: its
+    // lineage includes the CALLER's upstream shuffles (pair generation),
+    // which may back other live frames — the ledger only ever deletes
+    // shuffles this loop's own rounds introduced.
     val sc = pairs.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    val before0 = persistedIds
-    var edges = canon(
-      pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
-      .localCheckpoint(true)
-    var prevIds = persistedIds -- before0
+    val ledger = new ShuffleLedger(sc, Seq.empty)
+    lastCcLedgerForTest = ledger
+    def cut(df: DataFrame, track: Boolean): (DataFrame, RDD[InternalRow]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      if (track) ledger.track(rdd)
+      rdd.localCheckpoint()
+      rdd.count()
+      (GraftSqlShims.dataFrameFromInternalRdd(df.sparkSession, rdd, df.schema), rdd)
+    }
+    var (edges, edgesRdd) = cut(canon(
+      pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))),
+      track = false)
     // set fingerprint = (count, XOR of a 64-bit edge hash): exact,
     // order-independent, and overflow-free — ids may be hash-derived longs
     // (~2^62, this module's own xxhash64 keys), so a SUM-based fingerprint
@@ -790,12 +821,10 @@ object Dedup {
       val oriented = afterLarge.select(col("v").as("u"), col("u").as("v"))
       val smallMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
       val withM = oriented.join(smallMins, "u")
-      val beforeN = persistedIds
-      val afterSmall = canon(
+      val (afterSmall, afterSmallRdd) = cut(canon(
         withM.select(col("v").as("u"), col("m").as("v"))
-          .union(withM.select(col("u"), col("m").as("v"))))
-        .localCheckpoint(true)
-      val newIds = persistedIds -- beforeN
+          .union(withM.select(col("u"), col("m").as("v")))),
+        track = true)
       // fixpoint, two tiers: an unchanged (count, xor-hash) fingerprint is
       // a near-certain set equality flagged by ONE tiny aggregate per
       // round. Only then does the exact except() confirmation run (a full
@@ -806,9 +835,14 @@ object Dedup {
       val afterFp = fingerprint(afterSmall)
       done = afterFp == edgesFp && afterSmall.except(edges).isEmpty
       edgesFp = afterFp
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = newIds
+      // this round's cut has materialized and the fixpoint test above was
+      // the retired round's last reader: sweep the round's dead shuffle
+      // files now (everything tracked that the new cut cannot reach), then
+      // drop the superseded checkpoint blocks
+      ledger.sweep(Seq(afterSmallRdd))
+      edgesRdd.unpersist(blocking = false)
       edges = afterSmall
+      edgesRdd = afterSmallRdd
       iter += 1
     }
     // at the fixpoint edges form stars (root=min ↔ member): every node's
