@@ -74,11 +74,34 @@ object DedupClustersProbe {
         .show(false)
     }
 
+    // local-mode scratch meter: all shuffle/cache files live under the
+    // session's /tmp/blockmgr-* dirs
+    def blockmgrGb(): Double = {
+      import java.nio.file._
+      var total = 0L
+      val it = Files.list(Paths.get("/tmp")).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("blockmgr-")) {
+          val w = Files.walk(p)
+          try w.iterator().forEachRemaining { f =>
+            if (Files.isRegularFile(f)) total += Files.size(f)
+          } finally w.close()
+        }
+      }
+      total / 1e9
+    }
+
+    println(f"[probe] blockmgr before CC: ${blockmgrGb()}%.2f GB")
     val comp = time("connected_components") {
       val c = Dedup.connectedComponents(pairs)
       println(s"[probe] labeled nodes = ${c.count()}")
       c
     }
+    val ledger = Dedup.lastCcLedgerForTest
+    println(s"[probe] cc ledger: reaped ${ledger.reaped} retired round shuffles " +
+      s"(${ledger.reapedIds.size} swept + ${ledger.reapedEagerIds.size} eager)")
+    println(f"[probe] blockmgr after CC: ${blockmgrGb()}%.2f GB")
 
     time("cluster_sizes") {
       comp.groupBy("cluster_id").agg(count(lit(1)).as("n"))
