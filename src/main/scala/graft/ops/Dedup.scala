@@ -845,6 +845,16 @@ object Dedup {
       edgesRdd = afterSmallRdd
       iter += 1
     }
+    // Fail LOUDLY at the round cap: before the fixpoint, edges are a
+    // partially-collapsed forest and the min-over-neighbors labeling
+    // below would silently assign non-component minima — wrong answers,
+    // not slow ones. The alternation converges in O(log² n) rounds, so
+    // the default cap of 25 covers any realistic graph (a 20M-node
+    // chain — worst diameter — needs ~9); hitting it means the caller
+    // should raise maxIterations, not receive bad clusters.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not reach its fixpoint in $maxIterations rounds; " +
+        "raise maxIterations (round count is O(log² n) in nodes)")
     // at the fixpoint edges form stars (root=min ↔ member): every node's
     // label is the min over its incident edge endpoints and itself
     sym(edges).groupBy(col("u").as("id"))

@@ -223,6 +223,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("connected components fail loudly at the round cap instead of mislabeling") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 30-chain needs several rounds; capping at 1 must throw, not return
+    // the partially-collapsed (wrong) labels
+    val chain = (0L until 30L).sliding(2).map(s => (s.head, s(1))).toSeq
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("id_a", "id_b"), maxIterations = 1)
+    }
+    assert(e.getMessage.contains("maxIterations"))
+  }
+
   test("connected components resolve a long chain (diameter >> rounds)") {
     val spark2 = spark
     import spark2.implicits._
