@@ -925,6 +925,98 @@ object Dedup {
     definitelyNew.unionByName(confirmedNew)
   }
 
+  /** Persisted state of an INCREMENTAL near-dup pipeline — the near-dup
+    * analogue of [[exactHashIndex]]: one NARROW row per corpus document
+    * carrying everything a future batch needs. `buckets` holds one
+    * banded-LSH bucket key per band (the same band hashing
+    * [[minhashNearDups]] uses) for candidate generation; `sh` holds the
+    * xxhash64 image of the distinct shingle set for the exact-Jaccard
+    * verify. ~1 KB/doc regardless of text size: a daily batch dedups
+    * against this frame WITHOUT ever re-reading corpus text. Built once,
+    * O(corpus) — a pipeline writes it to storage (bucketed by id, or the
+    * exploded (band, bucket) form partitioned by band) and appends each
+    * kept batch's own rows to keep the state current.
+    */
+  def minhashIndex(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      shingleSize: Int = 3,
+      family: MinhashFamily = XxHash64Minhash): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val shingled = shingleFrame(documents, textCol, idCol, shingleSize)
+    val withSig = family.signatures(
+      shingled.select(col("id"), explode(col("sh")).as("s")), numHashes)
+    withSig
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("buckets"))
+      .join(shingled.select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh")), "id")
+  }
+
+  /** Incremental NEAR-dup dedup: keep only the new-batch documents with no
+    * verified near-duplicate in the existing corpus, consulting ONLY the
+    * corpus's [[minhashIndex]] — the daily-ingest shape of
+    * [[minhashNearDups]]. Batch-side signatures/bands/shingles are derived
+    * fresh (O(batch) text reads); candidates come from a (band, bucket)
+    * equi-join of the batch's bands against the stored bucket keys (at
+    * 100 TB the stored index is partitioned by band, so the join prunes to
+    * the touched buckets); the verify computes exact Jaccard between the
+    * batch's hashed shingle sets and the STORED ones. Corpus text is never
+    * re-read or re-shingled. Within-batch near-dups are deliberately kept
+    * — dedup of the batch against itself is [[minhashNearDups]] +
+    * [[nearDedupKeepers]] on the batch alone, composed by the caller.
+    */
+  def incrementalNearDupKeepers(
+      newDocs: DataFrame,
+      index: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      family: MinhashFamily = XxHash64Minhash): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val shingled = shingleFrame(newDocs, textCol, idCol, shingleSize).persist()
+    val withSig = family.signatures(
+      shingled.select(col("id"), explode(col("sh")).as("s")), numHashes)
+    val batchBands = withSig.select(
+      col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+    val corpusBands = index.select(
+      col("id").as("id_b"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val candidates = batchBands.as("x")
+      .join(corpusBands.as("y"), Seq("band", "bucket"))
+      .select(col("x.id").as("id_a"), col("id_b"))
+      .distinct()
+    val batchHashed = shingled.select(
+      col("id").as("id_a"), transform(col("sh"), s => xxhash64(s)).as("sh_a"))
+    val matched = candidates
+      .join(batchHashed, "id_a")
+      .join(index.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    // materialize the (small: matched batch ids only) set eagerly so the
+    // batch shingle cache frees here rather than leaking past the call
+    matched.persist().count()
+    shingled.unpersist(blocking = false)
+    newDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: for each corpus document, how many of its
     * distinct `shingleSize`-gram shingles also occur anywhere in
     * `benchmark` (the held-out eval set), as count, fraction, and a

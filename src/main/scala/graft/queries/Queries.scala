@@ -3059,6 +3059,61 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dup dedup, hash-checked end-to-end: today's batch
+    * (doc_id % 5 == 0) dedups against the `minhashIndex` of the existing
+    * corpus — banded-LSH candidates against the STORED bucket keys, exact
+    * Jaccard against the STORED hashed shingle sets, corpus text never
+    * re-read. The oracle replays signatures/banding/verify restricted to
+    * batch×corpus pairs (signatures are per-doc, so computing them over
+    * all docs and restricting the join sides is identical to the engine's
+    * two-frame split; bucket keys compare by value on both sides, as in
+    * dedup_minhash_keepers). Within-batch near-dups stay — the operator's
+    * contract is batch-vs-corpus only.
+    */
+  val dedupIncrementalMinhash: QueryDef = QueryDef.withOracle {
+    val P = PortableMinhash.Modulus
+    val mins = (1 to 64).map(i => s"MIN((h1 + ${i - 1} * h2) % $P) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until 16).map { b =>
+      val cols = (1 to 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT id, $b AS band, concat_ws('|', $cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $duckShingleCtes,
+       |hs AS (
+       |  SELECT id,
+       |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+       |    ('0x' || substr(md5(s || '#'), 1, 14))::BIGINT AS h2
+       |  FROM sh0),
+       |sigs AS (SELECT id,
+       |  $mins
+       |  FROM hs GROUP BY id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |   AND x.id % 5 = 0 AND y.id % 5 <> 0),
+       |shd AS (SELECT id, list_distinct(list(s)) AS sh FROM sh0 GROUP BY id),
+       |matched AS (
+       |  SELECT DISTINCT id_a FROM (
+       |    SELECT c.id_a,
+       |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+       |    FROM cands c JOIN shd a ON a.id = c.id_a JOIN shd b ON b.id = c.id_b) z
+       |  WHERE j >= 0.5)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id_a FROM matched)
+       |ORDER BY doc_id""".stripMargin
+  } { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val index = Dedup.minhashIndex(
+      docs.where(pmod(col("doc_id"), lit(5L)) =!= 0), family = PortableMinhash)
+    Dedup.incrementalNearDupKeepers(batch, index, threshold = 0.5, family = PortableMinhash)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** ORC source/sink round-trip (same contract as docs_jsonl_roundtrip,
     * over the other columnar format Spark ships natively) — closes the
     * format matrix: parquet (every query), CSV (als_csv_ratings), JSONL
@@ -4935,6 +4990,7 @@ object Queries {
     "events_zorder_layout" -> eventsZorderLayout,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
+    "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "dedup_boilerplate" -> dedupBoilerplate,
     "dedup_span_pairs" -> dedupSpanPairs,
     "chunk_overlap" -> chunkOverlap,

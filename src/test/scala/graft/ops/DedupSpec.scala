@@ -223,6 +223,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental near-dup keepers drop batch docs near-duplicated in the corpus only") {
+    val corpus = docsDF(Seq(
+      1L -> base,
+      3L -> "something entirely different lives here in this other document about boats"))
+    val batch = docsDF(Seq(
+      10L -> base.replace("lazy", "sleepy"), // near-dup of corpus doc 1
+      20L -> "a wholly unique new crawl document about mountains and rivers and snow",
+      21L -> "a wholly unique new crawl document about mountains and rivers and ice"))
+    val index = Dedup.minhashIndex(corpus)
+    val kept = Dedup.incrementalNearDupKeepers(batch, index, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    // 10 matches corpus 1 and is dropped; 20/21 are near-dups OF EACH
+    // OTHER but of nothing in the corpus — the batch-vs-corpus contract
+    // keeps both
+    assert(kept.toSeq == Seq(20L, 21L))
+    // the portable family drives the gate row: same verdicts
+    val keptPortable = Dedup.incrementalNearDupKeepers(
+      batch, Dedup.minhashIndex(corpus, family = PortableMinhash),
+      threshold = 0.5, family = PortableMinhash)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(keptPortable.toSeq == Seq(20L, 21L))
+  }
+
   test("connected components fail loudly at the round cap instead of mislabeling") {
     val spark2 = spark
     import spark2.implicits._
