@@ -246,6 +246,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(keptPortable.toSeq == Seq(20L, 21L))
   }
 
+  test("minhashIndex is row-wise, so O(batch) index appends are sound") {
+    // the pipeline keeps the index current by APPENDING each kept batch's
+    // own rows (never rebuilding): valid iff a doc's index row depends on
+    // that doc alone — index(corpus ∪ batch) == index(corpus) ∪ index(batch)
+    val corpus = docsDF(Seq(
+      1L -> base,
+      3L -> "something entirely different lives here in this other document about boats"))
+    val batch = docsDF(Seq(
+      20L -> "a wholly unique new crawl document about mountains and rivers and snow"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Seq[Long]]("buckets"), r.getAs[Seq[Long]]("sh"))).sortBy(_._1).toSeq
+    val unioned = rows(Dedup.minhashIndex(corpus.unionByName(batch)))
+    val appended = rows(Dedup.minhashIndex(corpus)) ++ rows(Dedup.minhashIndex(batch))
+    assert(unioned == appended.sortBy(_._1))
+  }
+
   test("connected components fail loudly at the round cap instead of mislabeling") {
     val spark2 = spark
     import spark2.implicits._
