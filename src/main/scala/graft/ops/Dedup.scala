@@ -136,37 +136,12 @@ object Dedup {
     val withSig = family.signatures(
       shingled.select(col("id"), explode(col("sh")).as("s")), numHashes)
 
-    // one row per (doc, band): bucket key = hash of that band's slice
-    val banded = withSig.select(
-      col("id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(numBands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // the bucket self-join scans this twice; cache the (small) signature
-      // bands rather than recomputing the signature aggregation per side —
-      // the 100 TB version writes the signature table out once for the same
-      // reason
-      .persist()
+    // one row per (doc, band): bucket key = hash of that band's slice.
+    // Cached: candidate generation scans it, and the 100 TB version writes
+    // the signature table out once for the same reason.
+    val banded = bandedFrame(withSig, numBands, rowsPerBand).persist()
 
-    // intra-bucket candidate pairs (id_a < id_b), deduped across bands.
-    // An id_a predicate (the recall meters' fixed anchor set) prunes the
-    // pair's SMALLER-id side here, before the self-join: signatures still
-    // cover the whole corpus (id_b is unrestricted), but candidate volume
-    // and the verify join shrink to O(anchors) — the same query-side
-    // restriction the sim meters push into their searched tiers.
-    val xSide = idAPredicate.fold(banded)(p => banded.where(p(col("id"))))
-    val candidates = xSide.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val candidates = bandedCandidates(banded, idAPredicate)
 
     // verify candidates with exact shingle-set Jaccard — computed over the
     // xxhash64 image of each shingle array, derived INLINE from the
@@ -203,6 +178,84 @@ object Dedup {
     // a caller-provided shingle frame is the caller's to release
     if (preShingled.isEmpty) shingled.unpersist(blocking = false)
     verified
+  }
+
+  /** One row per (doc, band) of a signature frame: bucket key = xxhash64
+    * of that band's signature slice — the banding step shared by
+    * [[minhashNearDups]] and the parity spec/probes.
+    */
+  private[graft] def bandedFrame(
+      withSig: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    withSig.select(
+      col("id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b => struct(
+            b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Intra-bucket candidate pairs (id_a < id_b, deduped across bands) from
+    * a banded frame, in ONE exchange: group each (band, bucket) to its
+    * sorted member-id array (map-side partial aggregation batches ids per
+    * key before the shuffle), then emit the pairs from the aggregated
+    * arrays. The equivalent bucket SELF-JOIN shuffles the banded frame
+    * TWICE (the two sides alias distinct attribute ids, so exchange reuse
+    * never fires — `CandPlanProbe`) and sorts both sides under
+    * sort-merge. Measured at the ×1000 tier (8 alternating fresh-JVM
+    * legs, `bench_artifacts/cand_oneshuffle_ab_r18.json`): WALL PARITY
+    * with the join — the saved exchange read buys back what the
+    * sort-based aggregation fallback costs at ~10⁷ grouping keys — but
+    * the stage's shuffle-scratch writes halve (one banded-sized exchange
+    * instead of two), which is why this form is production: §15's
+    * iteration-scoped scratch discipline, not a wall claim. An
+    * `idAPredicate` (the recall meters' anchor set) restricts the
+    * SMALLER pair id INSIDE the emission transform, before the explode,
+    * preserving the meters' O(anchors) candidate volume.
+    * Pair-set-identical to the join by construction (bucket members are
+    * distinct ids; sorted ascending, so (ids(i), ids(j)) with i<j is
+    * exactly x.id < y.id) — pinned by `CandidatePairParitySpec`.
+    * Mass-duplicate buckets (every member pairwise identical) make ANY
+    * candidate listing output-quadratic — the join streamed where this
+    * builds a per-bucket id array first — but the pipeline order already
+    * neutralizes them: exact dedup runs before near-dup, and it is
+    * precisely identical docs that land 64/64 identical minhashes.
+    */
+  private[graft] def bandedCandidates(
+      banded: DataFrame, idAPredicate: Option[Column => Column]): DataFrame = {
+    val ids = col("ids")
+    val n = size(ids)
+    val idxs = sequence(lit(0), n - lit(2))
+    val keptIdxs = idAPredicate.fold(idxs)(p =>
+      filter(idxs, i => p(element_at(ids, i + 1))))
+    banded
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(n > 1)
+      .select(explode(flatten(transform(keptIdxs, i =>
+        transform(slice(ids, i + 2, n),
+          b => struct(element_at(ids, i + 1).as("id_a"), b.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** The two-exchange bucket self-join [[bandedCandidates]] replaced —
+    * kept (test-visible) as the parity oracle and the ×1000 A/B's
+    * control leg.
+    */
+  private[graft] def bandedCandidatesJoin(
+      banded: DataFrame, idAPredicate: Option[Column => Column]): DataFrame = {
+    val xSide = idAPredicate.fold(banded)(p => banded.where(p(col("id"))))
+    xSide.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
   }
 
   /** 64-bit SimHash of the document's tokens: per bit, sum +1/−1 votes of

@@ -70,29 +70,18 @@ object MinhashStepProbe {
       shingled.select(col("id"), explode(col("sh")).as("s")), numHashes)
     timed("signatures")(withSig.write.format("noop").mode("overwrite").save())
 
-    val banded = withSig.select(
-      col("id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(numBands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist()
+    val banded = graft.ops.Dedup.bandedFrame(withSig, numBands, rowsPerBand).persist()
     // includes one signature recompute (banded derives from withSig, which
     // is deliberately NOT persisted — production doesn't); banding_incr =
     // this minus the signatures row
     timed("banding")(banded.count())
 
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    // SPARK_GRAFT_CANDIDATES=join runs the two-exchange self-join control
+    // leg; default is the production one-exchange group-by emission (r18)
+    val candidates =
+      if (sys.env.get("SPARK_GRAFT_CANDIDATES").contains("join"))
+        graft.ops.Dedup.bandedCandidatesJoin(banded, None)
+      else graft.ops.Dedup.bandedCandidates(banded, None)
     val nCands = timed("candidates")(candidates.count())
 
     val verified = candidates
