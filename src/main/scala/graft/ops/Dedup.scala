@@ -122,7 +122,8 @@ object Dedup {
       threshold: Double = 0.7,
       family: MinhashFamily = XxHash64Minhash,
       idAPredicate: Option[Column => Column] = None,
-      preShingled: Option[DataFrame] = None): DataFrame = {
+      preShingled: Option[DataFrame] = None,
+      candidatesMinBytes: Long = KernelMinBytes): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
 
@@ -141,7 +142,18 @@ object Dedup {
     // the signature table out once for the same reason.
     val banded = bandedFrame(withSig, numBands, rowsPerBand).persist()
 
-    val candidates = bandedCandidates(banded, idAPredicate)
+    // Input-size pivot, same 256 MB mark as the ngram pair tier: the
+    // self-join wins while fixed per-action cost dominates (sf0.1
+    // same-window A/B: 1.23×/1.11× against the grouped form on the
+    // keepers/recall rows), the one-exchange grouped form takes over once
+    // data cost dominates — wall PARITY at the ×1000 tier with HALF the
+    // stage's shuffle-scratch writes (cand_oneshuffle_ab_r18.json). The
+    // `dedup_minhash_grouped` gate row forces the grouped path at every
+    // tier regardless of which side the default takes.
+    val candidates =
+      if (planBytes(preShingled.getOrElse(documents)) < BigInt(candidatesMinBytes))
+        bandedCandidatesJoin(banded, idAPredicate)
+      else bandedCandidates(banded, idAPredicate)
 
     // verify candidates with exact shingle-set Jaccard — computed over the
     // xxhash64 image of each shingle array, derived INLINE from the
@@ -209,8 +221,11 @@ object Dedup {
     * with the join — the saved exchange read buys back what the
     * sort-based aggregation fallback costs at ~10⁷ grouping keys — but
     * the stage's shuffle-scratch writes halve (one banded-sized exchange
-    * instead of two), which is why this form is production: §15's
-    * iteration-scoped scratch discipline, not a wall claim. An
+    * instead of two), which is why this form takes the ABOVE-pivot side
+    * of [[minhashNearDups]]' size pivot: §15's iteration-scoped scratch
+    * discipline, not a wall claim (below the pivot the join's lower
+    * fixed cost wins — sf0.1 same-window A/B 1.23× on the keepers
+    * row). An
     * `idAPredicate` (the recall meters' anchor set) restricts the
     * SMALLER pair id INSIDE the emission transform, before the explode,
     * preserving the meters' O(anchors) candidate volume.
@@ -242,9 +257,10 @@ object Dedup {
       .distinct()
   }
 
-  /** The two-exchange bucket self-join [[bandedCandidates]] replaced —
-    * kept (test-visible) as the parity oracle and the ×1000 A/B's
-    * control leg.
+  /** The two-exchange bucket self-join: the BELOW-pivot side of
+    * [[minhashNearDups]]' candidate-path size pivot (lowest fixed cost
+    * while the corpus is small — AQE broadcasts one side at sf tiers),
+    * and the parity oracle / control leg of the ×1000 A/B.
     */
   private[graft] def bandedCandidatesJoin(
       banded: DataFrame, idAPredicate: Option[Column => Column]): DataFrame = {

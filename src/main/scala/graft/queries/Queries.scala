@@ -2161,7 +2161,13 @@ object Queries {
     * buckets compare by value on both sides — Spark hashes the band slice,
     * the oracle concatenates it; identical pair sets either way.)
     */
-  val dedupMinhashKeepers: QueryDef = QueryDef.withOracle {
+  /** Shared by `dedup_minhash_keepers` and the forced-grouped-candidates
+    * twin `dedup_minhash_grouped`: the two Spark paths are
+    * pair-set-identical by construction, so one DuckDB replay oracles
+    * both (the same relationship the ngram tier's adaptive/kernel rows
+    * have).
+    */
+  private def minhashKeepersOracleSql: String = {
     val P = PortableMinhash.Modulus
     val mins = (1 to 64).map(i => s"MIN((h1 + ${i - 1} * h2) % $P) AS m$i").mkString(",\n  ")
     val bandSelects = (0 until 16).map { b =>
@@ -2194,9 +2200,28 @@ object Queries {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  val dedupMinhashKeepers: QueryDef = QueryDef.withOracle {
+    minhashKeepersOracleSql
   } { (s, dir) =>
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, family = PortableMinhash)
+    Dedup.nearDedupKeepers(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
+  }
+
+  /** Forced-grouped-candidates twin of `dedup_minhash_keepers`
+    * (`candidatesMinBytes = 0` pins the one-exchange grouped candidate
+    * path the ≥256 MB tiers take by default), so the above-pivot path
+    * stays hash-checked and timed at the sf gate every round — exactly
+    * the `dedup_ngram_kernel` discipline for the minhash tier.
+    */
+  val dedupMinhashGrouped: QueryDef = QueryDef.withOracle {
+    minhashKeepersOracleSql
+  } { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, family = PortableMinhash,
+      candidatesMinBytes = 0L)
     Dedup.nearDedupKeepers(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
   }
 
@@ -4958,6 +4983,7 @@ object Queries {
     "als_recommend_sharded" -> alsRecommendSharded,
     "als_item_neighbors_sharded" -> alsItemNeighborsSharded,
     "dedup_minhash_keepers" -> dedupMinhashKeepers,
+    "dedup_minhash_grouped" -> dedupMinhashGrouped,
     "dedup_simhash_signatures" -> dedupSimhashSignatures,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_kernel" -> dedupNgramKernel,
