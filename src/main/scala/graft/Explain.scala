@@ -42,8 +42,21 @@ object Explain {
               l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")))
           println(f"$name%-26s " + audit.map { case (k, v) => s"$k=$v" }.mkString(" "))
         }
-      case Some(name) =>
-        println(plan(name))
+      case Some(names) =>
+        // comma-separated names; optional args(2) = output dir, one
+        // <dir>/<name>.txt per query (the plans/r18 before/after dumps)
+        val outDir = args.lift(2)
+        names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+          val p = plan(name)
+          outDir match {
+            case Some(d) =>
+              val path = java.nio.file.Paths.get(d, s"$name.txt")
+              java.nio.file.Files.createDirectories(path.getParent)
+              java.nio.file.Files.write(path, p.getBytes("UTF-8"))
+              println(s"[explain] wrote $path")
+            case None => println(p)
+          }
+        }
     }
     spark.stop()
   }

@@ -18,23 +18,41 @@ object ScratchBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STAGE_MIN lowers the printed-stage threshold (seconds)
+    // for fine-grained breakdowns; stage/job counters attribute per-query
+    // scheduling overhead (many tiny stages = per-stage fixed cost bound).
+    val stageMin = sys.env.get("SPARK_GRAFT_STAGE_MIN")
+      .flatMap(_.toDoubleOption).getOrElse(1.0)
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        if (sys.env.contains("SPARK_GRAFT_JOB_TRACE"))
+          println(s"[job] ${j.jobId} ${j.stageInfos.map(_.name.takeWhile(_ != '(')).mkString("<-")}")
+      }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
+        stageCount.incrementAndGet()
+        taskCount.addAndGet(si.numTasks)
         val dur = for {
           s <- si.submissionTime
           c <- si.completionTime
         } yield (c - s) / 1000.0
-        if (dur.exists(_ > 1.0))
+        if (dur.exists(_ > stageMin))
           println(f"[stage] ${si.stageId}%4d ${dur.getOrElse(0.0)}%7.2f s  tasks=${si.numTasks}  ${si.name.take(90)}")
       }
     })
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
+      val s0 = stageCount.get(); val j0 = jobCount.get(); val k0 = taskCount.get()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $name%-28s $sec%7.2f s  jobs=${jobCount.get() - j0}  stages=${stageCount.get() - s0}  tasks=${taskCount.get() - k0}")
       spark.catalog.clearCache()
       System.gc()
     }

@@ -398,6 +398,14 @@ case class GraftALSModel(
     * (numCells, seed) so explicit overrides still train their own index;
     * `@transient` — driver-side floats, never shipped with closures.
     */
+  /** Memoized item-factor row count: each of the four serving-index entry
+    * points sized its codebook with its own `itemFactors.count()` job —
+    * four identical tiny actions per index build on an immutable factor
+    * table (opt guide §1.2: don't compute things you throw away). One
+    * lazy count serves them all; thread-safe for concurrent index builds.
+    */
+  @transient private lazy val itemCount: Long = itemFactors.count()
+
   @transient private lazy val servingCodebooks =
     scala.collection.concurrent.TrieMap.empty[(Int, Long), Array[Array[Float]]]
   @transient private lazy val servingMipsIndexes =
@@ -420,7 +428,7 @@ case class GraftALSModel(
     */
   def servingItemCodebook(numCells: Int = 0, seed: Long = 42L): Array[Array[Float]] = {
     val items = itemFactors
-    val (_, cells0) = ivfSizing(items.count(), 0, numCells)
+    val (_, cells0) = ivfSizing(itemCount, 0, numCells)
     servingCodebooks.getOrElseUpdate((cells0, seed),
       graft.ops.Similarity.trainCodebook(
         items, vecCol = "features", dim = rank, numCells = cells0, seed = seed))
@@ -431,7 +439,7 @@ case class GraftALSModel(
     */
   def servingMipsIndex(numCells: Int = 0, seed: Long = 42L): graft.ops.Similarity.MipsIndex = {
     val items = itemFactors
-    val (_, cells0) = ivfSizing(items.count(), 0, numCells)
+    val (_, cells0) = ivfSizing(itemCount, 0, numCells)
     servingMipsIndexes.getOrElseUpdate((cells0, seed),
       graft.ops.Similarity.trainMipsIndex(
         items, vecCol = "features", dim = rank, numCells = cells0, seed = seed))
@@ -444,7 +452,7 @@ case class GraftALSModel(
     * measure serving.
     */
   def servingItemCellIndex(numCells: Int = 0, seed: Long = 42L): graft.ops.Similarity.CellIndex = {
-    val (_, cells0) = ivfSizing(itemFactors.count(), 0, numCells)
+    val (_, cells0) = ivfSizing(itemCount, 0, numCells)
     servingCellIndexes.getOrElseUpdate(("cosine", cells0, seed),
       graft.ops.Similarity.buildCellIndex(
         itemFactors.select(col("id").cast("long"), col("features")),
@@ -456,7 +464,7 @@ case class GraftALSModel(
     * [[recommendForAllUsersApprox]] call.
     */
   def servingMipsCellIndex(numCells: Int = 0, seed: Long = 42L): graft.ops.Similarity.CellIndex = {
-    val (_, cells0) = ivfSizing(itemFactors.count(), 0, numCells)
+    val (_, cells0) = ivfSizing(itemCount, 0, numCells)
     val mips = servingMipsIndex(numCells, seed)
     servingCellIndexes.getOrElseUpdate(("mips", cells0, seed),
       graft.ops.Similarity.buildCellIndex(

@@ -852,29 +852,47 @@ object Dedup {
     val sc = pairs.sparkSession.sparkContext
     val ledger = new ShuffleLedger(sc, Seq.empty)
     lastCcLedgerForTest = ledger
-    def cut(df: DataFrame, track: Boolean): (DataFrame, RDD[InternalRow]) = {
-      val rdd = df.queryExecution.toRdd.map(_.copy())
-      if (track) ledger.track(rdd)
-      rdd.localCheckpoint()
-      rdd.count()
-      (GraftSqlShims.dataFrameFromInternalRdd(df.sparkSession, rdd, df.schema), rdd)
-    }
-    var (edges, edgesRdd) = cut(canon(
-      pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))),
-      track = false)
-    // set fingerprint = (count, XOR of a 64-bit edge hash): exact,
+    // Set fingerprint = (count, XOR of a 64-bit edge hash): exact,
     // order-independent, and overflow-free — ids may be hash-derived longs
     // (~2^62, this module's own xxhash64 keys), so a SUM-based fingerprint
     // would overflow and THROW under ANSI mode. Equal sets always give
     // equal fingerprints (no false "changed" → no missed fixpoint); a
     // 2^-64-probability xor collision only triggers the exact except()
     // confirmation, which remains the arbiter.
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        bit_xor(xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    //
+    // Computed IN the cut's materializing pass (opt round 18): the cut's
+    // `count()` and a separate `agg(count, bit_xor(xxhash64(u, v)))` job
+    // were two full passes over every round's edge set — and each round
+    // is already only ~2 shuffles of tiny data, so at the sf tiers the
+    // per-JOB floor (~80 ms) dominated and the loop's 2 driver actions
+    // per round were half its wall time. One runJob materializes the
+    // localCheckpoint AND folds per-partition (count, xor) — per-result-
+    // partition values, so task retries cannot double-count the way an
+    // accumulator would. The hash is Catalyst's own xxhash64(u, v)
+    // (XXH64, seed 42 then chained), so the fingerprint VALUES are
+    // bit-identical to the old aggregate's.
+    def cut(df: DataFrame, track: Boolean): (DataFrame, RDD[InternalRow], (Long, Long)) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      if (track) ledger.track(rdd)
+      rdd.localCheckpoint()
+      val perPart = sc.runJob(rdd, (it: Iterator[InternalRow]) => {
+        var n = 0L
+        var x = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          x ^= org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+            r.getLong(1),
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(r.getLong(0), 42L))
+          n += 1L
+        }
+        (n, x)
+      })
+      val fp = perPart.foldLeft((0L, 0L)) { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) }
+      (GraftSqlShims.dataFrameFromInternalRdd(df.sparkSession, rdd, df.schema), rdd, fp)
     }
-    var edgesFp = fingerprint(edges)
+    var (edges, edgesRdd, edgesFp) = cut(canon(
+      pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))),
+      track = false)
     var done = edgesFp._1 == 0L
     var iter = 0
     while (!done && iter < maxIterations) {
@@ -890,18 +908,17 @@ object Dedup {
       val oriented = afterLarge.select(col("v").as("u"), col("u").as("v"))
       val smallMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
       val withM = oriented.join(smallMins, "u")
-      val (afterSmall, afterSmallRdd) = cut(canon(
+      val (afterSmall, afterSmallRdd, afterFp) = cut(canon(
         withM.select(col("v").as("u"), col("m").as("v"))
           .union(withM.select(col("u"), col("m").as("v")))),
         track = true)
       // fixpoint, two tiers: an unchanged (count, xor-hash) fingerprint is
-      // a near-certain set equality flagged by ONE tiny aggregate per
-      // round. Only then does the exact except() confirmation run (a full
-      // distinct-shuffle set-difference that used to run EVERY round and
-      // dominated round cost at the ×100 tier); a fingerprint collision
-      // just costs that one confirmation and iterates on, so exactness is
-      // unconditional.
-      val afterFp = fingerprint(afterSmall)
+      // a near-certain set equality now computed for free inside the cut's
+      // materializing pass. Only then does the exact except() confirmation
+      // run (a full distinct-shuffle set-difference that used to run EVERY
+      // round and dominated round cost at the ×100 tier); a fingerprint
+      // collision just costs that one confirmation and iterates on, so
+      // exactness is unconditional.
       done = afterFp == edgesFp && afterSmall.except(edges).isEmpty
       edgesFp = afterFp
       // this round's cut has materialized and the fixpoint test above was

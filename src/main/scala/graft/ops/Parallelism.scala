@@ -23,4 +23,29 @@ object Parallelism {
     if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
     else df
   }
+
+  /** Runs independent Spark ACTIONS concurrently from a bounded driver
+    * thread pool, returning results in input order (opt guide §2.6:
+    * "overlap independent jobs" — actions are only sequential because the
+    * driver calls them sequentially, and each small job's scheduling
+    * floor plus task tail otherwise leaves most cores idle between jobs).
+    * Callers are responsible for independence: thunks must not race on
+    * building the SAME uncached lineage (materialize shared persisted
+    * inputs first) and the combined result must not depend on completion
+    * order — every use site here combines order-insensitive counts or
+    * fully-determined frames. A failed thunk rethrows its own cause.
+    */
+  def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
+    if (thunks.lengthCompare(2) < 0) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(thunks.size, 8))
+    try {
+      val futs = thunks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[T] { override def call(): T = t() })
+      }
+      futs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow()
+  }
 }

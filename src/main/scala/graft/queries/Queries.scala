@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.als.{GraftALS, GraftALSModel}
 import graft.functions.VectorFunctions
-import graft.ops.{Bucketing, Dedup, Multimodal, PipelineOps, Similarity, TextOps}
+import graft.ops.{Bucketing, Dedup, Multimodal, Parallelism, PipelineOps, Similarity, TextOps}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1446,13 +1446,28 @@ object Queries {
       |  ON f.space = g.space AND f.cell = g.cell AND f.pos = g.pos
       |ORDER BY g.space, g.cell, g.pos""".stripMargin) { (s, dir) =>
     val m = model(s, dir)
-    val cos = m.servingItemCodebook()
-    val mips = m.servingMipsIndex()
-    // also BUILD the inverted lists (assignment + corpus shuffle), the
-    // bigger half of index construction (round-13 verdict #7): serve rows
-    // after this row are pure serving — probe, candidate scan, top-k
-    m.servingItemCellIndex().materialize()
-    m.servingMipsCellIndex().materialize()
+    // The cosine chain (codebook → inverted lists) and the MIPS chain
+    // (augmented index → inverted lists) are independent end to end; each
+    // is a string of small k-means/assignment stages that alone leaves
+    // most cores idle (measured 60 sequential jobs / 6.8 s in-suite).
+    // Overlap the two chains (opt guide §2.6) — also BUILD the inverted
+    // lists (assignment + corpus shuffle), the bigger half of index
+    // construction (round-13 verdict #7): serve rows after this row are
+    // pure serving — probe, candidate scan, top-k. Training is per-chain
+    // sequential as before, so every float is unchanged.
+    val Seq(cosRes, mipsRes) = Parallelism.inParallel[AnyRef](Seq(
+      () => {
+        val cb = m.servingItemCodebook()
+        m.servingItemCellIndex().materialize()
+        cb
+      },
+      () => {
+        val idx = m.servingMipsIndex()
+        m.servingMipsCellIndex().materialize()
+        idx
+      }))
+    val cos = cosRes.asInstanceOf[Array[Array[Float]]]
+    val mips = mipsRes.asInstanceOf[graft.ops.Similarity.MipsIndex]
     val spark = s
     import spark.implicits._
     val rows =
@@ -2535,16 +2550,25 @@ object Queries {
     // candidate/verify work shrinks to O(anchors) — the sim meters'
     // query-side restriction applied to pair recall.
     val shingled = Dedup.shingleFrame(docs).persist()
-    val exactPairs = Dedup.ngramJaccardPairs(
-      docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2,
-      idAPredicate = Some(anchored), preShingled = Some(shingled))
-    val lshPairs = Dedup.minhashNearDups(docs, threshold = 0.5,
-      family = PortableMinhash,
-      idAPredicate = Some(anchored), preShingled = Some(shingled))
+    // materialize the shared shingle cache ONCE, then overlap the two
+    // independent pair pipelines (exact inverted-index side, minhash-LSH
+    // side — both eager builders) so one side's small-stage tails
+    // back-fill with the other's work (opt guide §2.6; was 35 sequential
+    // jobs / 5.6 s isolated). Pair sets are fully determined, so the
+    // recall fraction is unchanged.
+    shingled.count()
+    val Seq(exactPairs, lshPairs) = Parallelism.inParallel(Seq(
+      () => Dedup.ngramJaccardPairs(
+        docs, threshold = 0.5, maxDocFrequency = 20, minSharedShingles = 2,
+        idAPredicate = Some(anchored), preShingled = Some(shingled)),
+      () => Dedup.minhashNearDups(docs, threshold = 0.5,
+        family = PortableMinhash,
+        idAPredicate = Some(anchored), preShingled = Some(shingled))))
     val exact = exactPairs.select("id_a", "id_b")
     val lsh = lshPairs.select("id_a", "id_b")
-    val nExact = exact.count()
-    val hits = exact.join(lsh, Seq("id_a", "id_b")).count()
+    val Seq(nExact, hits) = Parallelism.inParallel(Seq(
+      () => exact.count(),
+      () => exact.join(lsh, Seq("id_a", "id_b")).count()))
     // both pair frames come back persisted (their builders cache them for
     // the verify joins) — release them, and the shared shingle frame, so
     // they don't pressure later queries
@@ -4225,17 +4249,30 @@ object Queries {
     // stays far outside the 256-anchor estimate's ~±0.014 std
     val anchorSet = recallAnchorIds(drifted, "vec_id")
     val queries = drifted.where(col("vec_id").isin(anchorSet.map(Long.box): _*))
-    val exact = Similarity.bruteForceTopK(queries, union, k = 5)
-      .select("query_id", "neighbor_id").persist()
-    val stale = Similarity
-      .ivfTopK(queries, union, k = 5, trainedCodebook = Some(trainedCodebook(s, dir)))
-      .select("query_id", "neighbor_id")
-    val fresh = Similarity
-      .ivfTopK(queries, union, k = 5, trainedCodebook = Some(trainedDriftCodebook(s, dir)))
-      .select("query_id", "neighbor_id")
-    val n = exact.count()
-    val staleHits = exact.join(stale, Seq("query_id", "neighbor_id")).count()
-    val freshHits = exact.join(fresh, Seq("query_id", "neighbor_id")).count()
+    // pre-touch memoized codebooks, then materialize the shared persisted
+    // union ONCE so the overlapped tiers read one cache instead of racing
+    // on its lineage; then run the three independent tier pipelines
+    // concurrently (opt guide §2.6 — tier contents are fully determined,
+    // so the hit counts are unchanged; was 44 sequential jobs / 7 s)
+    val staleCells = trainedCodebook(s, dir)
+    val freshCells = trainedDriftCodebook(s, dir)
+    union.count()
+    val Seq((exact, n), (stale, _), (fresh, _)) =
+      Parallelism.inParallel[(DataFrame, Long)](Seq(
+        () => {
+          val df = Similarity.bruteForceTopK(queries, union, k = 5)
+            .select("query_id", "neighbor_id").persist()
+          (df, df.count())
+        },
+        () => (Similarity
+          .ivfTopK(queries, union, k = 5, trainedCodebook = Some(staleCells))
+          .select("query_id", "neighbor_id"), 0L),
+        () => (Similarity
+          .ivfTopK(queries, union, k = 5, trainedCodebook = Some(freshCells))
+          .select("query_id", "neighbor_id"), 0L)))
+    val Seq(staleHits, freshHits) = Parallelism.inParallel(Seq(
+      () => exact.join(stale, Seq("query_id", "neighbor_id")).count(),
+      () => exact.join(fresh, Seq("query_id", "neighbor_id")).count()))
     exact.unpersist(blocking = false)
     union.unpersist(blocking = false)
     val (sr, fr) =
@@ -4512,23 +4549,42 @@ object Queries {
     val anchorSet = recallAnchorIds(e, "vec_id")
     val sampled: Column => Column = id => id.isin(anchorSet.map(Long.box): _*)
     val queries = e.where(sampled(col("vec_id")))
-    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
-      .select("query_id", "neighbor_id").persist()
-    val lsh = Similarity
-      .lshTopK(e, k = 5, queryIdPredicate = Some(sampled), portableCapHash = true)
-      .select("query_id", "neighbor_id").persist()
-    val ivf = Similarity
-      .ivfTopK(queries, e, k = 5, trainedCodebook = Some(trainedCodebook(s, dir)))
-      .select("query_id", "neighbor_id").persist()
-    val ivfpq = Similarity
-      .ivfPqTopK(queries, e, k = 5,
-        trainedCells = Some(trainedCodebook(s, dir)),
-        trainedPq = Some(trainedPq(s, dir)))
-      .select("query_id", "neighbor_id").persist()
-    val nExact = exact.count().toDouble
-    val lshHits = exact.join(lsh, Seq("query_id", "neighbor_id")).count()
-    val ivfHits = exact.join(ivf, Seq("query_id", "neighbor_id")).count()
-    val ivfpqHits = exact.join(ivfpq, Seq("query_id", "neighbor_id")).count()
+    // pre-touch the memoized codebooks OUTSIDE the parallel region: two
+    // tiers read them, and a concurrent first-use would train twice
+    val cells = trainedCodebook(s, dir)
+    val pq = trainedPq(s, dir)
+    // The four tier searches are independent eager pipelines (each
+    // *TopK materializes via localCheckpoint); running them sequentially
+    // left most of the 32 cores idle through each pipeline's many small
+    // stages (measured 68 jobs / 14 s isolated). Overlapping them lets
+    // the scheduler back-fill one tier's task tails with the next tier's
+    // stages (opt guide §2.6); tier contents are unchanged — each is a
+    // fully-determined frame — so the hit counts below are identical.
+    val Seq((exact, nExactL), (lsh, _), (ivf, _), (ivfpq, _)) =
+      Parallelism.inParallel[(DataFrame, Long)](Seq(
+        // brute tier is a lazy plan: persist AND count inside the thunk so
+        // the phase-2 joins read a materialized cache instead of racing on
+        // its lineage (the other tiers localCheckpoint internally — eager)
+        () => {
+          val df = Similarity.bruteForceTopK(queries, e, k = 5)
+            .select("query_id", "neighbor_id").persist()
+          (df, df.count())
+        },
+        () => (Similarity
+          .lshTopK(e, k = 5, queryIdPredicate = Some(sampled), portableCapHash = true)
+          .select("query_id", "neighbor_id").persist(), 0L),
+        () => (Similarity
+          .ivfTopK(queries, e, k = 5, trainedCodebook = Some(cells))
+          .select("query_id", "neighbor_id").persist(), 0L),
+        () => (Similarity
+          .ivfPqTopK(queries, e, k = 5,
+            trainedCells = Some(cells), trainedPq = Some(pq))
+          .select("query_id", "neighbor_id").persist(), 0L)))
+    val Seq(lshHits, ivfHits, ivfpqHits) = Parallelism.inParallel(Seq(
+      () => exact.join(lsh, Seq("query_id", "neighbor_id")).count(),
+      () => exact.join(ivf, Seq("query_id", "neighbor_id")).count(),
+      () => exact.join(ivfpq, Seq("query_id", "neighbor_id")).count()))
+    val nExact = nExactL.toDouble
     Seq(exact, lsh, ivf, ivfpq).foreach(_.unpersist(blocking = false))
     val spark = s
     import spark.implicits._
