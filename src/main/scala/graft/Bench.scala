@@ -31,6 +31,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill codec knob (opt r18, guide §2.3): default stays
+      // Spark's lz4 so the bench of record is comparable round-over-round;
+      // zstd measured 14-31% fewer shuffle-scratch bytes at wall parity on
+      // the ×100 dedup rows (io_codec_ab_x100_r18.json) — the production
+      // setting for scratch-bound (wall 3) deployments.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       // NOTE: spark.driver.memory cannot be set here — in local mode the
       // driver JVM already exists. Heap comes from the fork's -Xmx, which
       // build.sbt derives from SPARK_DRIVER_MEM (javaOptions).

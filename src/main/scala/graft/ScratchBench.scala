@@ -16,6 +16,11 @@ object ScratchBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill codec A/B knob (opt guide §2.3): default stays
+      // Spark's lz4 so numbers remain comparable across rounds; zstd legs
+      // measure the scratch-bytes/CPU trade for the 100 TB posture
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_STAGE_MIN lowers the printed-stage threshold (seconds)
@@ -26,6 +31,8 @@ object ScratchBench {
     val stageCount = new java.util.concurrent.atomic.AtomicInteger
     val jobCount = new java.util.concurrent.atomic.AtomicInteger
     val taskCount = new java.util.concurrent.atomic.AtomicInteger
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -38,6 +45,8 @@ object ScratchBench {
         val si = sc.stageInfo
         stageCount.incrementAndGet()
         taskCount.addAndGet(si.numTasks)
+        shufWrite.addAndGet(si.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(si.taskMetrics.shuffleReadMetrics.totalBytesRead)
         val dur = for {
           s <- si.submissionTime
           c <- si.completionTime
@@ -49,10 +58,11 @@ object ScratchBench {
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val s0 = stageCount.get(); val j0 = jobCount.get(); val k0 = taskCount.get()
+      val w0 = shufWrite.get(); val r0 = shufRead.get()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scratch] $name%-28s $sec%7.2f s  jobs=${jobCount.get() - j0}  stages=${stageCount.get() - s0}  tasks=${taskCount.get() - k0}")
+      println(f"[scratch] $name%-28s $sec%7.2f s  jobs=${jobCount.get() - j0}  stages=${stageCount.get() - s0}  tasks=${taskCount.get() - k0}  shufW=${(shufWrite.get() - w0) >> 20}MB shufR=${(shufRead.get() - r0) >> 20}MB")
       spark.catalog.clearCache()
       System.gc()
     }

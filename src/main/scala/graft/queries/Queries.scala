@@ -3156,11 +3156,20 @@ object Queries {
   } { (s, dir) =>
     val docs = t(s, dir, "documents")
     val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    // persist the in-query index: incrementalNearDupKeepers reads it twice
+    // (bucket join + shingle verify), and uncached each read re-ran the
+    // full corpus shingle→signature lineage (opt guide §1.2 — in a real
+    // pipeline the index is READ from storage, so the double scan was pure
+    // gate-query overhead). The keeper set materializes inside the call,
+    // so the cache frees immediately after.
     val index = Dedup.minhashIndex(
-      docs.where(pmod(col("doc_id"), lit(5L)) =!= 0), family = PortableMinhash)
-    Dedup.incrementalNearDupKeepers(batch, index, threshold = 0.5, family = PortableMinhash)
+      docs.where(pmod(col("doc_id"), lit(5L)) =!= 0), family = PortableMinhash).persist()
+    val out = Dedup
+      .incrementalNearDupKeepers(batch, index, threshold = 0.5, family = PortableMinhash)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+    index.unpersist(blocking = false)
+    out
   }
 
   /** ORC source/sink round-trip (same contract as docs_jsonl_roundtrip,
