@@ -2652,8 +2652,13 @@ object Queries {
     val labeled = docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
+    // cluster_size as a window count (the oracle's own formulation): the
+    // former groupBy + join-back spent two exchanges on the same key —
+    // the window needs one (opt guide §2.4: operations keyed the same way
+    // should share one exchange). Same rows, same counts.
+    labeled
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
       .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   }
