@@ -233,24 +233,13 @@ object BlockedALS {
 
     val blockRatings = partitionRatings(ratings, userPart, itemPart)
       .persist(cfg.intermediateStorageLevel)
-
-    val (userInBlocks, userOutBlocks, userBcCounts) =
-      makeBlocks(blockRatings, userPart, itemPart, cfg.intermediateStorageLevel)
-    userOutBlocks.count() // materialize (ALS.py:73)
-
-    // Pre-diagnose wall 2 for callers with a FIXED side (auto sides already
-    // right-size): the block counts are already on the driver (makeBlocks'
-    // count pre-pass), so checking the biggest block against the auto
-    // rule's budget is free. Each side is checked independently — a mixed
-    // fixed/auto config still gets its fixed side audited, and a skewed fat
-    // ITEM block (one very popular item) is caught below by the item-side
-    // check after the item makeBlocks call.
-    if (cfg.numUserBlocks != AutoBlocks) {
-      gridAdvisory(userBcCounts.value, cfg.rank, sc.defaultParallelism,
-        numUserBlocks, numItemBlocks, side = "user").foreach { msg =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
-      }
-    }
+    // Materialize the tile cache ONCE before the two sides read it: the
+    // user-side and item-side block builds below run CONCURRENTLY (opt
+    // r18, guide §2.6 — they are independent given the tiles, and running
+    // them back to back left the cluster half-idle through each side's
+    // count-prepass + build stages), and overlapped first-actions on an
+    // unmaterialized cache would race the tile lineage.
+    blockRatings.count()
 
     // reuse user-keyed tiles as item-keyed tiles by swapping the key halves
     // and the src/dst columns (ALS.py:75-80) — a narrow map, no reshuffle
@@ -259,10 +248,37 @@ object BlockedALS {
         ((itemBlockId, userBlockId), RatingBlock(block.dstIds, block.srcIds, block.ratings))
     }
 
-    val (itemInBlocks, itemOutBlocks, itemBcCounts) =
-      makeBlocks(swappedBlockRatings, itemPart, userPart, cfg.intermediateStorageLevel)
-    itemOutBlocks.count()
+    // Build + materialize both sides concurrently (ALS.py:73 materializes
+    // each side; the builds are deterministic given the tile shuffle — the
+    // in-block builder sorts its stream, so task/fetch interleaving cannot
+    // reach the factors, and the r17 wall-5 sha-parity protocol still
+    // applies unchanged).
+    val Seq((userInBlocks, userOutBlocks, userBcCounts),
+            (itemInBlocks, itemOutBlocks, itemBcCounts)) =
+      graft.ops.Parallelism.inParallel(Seq(
+        () => {
+          val side = makeBlocks(blockRatings, userPart, itemPart, cfg.intermediateStorageLevel)
+          side._2.count()
+          side
+        },
+        () => {
+          val side = makeBlocks(swappedBlockRatings, itemPart, userPart, cfg.intermediateStorageLevel)
+          side._2.count()
+          side
+        }))
 
+    // Pre-diagnose wall 2 for callers with a FIXED side (auto sides already
+    // right-size): the block counts are already on the driver (makeBlocks'
+    // count pre-pass), so checking the biggest block against the auto
+    // rule's budget is free. Each side is checked independently — a mixed
+    // fixed/auto config still gets its fixed side audited, and a skewed fat
+    // ITEM block (one very popular item) is caught by the item-side check.
+    if (cfg.numUserBlocks != AutoBlocks) {
+      gridAdvisory(userBcCounts.value, cfg.rank, sc.defaultParallelism,
+        numUserBlocks, numItemBlocks, side = "user").foreach { msg =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
     if (cfg.numItemBlocks != AutoBlocks) {
       gridAdvisory(itemBcCounts.value, cfg.rank, sc.defaultParallelism,
         numUserBlocks, numItemBlocks, side = "item").foreach { msg =>
