@@ -31,8 +31,8 @@ bench() {
     tools/runjvm.sh graft.Bench
 }
 
-echo "######## sf0.1 full, 3 quiet reps ########"
-for rep in 1 2 3; do
+echo "######## sf0.1 full, quiet reps 2+3 (rep1 done) ########"
+for rep in 2 3; do
   retry sf01_rep$rep bench /root/testdata/sf0.1 \
     /root/repo/bench_artifacts/BENCH_sf01_r18opt_rep$rep.json \
     /root/repo/bench_artifacts/bench_diag_r18opt_rep$rep.jsonl "" || exit 1
