@@ -3,8 +3,7 @@ package graft.ops
 import graft.als.ShuffleLedger
 import graft.functions.VectorFunctions
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a documents table, exact and near-duplicate.
@@ -823,112 +822,234 @@ object Dedup {
       srcCol: String = "id_a",
       dstCol: String = "id_b",
       maxIterations: Int = 25): DataFrame = {
-    // canonical undirected form: (min, max), self-loops dropped, deduped
-    def canon(df: DataFrame): DataFrame =
-      df.where(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct()
-    def sym(df: DataFrame): DataFrame =
-      df.union(df.select(col("v").as("u"), col("u").as("v")))
+    // The iterate rounds run as ONE RDD pipeline each (opt round 19; the
+    // prior DataFrame rounds were re-planned by Catalyst every round and
+    // paid ~4 AQE stage-materialization jobs per round on top of the cut's
+    // runJob — at the sf tiers the ~80 ms/job scheduling floor made those
+    // jobs, not data, the loop's dominant cost: dedup_clusters measured 62
+    // jobs, and the suite-wide 8-core-beats-32 inversion traced to exactly
+    // this shape). Pair GENERATION stays a Catalyst plan (AQE does real
+    // work there); the loop needs none of it — each round is now three
+    // sorted shuffles inside a single job:
+    //
+    //   A  sym edges keyed (node, neighbor), partitioned by node, sorted —
+    //      the first row of a node's run IS its min neighbor, so the
+    //      large-star emission streams with O(1) task state (no
+    //      neighbor-list buffering: a 10⁹-degree hub costs nothing more
+    //      than a long run, where a groupByKey formulation would OOM);
+    //   B  large-star output keyed (larger endpoint, min), same streaming
+    //      shape for the small-star emission (consecutive-equal dedup in
+    //      the sorted run replaces the old afterLarge distinct);
+    //   C  pair-keyed sort whose consecutive-equal dedup is the old
+    //      canonical distinct, feeding the cut directly.
+    //
+    // Fewer bytes move too: the old rounds shuffled the symmetric edge set
+    // into BOTH a groupBy and a join-back per star (~2× the edges per
+    // star); the sorted-run form shuffles each edge set once per star.
+    // Shuffle records go through Kryo (two longs), not the default Java
+    // serialization.
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val ledger = new ShuffleLedger(sc, Seq.empty)
+    lastCcLedgerForTest = ledger
+    val kryo = new org.apache.spark.serializer.KryoSerializer(sc.getConf)
+
+    // Scale-adaptive reduce width from the LIVE edge count (each round's
+    // fingerprint carries it for free): ~2M 16-byte edges ≈ 32 MB raw per
+    // partition (opt guide §2.2's fewer-larger-partitions band), floored
+    // so mid-size rounds still spread across the cores. Never a constant:
+    // sf0.1 rounds run 1 task; a 100 TB edge set gets O(edges/2M) tasks.
+    def partsFor(n: Long): Int = {
+      val bySize = (n + (2L << 20) - 1) / (2L << 20)
+      val byCores = math.min(sc.defaultParallelism.toLong, (n + 65535L) / 65536L)
+      math.max(1L, math.max(bySize, byCores)).toInt
+    }
+    def sortedByNode(rdd: RDD[(Long, Long)], parts: Int): RDD[(Long, Long)] = {
+      val shuffled = new org.apache.spark.rdd.ShuffledRDD[(Long, Long), Unit, Unit](
+        rdd.map((_, ())), new Dedup.NodePartitioner(parts))
+      shuffled.setKeyOrdering(implicitly[Ordering[(Long, Long)]])
+      shuffled.setSerializer(kryo)
+      shuffled.map(_._1)
+    }
+    def sortedByPair(rdd: RDD[(Long, Long)], parts: Int): RDD[(Long, Long)] = {
+      val shuffled = new org.apache.spark.rdd.ShuffledRDD[(Long, Long), Unit, Unit](
+        rdd.map((_, ())), new Dedup.PairPartitioner(parts))
+      shuffled.setKeyOrdering(implicitly[Ordering[(Long, Long)]])
+      shuffled.setSerializer(kryo)
+      shuffled.map(_._1)
+    }
+    // one large-star + small-star round over the canonical edge SET,
+    // still exactly Kiveris et al.'s alternation:
+    //   large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u})
+    //   small-star: u > its neighbors; u and all of them re-link to the min
+    def round(edges: RDD[(Long, Long)], parts: Int): RDD[(Long, Long)] = {
+      val sym = edges.flatMap(e => Iterator((e._1, e._2), (e._2, e._1)))
+      val afterLarge = sortedByNode(sym, parts).mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          // run state: current node u and its min m (first neighbor of the
+          // sorted run); pending holds the next emission
+          private var runU = 0L
+          private var runM = 0L
+          private var started = false
+          private var pending: (Long, Long) = null
+          private def fill(): Unit = {
+            while (pending == null && it.hasNext) {
+              val (u, v) = it.next()
+              if (!started || u != runU) {
+                started = true
+                runU = u
+                runM = math.min(u, v) // sorted run: first neighbor is min Γ(u)
+              }
+              // emit (larger endpoint v, min) — canonical since m ≤ u < v;
+              // rows with v < u carry no large-star emission
+              if (v > runU) pending = (v, runM)
+            }
+          }
+          def hasNext: Boolean = { if (pending == null) fill(); pending != null }
+          def next(): (Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            val p = pending; pending = null; p
+          }
+        }
+      }
+      // small-star over (w = larger endpoint, x = neighbor < w) runs: the
+      // run's first distinct x is the min m; every distinct x re-links to
+      // m and so does w itself. Consecutive-equal skips dedup the
+      // afterLarge multiset inside the same sorted pass.
+      val smallOut = sortedByNode(afterLarge, parts).mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private var runW = 0L
+          private var runM = 0L
+          private var lastX = 0L
+          private var started = false
+          private var wPending = false // (m, w) still to emit for this run
+          private var pending: (Long, Long) = null
+          private def fill(): Unit = {
+            while (pending == null && it.hasNext) {
+              val (w, x) = it.next()
+              if (!started || w != runW) {
+                if (started && wPending) pending = (runM, runW)
+                started = true
+                runW = w
+                runM = x // sorted run: first value is min, and < w always
+                lastX = x
+                wPending = true
+                if (pending != null) return
+              } else if (x != lastX) {
+                lastX = x
+                pending = (runM, x) // canonical: runM < x (sorted, deduped)
+              }
+            }
+            if (pending == null && !it.hasNext && started && wPending) {
+              pending = (runM, runW)
+              wPending = false
+              started = false
+            }
+          }
+          def hasNext: Boolean = { if (pending == null) fill(); pending != null }
+          def next(): (Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            val p = pending; pending = null; p
+          }
+        }
+      }
+      // cross-partition dedup: the round's result is a canonical edge SET
+      sortedByPair(smallOut, parts).mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private var last: (Long, Long) = null
+          private var pending: (Long, Long) = null
+          private def fill(): Unit = {
+            while (pending == null && it.hasNext) {
+              val p = it.next()
+              if (last == null || p != last) { last = p; pending = p }
+            }
+          }
+          def hasNext: Boolean = { if (pending == null) fill(); pending != null }
+          def next(): (Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            val p = pending; pending = null; p
+          }
+        }
+      }
+    }
 
     // Scratch lifecycle, two tiers — the ALS kernel's wall-3 discipline
     // (SCALING §15.2/§15.5) applied to the engine's other unbounded
     // iterative loop. (1) Executor STORAGE: a round's checkpoint blocks
     // are superseded once the next fixpoint test has read them, so the
     // previous round's RDD is unpersisted explicitly. (2) Shuffle
-    // SCRATCH: a round's groupBy/join shuffle files are dead the moment
-    // its cut materializes (the checkpoint truncates lineage, and local
-    // checkpoints have no recompute path through it), but nothing deletes
-    // them until JVM exit — on a 100 TB edge set an O(log² n)-round loop
-    // would accumulate O(rounds × edges) of dead scratch, the exact
-    // failure shape the ×1000 ALS fit hit as wall 3. Cutting by hand (the
-    // same map(copy) + localCheckpoint that Dataset.localCheckpoint
-    // performs internally) keeps a handle on the pre-truncation lineage,
-    // so each retired round is swept through the same [[ShuffleLedger]]
-    // the ALS kernel uses. Round 0 is deliberately NOT tracked: its
-    // lineage includes the CALLER's upstream shuffles (pair generation),
-    // which may back other live frames — the ledger only ever deletes
-    // shuffles this loop's own rounds introduced.
-    val sc = pairs.sparkSession.sparkContext
-    val ledger = new ShuffleLedger(sc, Seq.empty)
-    lastCcLedgerForTest = ledger
+    // SCRATCH: a round's three sorted shuffles are dead the moment its
+    // cut materializes (the local checkpoint truncates lineage and has no
+    // recompute path), but nothing deletes them until JVM exit — on a
+    // 100 TB edge set an O(log² n)-round loop would accumulate
+    // O(rounds × edges) of dead scratch, the exact failure shape the
+    // ×1000 ALS fit hit as wall 3. Each round is swept through the same
+    // [[ShuffleLedger]] the ALS kernel uses. Round 0 is deliberately NOT
+    // tracked: its lineage includes the CALLER's upstream shuffles (pair
+    // generation), which may back other live frames — the ledger only
+    // ever deletes shuffles this loop's own rounds introduced.
+    //
     // Set fingerprint = (count, XOR of a 64-bit edge hash): exact,
     // order-independent, and overflow-free — ids may be hash-derived longs
     // (~2^62, this module's own xxhash64 keys), so a SUM-based fingerprint
     // would overflow and THROW under ANSI mode. Equal sets always give
     // equal fingerprints (no false "changed" → no missed fixpoint); a
-    // 2^-64-probability xor collision only triggers the exact except()
-    // confirmation, which remains the arbiter.
-    //
-    // Computed IN the cut's materializing pass (opt round 18): the cut's
-    // `count()` and a separate `agg(count, bit_xor(xxhash64(u, v)))` job
-    // were two full passes over every round's edge set — and each round
-    // is already only ~2 shuffles of tiny data, so at the sf tiers the
-    // per-JOB floor (~80 ms) dominated and the loop's 2 driver actions
-    // per round were half its wall time. One runJob materializes the
-    // localCheckpoint AND folds per-partition (count, xor) — per-result-
-    // partition values, so task retries cannot double-count the way an
-    // accumulator would. The hash is Catalyst's own xxhash64(u, v)
-    // (XXH64, seed 42 then chained), so the fingerprint VALUES are
-    // bit-identical to the old aggregate's.
-    def cut(df: DataFrame, track: Boolean): (DataFrame, RDD[InternalRow], (Long, Long)) = {
-      val rdd = df.queryExecution.toRdd.map(_.copy())
+    // 2^-64-probability xor collision only triggers the exact subtract
+    // confirmation, which remains the arbiter. Computed IN the cut's
+    // materializing runJob (opt round 18) — per-result-partition folds, so
+    // task retries cannot double-count the way an accumulator would. The
+    // hash is Catalyst's own xxhash64(u, v) (XXH64, seed 42 then chained),
+    // so fingerprint values stay bit-identical to the original aggregate's.
+    def cut(rdd: RDD[(Long, Long)], track: Boolean): (Long, Long) = {
       if (track) ledger.track(rdd)
       rdd.localCheckpoint()
-      val perPart = sc.runJob(rdd, (it: Iterator[InternalRow]) => {
+      val perPart = sc.runJob(rdd, (it: Iterator[(Long, Long)]) => {
         var n = 0L
         var x = 0L
         while (it.hasNext) {
-          val r = it.next()
+          val e = it.next()
           x ^= org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
-            r.getLong(1),
-            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(r.getLong(0), 42L))
+            e._2,
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(e._1, 42L))
           n += 1L
         }
         (n, x)
       })
-      val fp = perPart.foldLeft((0L, 0L)) { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) }
-      (GraftSqlShims.dataFrameFromInternalRdd(df.sparkSession, rdd, df.schema), rdd, fp)
+      perPart.foldLeft((0L, 0L)) { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) }
     }
-    var (edges, edgesRdd, edgesFp) = cut(canon(
-      pairs.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))),
-      track = false)
+
+    // round 0: canonical undirected form — (min, max), self-loops dropped,
+    // deduped — through the caller's own Catalyst plan (pair generation
+    // keeps its AQE sizing), then into (u, v) longs
+    val canon0 = pairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    var edges: RDD[(Long, Long)] =
+      canon0.queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
+    var edgesFp = cut(edges, track = false)
     var done = edgesFp._1 == 0L
     var iter = 0
     while (!done && iter < maxIterations) {
-      // large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u})
-      val s = sym(edges)
-      val largeMins = s.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val afterLarge = canon(
-        s.join(largeMins, "u").where(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v")))
-      // small-star: orient (u, v) with u > v; u and all its ≤ neighbors
-      // re-link to the minimum
-      val oriented = afterLarge.select(col("v").as("u"), col("u").as("v"))
-      val smallMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
-      val withM = oriented.join(smallMins, "u")
-      val (afterSmall, afterSmallRdd, afterFp) = cut(canon(
-        withM.select(col("v").as("u"), col("m").as("v"))
-          .union(withM.select(col("u"), col("m").as("v")))),
-        track = true)
+      val parts = partsFor(edgesFp._1)
+      val afterSmall = round(edges, parts)
+      val afterFp = cut(afterSmall, track = true)
       // fixpoint, two tiers: an unchanged (count, xor-hash) fingerprint is
-      // a near-certain set equality now computed for free inside the cut's
-      // materializing pass. Only then does the exact except() confirmation
-      // run (a full distinct-shuffle set-difference that used to run EVERY
-      // round and dominated round cost at the ×100 tier); a fingerprint
-      // collision just costs that one confirmation and iterates on, so
-      // exactness is unconditional.
-      done = afterFp == edgesFp && afterSmall.except(edges).isEmpty
+      // a near-certain set equality computed for free inside the cut's
+      // materializing pass. Only then does the exact set-difference
+      // confirmation run (it used to run EVERY round and dominated round
+      // cost at the ×100 tier); a fingerprint collision just costs that
+      // one confirmation and iterates on, so exactness is unconditional.
+      done = afterFp == edgesFp && afterSmall.subtract(edges, parts).isEmpty()
       edgesFp = afterFp
       // this round's cut has materialized and the fixpoint test above was
       // the retired round's last reader: sweep the round's dead shuffle
       // files now (everything tracked that the new cut cannot reach), then
       // drop the superseded checkpoint blocks
-      ledger.sweep(Seq(afterSmallRdd))
-      edgesRdd.unpersist(blocking = false)
+      ledger.sweep(Seq(afterSmall))
+      edges.unpersist(blocking = false)
       edges = afterSmall
-      edgesRdd = afterSmallRdd
       iter += 1
     }
     // Fail LOUDLY at the round cap: before the fixpoint, edges are a
@@ -943,9 +1064,35 @@ object Dedup {
         "raise maxIterations (round count is O(log² n) in nodes)")
     // at the fixpoint edges form stars (root=min ↔ member): every node's
     // label is the min over its incident edge endpoints and itself
-    sym(edges).groupBy(col("u").as("id"))
-      .agg(min(col("v")).as("mv"))
-      .select(col("id"), least(col("mv"), col("id")).as("cluster_id"))
+    val labels = edges
+      .flatMap(e => Iterator((e._1, e._2), (e._2, e._1)))
+      .reduceByKey(math.min(_, _), partsFor(edgesFp._1))
+      .map { case (id, mv) => (id, math.min(mv, id)) }
+    spark.createDataFrame(labels).toDF("id", "cluster_id")
+  }
+
+  /** Partitions a (node, x) composite key by node only, so one sorted
+    * shuffle gives per-node runs whose first element is the node's minimum
+    * — the O(1)-state streaming form of groupBy+min+join-back.
+    */
+  private final class NodePartitioner(parts: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = parts
+    def getPartition(key: Any): Int = {
+      val u = key.asInstanceOf[(Long, Long)]._1
+      val mod = java.lang.Long.hashCode(u) % parts
+      if (mod < 0) mod + parts else mod
+    }
+  }
+
+  /** Partitions by the full (u, v) pair — the dedup shuffle. */
+  private final class PairPartitioner(parts: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = parts
+    def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[(Long, Long)]
+      val h = java.lang.Long.hashCode(k._1) * 31 + java.lang.Long.hashCode(k._2)
+      val mod = h % parts
+      if (mod < 0) mod + parts else mod
+    }
   }
 
   /** Content-hash index of a corpus — the running state an INCREMENTAL
