@@ -342,21 +342,59 @@ object Bench {
     // entries always included, then remaining queries slowest-first until
     // the budget; anything cut is summed into "_rest" (with its count), so
     // value == sum(queries.values) still holds.
-    val budget = 1700
+    //
+    // FULL-SUITE runs name a PINNED row set instead of slowest-first
+    // (opt r19, r18 verdict #4): the adaptive budget demoted 4 rows into
+    // _rest between r17 and r18 purely because other rows got slower, which
+    // silently breaks the driver's per-query round-over-round comparison.
+    // The pinned set is every row the r18 driver line named plus the 4 it
+    // demoted (62 rows ≈ 1750 chars, inside the driver's 2000-char stdout
+    // tail with margin); membership now only changes by an explicit edit
+    // here. Filtered probe/tier runs keep the adaptive line — a targeted
+    // probe must name whatever it ran.
+    val budget = 1900
     val headline = Seq(
       "als_train_graft", "als_train_mllib",
       "als_transform_graft", "als_transform_mllib").filter(timings.contains)
-    val rest = timings.toSeq.filterNot { case (k, _) => headline.contains(k) }.sortBy(-_._2)
+    val pinnedFullSuite = Seq(
+      "als_session_train", "als_csv_ratings", "als_foldin", "als_foldin_implicit",
+      "als_implicit_vs_mllib", "als_index_build", "als_item_neighbors",
+      "als_item_neighbors_approx", "als_mse", "als_negative_samples",
+      "als_nonnegative_factors", "als_online_refresh", "als_predictions",
+      "als_rank32_factors", "als_rank64_factors", "als_ratings",
+      "als_recommend_approx", "als_rmse_vs_mllib", "bucketed_join",
+      "decontaminate", "dedup_boilerplate", "dedup_clusters", "dedup_embedding",
+      "dedup_embedding_anchors", "dedup_incremental_minhash",
+      "dedup_minhash_grouped", "dedup_minhash_keepers", "dedup_ngram_jaccard",
+      "dedup_ngram_kernel", "dedup_recall", "dedup_simhash_signatures",
+      "dedup_span_pairs", "docs_partition_overwrite", "embedding_pca",
+      "pipeline_end_to_end", "q11_rollup", "q20_brand_revenue",
+      "q23_sql_interface", "q24_cube", "sim_drift_codebook", "sim_drift_recall",
+      "sim_ivf_append", "sim_ivf_serve", "sim_mips_codebook", "sim_pq_codebook",
+      "sim_recall", "sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_lsh",
+      "stream_dedup", "stream_events_daily", "stream_index_maintenance",
+      "stream_purchase_views", "stream_sessions", "text_langid_fingerprint",
+      "text_oov_quality", "text_repetition", "text_winnow")
+    val fullSuite = only.isEmpty && skip.isEmpty
+    val rest =
+      if (fullSuite) pinnedFullSuite.filter(timings.contains).map(k => k -> timings(k))
+      else timings.toSeq.filterNot { case (k, _) => headline.contains(k) }.sortBy(-_._2)
     val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$meterJsonFinal,"queries":{"""
     val suffix = s"""},"errors":$es,"blas":${jstr(blas)},"sf":${jstr(sfDir)}}"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = prefix.length + suffix.length + 60 // reserve room for "_rest"
     var cutSum = 0.0
     var cutN = 0
+    val namedSet = headline.toSet ++ rest.iterator.map(_._1)
     (headline.map(k => k -> timings(k)) ++ rest).foreach { case (k, v) =>
       val entry = s"${jstr(k)}:${jnum(v)}"
       if (used + entry.length + 1 <= budget) { entries += entry; used += entry.length + 1 }
       else { cutSum += v; cutN += 1 }
+    }
+    // rows outside the named set (the pinned-membership path) still sum
+    // into _rest so value == sum(queries.values) holds
+    timings.foreach { case (k, v) =>
+      if (!namedSet.contains(k)) { cutSum += v; cutN += 1 }
     }
     if (cutN > 0) entries += s""""_rest":${jnum(cutSum)},"_rest_n":$cutN"""
     println(prefix + entries.mkString(",") + suffix)
