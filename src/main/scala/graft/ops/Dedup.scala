@@ -548,14 +548,26 @@ object Dedup {
     val parts = math.max(
       spark0.conf.get("spark.sql.shuffle.partitions").toInt,
       ((nPostings + 3999999L) / 4000000L).toInt)
-    // single-column sort: one sort key keeps Spark's radix sort eligible
-    // (a second key forces comparison-based sorting); ids are ordered
-    // per-run in the bounded buffer instead, at ≤ cap+1 elements
-    val pairPostings = inverted.select(col("h"), col("id"))
-      .repartition(parts, col("h"))
-      .sortWithinPartitions("h")
-      .as[(Long, Long)]
-      .mapPartitions { it =>
+    // One sorted RDD shuffle replaces the repartition+sortWithinPartitions
+    // Dataset pipeline (opt r19): the exchange width is the SAME
+    // nPostings-derived `parts` (the load-bearing ×1000 sizing), the sort
+    // key is still h alone, but the emission now runs inside the candidate
+    // aggregate's own job — no AQE stage-materialization jobs for the
+    // exchange, no ExpressionEncoder round-trip around the run-length
+    // pass, and Kryo on the two-long records instead of the object
+    // pipeline's row codec.
+    val postingsRdd = {
+      val shuffled = new org.apache.spark.rdd.ShuffledRDD[Long, Long, Long](
+        inverted.select(col("h"), col("id")).queryExecution.toRdd
+          .map(r => (r.getLong(0), r.getLong(1))),
+        new HPartitioner(parts))
+      shuffled.setKeyOrdering(implicitly[Ordering[Long]])
+      shuffled.setSerializer(
+        new org.apache.spark.serializer.KryoSerializer(spark0.sparkContext.getConf))
+      shuffled
+    }
+    val pairPostings = spark0.createDataFrame(
+      postingsRdd.mapPartitions { it =>
         new Iterator[(Long, Long)] {
           // current run: first cap+1 ids (a longer run is a stop-shingle
           // and emits nothing, so ids past cap are counted, not stored)
@@ -598,7 +610,7 @@ object Dedup {
             pair
           }
         }
-      }
+      })
       .toDF("id_a", "id_b")
       // strict < mirrors the classic self-join's x.id < y.id: a 64-bit
       // hash collision INSIDE one document would otherwise emit (id, id)
@@ -1091,6 +1103,15 @@ object Dedup {
       val k = key.asInstanceOf[(Long, Long)]
       val h = java.lang.Long.hashCode(k._1) * 31 + java.lang.Long.hashCode(k._2)
       val mod = h % parts
+      if (mod < 0) mod + parts else mod
+    }
+  }
+
+  /** Partitions a bare long shingle-hash key — the pair-emission shuffle. */
+  private final class HPartitioner(parts: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = parts
+    def getPartition(key: Any): Int = {
+      val mod = java.lang.Long.hashCode(key.asInstanceOf[Long]) % parts
       if (mod < 0) mod + parts else mod
     }
   }
