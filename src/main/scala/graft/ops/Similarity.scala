@@ -410,22 +410,76 @@ object Similarity {
       if (dataInit.length == numCells) dataInit
       else codebook(dim, numCells, seed).map(normalized)
     for (_ <- 0 until iterations) {
-      val means = base
-        .withColumn("cell", topCellsCol(centroids, col("v"), 1).getItem(0))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("x")).as("m"))
-        .collect()
+      // one runJob per pass (opt r19): the former dim× posexplode +
+      // (cell, pos) hash aggregate + collect ran the whole assignment
+      // through dim-times the rows and several AQE stage jobs per
+      // iteration; the fold accumulates the same double sums in the same
+      // per-partition row order and merges partitions in index order —
+      // dumped floats verified byte-identical (see OPTIMIZATION_r19.md)
+      val (counts, sums) = lloydMeans(
+        base.withColumn("cell", topCellsCol(centroids, col("v"), 1).getItem(0))
+          .select(col("cell"), col("v")),
+        centroids.length, dim)
       val next = centroids.map(_.clone())
-      means.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
-        val m = new Array[Float](dim)
-        rows.foreach(r => m(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat)
-        val u = normalized(m)
-        if (u.exists(_ != 0f)) next(cell) = u
+      var cell = 0
+      while (cell < next.length) {
+        if (counts(cell) > 0L) {
+          val m = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { m(i) = (sums(cell)(i) / counts(cell)).toFloat; i += 1 }
+          val u = normalized(m)
+          if (u.exists(_ != 0f)) next(cell) = u
+        }
+        cell += 1
       }
       centroids = next
     }
     centroids
+  }
+
+  /** One Lloyd accumulation pass as a single job: rows are
+    * `(group INT, vec ARRAY<FLOAT>)`; returns per-group member counts and
+    * per-dimension double sums. Summation order is the partial-aggregate
+    * order the old `avg` computed — per key, row order within a partition,
+    * partitions merged in partition-index order — which is what keeps the
+    * trained floats stable (and byte-identical to the dumps the replaying
+    * oracles pin). Only `groups × width` doubles reach the driver.
+    */
+  private def lloydMeans(
+      assigned: DataFrame,
+      groups: Int,
+      width: Int): (Array[Long], Array[Array[Double]]) = {
+    val sc = assigned.sparkSession.sparkContext
+    val perPart = sc.runJob(
+      assigned.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        val counts = new Array[Long](groups)
+        val sums = Array.ofDim[Double](groups, width)
+        while (it.hasNext) {
+          val r = it.next()
+          val g = r.getInt(0)
+          val arr = r.getArray(1)
+          val s = sums(g)
+          var i = 0
+          while (i < width) { s(i) += arr.getFloat(i); i += 1 }
+          counts(g) += 1L
+        }
+        (counts, sums)
+      })
+    val counts = new Array[Long](groups)
+    val sums = Array.ofDim[Double](groups, width)
+    perPart.foreach { case (c, ss) =>
+      var g = 0
+      while (g < groups) {
+        counts(g) += c(g)
+        val s = sums(g)
+        val t = ss(g)
+        var i = 0
+        while (i < width) { s(i) += t(i); i += 1 }
+        g += 1
+      }
+    }
+    (counts, sums)
   }
 
   /** Adds the IVF `cell` assignment (argmax-dot centroid) to a corpus —
@@ -674,18 +728,25 @@ object Similarity {
     try {
       for (_ <- 0 until iterations) {
         val (cbLit, halfLit) = pqLiterals(cb)
-        val means = subs
-          .withColumn("code", bestCodeCol(cbLit, halfLit, col("m"), col("sv"), numCentroids))
-          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy("m", "code", "pos")
-          .agg(avg(col("x")).as("mean"))
-          .collect()
+        // single-job fold over (m·K + code, sv) — see [[lloydMeans]]; the
+        // former subDim× posexplode + (m, code, pos) aggregate + collect
+        // ran several AQE stage jobs per iteration
+        val (counts, sums) = lloydMeans(
+          subs
+            .withColumn("code", bestCodeCol(cbLit, halfLit, col("m"), col("sv"), numCentroids))
+            .select((col("m") * lit(numCentroids) + col("code")).cast("int").as("g"),
+              col("sv")),
+          numSubspaces * numCentroids, subDim)
         val next = cb.map(_.map(_.clone()))
-        means.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("code"))).foreach {
-          case ((m, code), rows) =>
+        var g = 0
+        while (g < counts.length) {
+          if (counts(g) > 0L) {
             val c = new Array[Float](subDim)
-            rows.foreach(r => c(r.getAs[Int]("pos")) = r.getAs[Double]("mean").toFloat)
-            next(m)(code) = c
+            var i = 0
+            while (i < subDim) { c(i) = (sums(g)(i) / counts(g)).toFloat; i += 1 }
+            next(g / numCentroids)(g % numCentroids) = c
+          }
+          g += 1
         }
         cb = next
       }
