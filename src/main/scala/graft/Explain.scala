@@ -50,7 +50,9 @@ object Explain {
           val p = plan(name)
           outDir match {
             case Some(d) =>
-              val path = java.nio.file.Paths.get(d, s"$name.txt")
+              // absolutize first: a bare relative dir like "out" has a null
+              // getParent and createDirectories(null) NPEs (r18 ADVICE)
+              val path = java.nio.file.Paths.get(d, s"$name.txt").toAbsolutePath
               java.nio.file.Files.createDirectories(path.getParent)
               java.nio.file.Files.write(path, p.getBytes("UTF-8"))
               println(s"[explain] wrote $path")

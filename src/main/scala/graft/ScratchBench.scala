@@ -62,6 +62,9 @@ object ScratchBench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // listener events arrive asynchronously: drain before sampling so a
+      // late stage completion is charged to THIS query, not the next
+      org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
       println(f"[scratch] $name%-28s $sec%7.2f s  jobs=${jobCount.get() - j0}  stages=${stageCount.get() - s0}  tasks=${taskCount.get() - k0}  shufW=${(shufWrite.get() - w0) >> 20}MB shufR=${(shufRead.get() - r0) >> 20}MB")
       spark.catalog.clearCache()
       System.gc()

@@ -390,14 +390,6 @@ case class GraftALSModel(
     out
   }
 
-  /** Serving-index state, trained ONCE per model and reused by every
-    * [[itemNeighborsApprox]] / [[recommendForAllUsersApprox]] call — the
-    * index-build/serve split of a real ANN serving tier (round-6 verdict:
-    * re-running the 3-pass k-means inside every serving call made the two
-    * approx queries the slowest rows in the bench). Keyed by
-    * (numCells, seed) so explicit overrides still train their own index;
-    * `@transient` — driver-side floats, never shipped with closures.
-    */
   /** Memoized item-factor row count: each of the four serving-index entry
     * points sized its codebook with its own `itemFactors.count()` job —
     * four identical tiny actions per index build on an immutable factor
@@ -406,6 +398,14 @@ case class GraftALSModel(
     */
   @transient private lazy val itemCount: Long = itemFactors.count()
 
+  /** Serving-index state, trained ONCE per model and reused by every
+    * [[itemNeighborsApprox]] / [[recommendForAllUsersApprox]] call — the
+    * index-build/serve split of a real ANN serving tier (round-6 verdict:
+    * re-running the 3-pass k-means inside every serving call made the two
+    * approx queries the slowest rows in the bench). Keyed by
+    * (numCells, seed) so explicit overrides still train their own index;
+    * `@transient` — driver-side floats, never shipped with closures.
+    */
   @transient private lazy val servingCodebooks =
     scala.collection.concurrent.TrieMap.empty[(Int, Long), Array[Array[Float]]]
   @transient private lazy val servingMipsIndexes =

@@ -37,14 +37,31 @@ object Parallelism {
     */
   def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
     if (thunks.lengthCompare(2) < 0) return thunks.map(_())
+    // One job group per call (r18 ADVICE): shutdownNow() only interrupts
+    // DRIVER threads — a failed thunk's siblings would otherwise keep
+    // their in-flight Spark jobs running on the cluster after the caller
+    // has already thrown. Job groups are thread-local, so each worker
+    // thread sets the group itself; on failure the whole group is
+    // cancelled (interruptOnCancel) before the cause is rethrown.
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val group = s"graft-inparallel-${java.util.UUID.randomUUID()}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(thunks.size, 8))
     try {
       val futs = thunks.map { t =>
-        pool.submit(new java.util.concurrent.Callable[T] { override def call(): T = t() })
+        pool.submit(new java.util.concurrent.Callable[T] {
+          override def call(): T = {
+            sc.setJobGroup(group, "graft.Parallelism.inParallel", interruptOnCancel = true)
+            try t() finally sc.clearJobGroup()
+          }
+        })
       }
       futs.map { f =>
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            try sc.cancelJobGroup(group) catch { case _: Throwable => () }
+            throw e.getCause
+        }
       }
     } finally pool.shutdownNow()
   }

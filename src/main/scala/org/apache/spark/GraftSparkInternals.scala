@@ -62,4 +62,16 @@ object GraftSparkInternals {
   def shuffleFileCount(sc: SparkContext, shuffleId: Int): Int =
     SparkEnv.get.blockManager.diskBlockManager.getAllFiles()
       .count(_.getName.startsWith(s"shuffle_${shuffleId}_"))
+
+  /** Blocks until every event already posted to the listener bus has been
+    * delivered (bounded by `timeoutMillis`). Listener events are delivered
+    * asynchronously, so a harness that samples per-query job/stage/shuffle
+    * counters immediately after an action returns can misattribute late
+    * completions to the NEXT query (r18 ADVICE on ScratchBench); draining
+    * first makes per-query attribution stable. Measurement plumbing only —
+    * never on a query path.
+    */
+  def drainListenerBus(sc: SparkContext, timeoutMillis: Long = 10000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMillis)
+    catch { case _: Throwable => () }
 }
